@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Many janino-codegen'd stages fill the default 240m code cache over a
+  // long session; once full, JIT stops and late class inits (e.g. Spark 4's
+  // CollationAwareUTF8String ICU tables) run interpreted at 100x cost.
+  "-XX:ReservedCodeCacheSize=512m",
 )

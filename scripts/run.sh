@@ -1,0 +1,20 @@
+#!/bin/bash
+# Fast runner: java directly against compiled classes + /opt/spark/jars
+# (skips sbt JVM spawn). Usage: scripts/run.sh graft.Verify <args...>
+set -e
+CLS="$1"; shift
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -XX:ReservedCodeCacheSize=512m \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  "$CLS" "$@"

@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** SURVEY.md §2c — aggregations.
+  *
+  * The reference does its grouping in plain Java hash maps
+  * (`aig/AIGEventsTableCreator.java:385-394`, `:358-362`) and its time
+  * histograms with a driver-side loop (`TimeBasedPartitioningExamples.java:256-280`).
+  * Here each becomes a real distributed `groupBy` with map-side partial
+  * aggregation; Catalyst plans partial+final HashAggregate automatically, so
+  * at 100 TB the shuffle carries one row per (group × partition), not raw data.
+  */
+object Aggregates {
+
+  /** Flagship — TPC-H-Q1-shaped pricing summary (SURVEY §7.1 M1).
+    * Exercises scan → pushed filter → hash agg with exact decimal math. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val one = lit(1)
+    val discPrice = (dec($"l_extendedprice") * (one - dec($"l_discount")))
+      .cast(DecimalType(18, 4))
+    val charge = (discPrice * (one + dec($"l_tax"))).cast(DecimalType(28, 6))
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1997-09-01 00:00:00").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Composite-partition-key rollup — the reference's core grouping shape
+    * (`Creator:385-394`: Map<(tenant,y,m,d,h), List<Record>>), as one
+    * shuffle-with-partial-agg instead of a driver-side map. */
+  def aggGroupByPartition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"value")
+      .withColumn("year", year($"ts").cast("long"))
+      .withColumn("month", month($"ts").cast("long"))
+      .withColumn("day", dayofmonth($"ts").cast("long"))
+      .withColumn("hour", hour($"ts").cast("long"))
+      .groupBy($"user_id", $"year", $"month", $"day", $"hour")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"user_id", $"year", $"month", $"day", $"hour")
+  }
+
+  /** Per-tenant batch counts (`Creator:358-362`). */
+  def aggGroupByTenant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"user_id")
+  }
+
+  /** Record counts per table — the `recordCount++` loops of
+    * `Local:112-121` / `Bulk:179-183` as metadata-only counts (Spark answers
+    * these from parquet footers via an aggregate pushdown-friendly plan). */
+  def aggCountRecords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counted = Seq("lineitem", "orders", "customer", "events", "documents")
+    counted.map { t =>
+      Tables(spark, dir, t).select(lit(t).as("tbl"), lit(1).as("one"))
+        .groupBy($"tbl").agg(count(lit(1)).as("n"))
+    }.reduce(_.unionByName(_)).orderBy($"tbl")
+  }
+
+  /** Byte/size accounting per group (`Local:124`, `Debug:186` shape). */
+  def aggSumBytes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"),
+        max($"n_chars").as("max_chars"), min($"n_chars").as("min_chars"))
+      .orderBy($"source")
+  }
+
+  /** 24-bucket hour-of-day histogram (`TimeEx:256-280`). */
+  def aggHourlyHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(hour($"ts").cast("long").as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"hour_of_day")
+  }
+
+  /** Daily aggregation pattern (`TimeEx:166-169`): date_trunc day buckets. */
+  def aggDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
+  /** Token-usage-style stats per tenant/model (schema fields
+    * `usage_total/input/output` — `Validator:91-94`), here per event_type. */
+  def aggUsageStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum($"value").as("sum_value"),
+        davg($"value").as("avg_value"),
+        min(dec($"value")).cast("double").as("min_value"),
+        max(dec($"value")).cast("double").as("max_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  /** Exact distinct counting (X-tier per SURVEY §2c note). */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Approximate distinct (HLL) — no DuckDB oracle (sketch implementations
+    * differ); driver records rows-only, scalatest bounds the error. */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** ROLLUP over region→nation revenue; null group keys are coalesced to a
+    * sentinel so sort order is engine-independent (SURVEY §7.3). */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("revenue"))
+      .select(
+        coalesce($"r_name", lit("ALL")).as("region"),
+        coalesce($"n_name", lit("ALL")).as("nation"),
+        $"n", $"revenue")
+      .orderBy($"region", $"nation")
+  }
+
+  /** CUBE over returnflag × linestatus. */
+  def aggCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"n", $"sum_qty")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "agg_group_by_partition" -> (aggGroupByPartition _),
+    "agg_group_by_tenant" -> (aggGroupByTenant _),
+    "agg_count_records" -> (aggCountRecords _),
+    "agg_sum_bytes" -> (aggSumBytes _),
+    "agg_hourly_histogram" -> (aggHourlyHistogram _),
+    "agg_daily" -> (aggDaily _),
+    "agg_usage_stats" -> (aggUsageStats _),
+    "agg_distinct" -> (aggDistinct _),
+    "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_rollup" -> (aggRollup _),
+    "agg_cube" -> (aggCube _))
+
+  private val D = "DECIMAL(18,2)"
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D)) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS $D)) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+         |  CAST(SUM(CAST(l_discount AS $D)) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_group_by_partition" ->
+      s"""SELECT user_id, year(ts) AS year, month(ts) AS month,
+         |  day(ts) AS day, hour(ts) AS hour, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events
+         |GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    "agg_group_by_tenant" ->
+      s"""SELECT user_id, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_count_records" ->
+      """SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer
+        |UNION ALL SELECT 'documents', COUNT(*) FROM documents
+        |UNION ALL SELECT 'events', COUNT(*) FROM events
+        |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |ORDER BY tbl""".stripMargin,
+    "agg_sum_bytes" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MAX(n_chars) AS max_chars, MIN(n_chars) AS min_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "agg_hourly_histogram" ->
+      """SELECT hour(ts) AS hour_of_day, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_daily" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_usage_stats" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) / COUNT(value) AS avg_value,
+         |  CAST(MIN(CAST(value AS $D)) AS DOUBLE) AS min_value,
+         |  CAST(MAX(CAST(value AS $D)) AS DOUBLE) AS max_value,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT COALESCE(r_name, 'ALL') AS region,
+         |  COALESCE(n_name, 'ALL') AS nation, COUNT(*) AS n,
+         |  CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)
+         |ORDER BY region, nation""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         |  COALESCE(l_linestatus, 'ALL') AS linestatus, COUNT(*) AS n,
+         |  CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin)
+}

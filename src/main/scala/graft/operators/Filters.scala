@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** SURVEY.md §2b — projections, filters, predicates.
+  *
+  * The reference pushes `Expressions.equal/greaterThanOrEqual/and` into
+  * Iceberg scans (`TimeBasedPartitioningExamples.java:156-182`) and projects
+  * with `.project(schema)` (`Local:90`). Spark gets both for free: every
+  * filter below reaches the parquet scan as `PushedFilters` and every select
+  * prunes `ReadSchema` — verified in FilterPushdownSpec.
+  */
+object Filters {
+
+  /** Column projection with pushed predicate (`project_cols`). */
+  def projectCols(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_orderstatus" === "F" && $"o_orderkey" < 2000)
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Drop-columns reshape (`Hidden:122-130` drops event_ts*). */
+  def dropCols(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .drop("l_tax", "l_discount", "l_extendedprice", "l_shipdate")
+      .filter($"l_orderkey" < 200)
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Rows in the last N hours: `timestamp >= t0` (`TimeEx:156-157`). */
+  def filterTimeGte(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"ts" >= lit("2024-01-28 00:00:00").cast("timestamp"))
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .orderBy($"event_id")
+  }
+
+  /** `timestamp BETWEEN a AND b` (`TimeEx:160-163`). */
+  def filterTimeBetween(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"ts".between(
+        lit("2024-01-10 00:00:00").cast("timestamp"),
+        lit("2024-01-12 00:00:00").cast("timestamp")))
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .orderBy($"event_id")
+  }
+
+  /** Conjunctive equi+range: tenant AND time (`TimeEx:171-176`). */
+  def filterTenantTime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"user_id" === 7 &&
+        $"ts" >= lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select($"event_id", $"ts", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
+  /** Partition-value probe (`Hidden:209-232`): first record per partition,
+    * distributed via min_by instead of a per-file driver loop. */
+  def extractPartitionValue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(
+        min($"event_id").as("first_event_id"),
+        min_by($"event_type", $"event_id").as("first_event_type"))
+      .orderBy($"day")
+  }
+
+  /** Nested reshape (`Nested:230-282` recursive record copier): pack rows
+    * into struct<order, customer<...>>, reshape (drop/derive inside the
+    * struct), then flatten back — Spark resolves nested fields by name. */
+  def reshapeNested(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val nested = o.join(c, $"o_custkey" === $"c_custkey")
+      .filter($"o_orderkey" < 1000)
+      .select(
+        $"o_orderkey".as("orderkey"),
+        struct(
+          $"o_orderstatus".as("status"),
+          dec($"o_totalprice").as("totalprice"),
+          struct($"c_custkey".as("custkey"), $"c_mktsegment".as("segment"))
+            .as("customer")).as("order_info"))
+    // reshape: project through the nested schema, derive a field, flatten
+    nested.select(
+      $"orderkey",
+      $"order_info.status".as("status"),
+      $"order_info.customer.custkey".as("custkey"),
+      $"order_info.customer.segment".as("segment"),
+      $"order_info.totalprice".cast("double").as("totalprice"))
+      .orderBy($"orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "project_cols" -> (projectCols _),
+    "drop_cols" -> (dropCols _),
+    "filter_time_gte" -> (filterTimeGte _),
+    "filter_time_between" -> (filterTimeBetween _),
+    "filter_tenant_time" -> (filterTenantTime _),
+    "extract_partition_value" -> (extractPartitionValue _),
+    "reshape_nested" -> (reshapeNested _))
+
+  val oracles: Map[String, String] = Map(
+    "project_cols" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    "drop_cols" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  l_returnflag, l_linestatus
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_time_gte" ->
+      """SELECT event_id, ts, user_id, event_type FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "filter_time_between" ->
+      """SELECT event_id, ts, user_id, event_type FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+        |  AND TIMESTAMP '2024-01-12 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "filter_tenant_time" ->
+      """SELECT event_id, ts, event_type, value FROM events
+        |WHERE user_id = 7 AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "extract_partition_value" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  MIN(event_id) AS first_event_id,
+        |  MIN_BY(event_type, event_id) AS first_event_type
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "reshape_nested" ->
+      """SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+        |  c_custkey AS custkey, c_mktsegment AS segment,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey < 1000
+        |ORDER BY orderkey""".stripMargin)
+}

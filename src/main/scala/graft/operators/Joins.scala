@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** SURVEY.md §2d — joins (X-tier; reference has none — its closest shape is
+  * the in-memory tenant→KMS map lookup at `Creator:60-62`, a broadcast-hash
+  * join).
+  *
+  * Scale notes: dimension tables (`nation`, `region`, `supplier`, windows)
+  * are explicitly `broadcast()` so the 100 TB fact side never shuffles for
+  * them; the fact⋈fact joins (lineitem⋈orders) shuffle on the join key and
+  * AQE handles skew at runtime. No driver-side loops anywhere.
+  */
+object Joins {
+
+  /** Shuffled hash/sort-merge equi-join of two fact tables. */
+  def joinInnerHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Left outer join preserving customers with zero orders. */
+  def joinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir).filter($"c_custkey" < 500)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"),
+        dsum(coalesce($"o_totalprice", lit(0.0))).as("total"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Left semi join — EXISTS. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir).filter($"c_custkey" < 1000)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey",
+        "left_semi")
+      .select($"c_custkey", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Left anti join — NOT EXISTS (customers with no events). */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir).filter($"c_custkey" < 1000)
+      .join(Tables.events(spark, dir), $"c_custkey" === $"user_id",
+        "left_anti")
+      .select($"c_custkey", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Explicit broadcast of the small dimension side (`part` ≪ `lineitem`). */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("revenue"))
+      .orderBy($"p_brand")
+  }
+
+  /** Theta/range join: events against broadcast window bounds. */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val windows = Seq(
+      ("w1", "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+      ("w2", "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+      ("w3", "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+      ("w4", "2024-01-22 00:00:00", "2024-01-29 00:00:00"))
+      .toDF("w_name", "lo_s", "hi_s")
+      .select($"w_name", $"lo_s".cast("timestamp").as("lo"),
+        $"hi_s".cast("timestamp").as("hi"))
+    Tables.events(spark, dir)
+      .join(broadcast(windows), $"ts" >= $"lo" && $"ts" < $"hi")
+      .groupBy($"w_name")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"w_name")
+  }
+
+  /** Five-way star join — lineitem⋈orders⋈customer⋈nation⋈region revenue. */
+  def joinMultiway(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n"),
+        sum((dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("revenue"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** As-of join (no Spark built-in — SURVEY §2d note): for each purchase,
+    * the most recent prior click of the same user. Composed as equi+range
+    * join then `row_number()=1`; at scale both sides shuffle once on
+    * user_id and the window sorts within partitions. */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).filter($"user_id" < 50)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+        $"ts".as("c_ts"))
+    val w = Window.partitionBy($"p_id")
+      .orderBy($"c_ts".desc, $"c_id".desc)
+    purchases
+      .join(clicks, $"user_id" === $"c_user" && $"c_ts" <= $"p_ts", "left")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"p_id", $"user_id", $"p_ts", $"c_id".as("asof_click_id"),
+        $"c_ts".as("asof_click_ts"))
+      .orderBy($"p_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner_hash" -> (joinInnerHash _),
+    "join_left_outer" -> (joinLeftOuter _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "join_broadcast" -> (joinBroadcast _),
+    "join_range" -> (joinRange _),
+    "join_multiway" -> (joinMultiway _),
+    "join_asof" -> (joinAsof _))
+
+  private val D = "DECIMAL(18,2)"
+
+  val oracles: Map[String, String] = Map(
+    "join_inner_hash" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_left_outer" ->
+      s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         |  CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS $D)) AS DOUBLE) AS total
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |WHERE c_custkey < 500
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey < 1000
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey < 1000
+        |  AND NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_broadcast" ->
+      s"""SELECT p_brand, COUNT(*) AS n,
+         |  CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_range" ->
+      s"""SELECT w_name, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events
+         |JOIN (VALUES
+         |  ('w1', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-08 00:00:00'),
+         |  ('w2', TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-15 00:00:00'),
+         |  ('w3', TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-22 00:00:00'),
+         |  ('w4', TIMESTAMP '2024-01-22 00:00:00', TIMESTAMP '2024-01-29 00:00:00'))
+         |  AS w(w_name, lo, hi) ON ts >= lo AND ts < hi
+         |GROUP BY w_name ORDER BY w_name""".stripMargin,
+    "join_multiway" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "join_asof" ->
+      """SELECT p_id, user_id, p_ts, asof_click_id, asof_click_ts FROM (
+        |  SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+        |    c.event_id AS asof_click_id, c.ts AS asof_click_ts,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events
+        |        WHERE user_id < 50 AND event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events
+        |             WHERE user_id < 50 AND event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |) WHERE rn = 1 ORDER BY p_id""".stripMargin)
+}

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** SURVEY.md §2h — scalar functions (string / date / math / array / json).
+  *
+  * Each R-tier row cites the plain-Java code it re-expresses; everything is
+  * built from `org.apache.spark.sql.functions._` so it stays inside
+  * whole-stage codegen (the reference does all of this row-at-a-time on the
+  * driver — `Creator:226-234`, `TimeEx:129-141`).
+  */
+object Scalars {
+
+  /** epoch-millis → UTC year/month/day/hour parts (`Creator:226-234`,
+    * `Debug:135-141`); here from the TimestampType edge per SURVEY §7.3(4). */
+  def fnEpochToParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).filter($"event_id" < 2000)
+      .select($"event_id",
+        unix_millis($"ts").as("epoch_ms"),
+        year($"ts").cast("long").as("year"),
+        month($"ts").cast("long").as("month"),
+        dayofmonth($"ts").cast("long").as("day"),
+        hour($"ts").cast("long").as("hour"),
+        minute($"ts").cast("long").as("minute"))
+      .orderBy($"event_id")
+  }
+
+  /** Truncate to day/hour/week buckets — the `(ts / 86400000) * 86400000`
+    * integer math of `TimeEx:129-141` as date_trunc. */
+  def fnTimeTrunc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(
+        date_trunc("week", $"ts").as("week"),
+        date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(date_trunc("hour", $"ts")).as("n_hours"))
+      .orderBy($"week", $"day")
+  }
+
+  /** Wall-clock partition values (`Bulk:162-176`, `KMS:195-200`),
+    * determinized: the timestamp is a literal parameter (SURVEY §7.3). */
+  def fnTimePartsLiteral(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).limit(1)   // one-row carrier
+      .select(lit("2024-01-15 10:30:45").cast("timestamp").as("t"))
+      .select(
+        year($"t").cast("long").as("year"),
+        month($"t").cast("long").as("month"),
+        dayofmonth($"t").cast("long").as("day"),
+        hour($"t").cast("long").as("hour"))
+  }
+
+  /** Hive-style partition path formatting (`KMS:203-204` String.format). */
+  def fnStringFmt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).filter($"event_id" < 1000)
+      .select($"event_id",
+        format_string("tenant=%d/year=%04d/month=%02d/day=%02d/hour=%02d",
+          $"user_id", year($"ts"), month($"ts"), dayofmonth($"ts"),
+          hour($"ts")).as("partition_path"),
+        concat_ws("-", $"event_type", $"user_id".cast("string"))
+          .as("tagged"))
+      .orderBy($"event_id")
+  }
+
+  /** Case handling + suffix filter (`Bulk:72` lower().endsWith(".parquet")). */
+  def fnStrCase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .filter(lower($"p_type").endsWith("dard") || lower($"p_type") === "promo")
+      .select($"p_partkey", lower($"p_name").as("name_lc"),
+        upper($"p_brand").as("brand_uc"),
+        substring($"p_type", 1, 5).as("type_prefix"),
+        length($"p_name").cast("long").as("name_len"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Null-safe stringify (`Hidden:217-220` val==null?null:toString) via
+    * cast + nullif/coalesce. */
+  def fnNullSafeCast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir).filter($"c_custkey" < 1000)
+      .select($"c_custkey",
+        $"c_nationkey".cast("string").as("nation_str"),
+        nullif($"c_mktsegment", lit("BUILDING")).as("seg_or_null"),
+        coalesce(nullif($"c_mktsegment", lit("BUILDING")), lit("(none)"))
+          .as("seg_filled"))
+      .orderBy($"c_custkey")
+  }
+
+  /** JSON extraction from the `props` column (X-tier; motivates
+    * `get_json_object` — SURVEY §2h note). */
+  def fnJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).filter($"event_id" < 2000)
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .orderBy($"event_id")
+  }
+
+  /** Cyclic round-robin assignment (`Creator:219-243` `i % N` over provider/
+    * model arrays) — pmod + element_at. */
+  def fnModCycle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val providers = array(Seq("openai", "anthropic", "cohere", "google",
+      "aws-bedrock").map(lit): _*)
+    val models = array(Seq("gpt-4", "claude-3", "llama-2", "gemini-pro",
+      "titan-xl").map(lit): _*)
+    Tables.events(spark, dir).filter($"event_id" < 1000)
+      .select($"event_id",
+        element_at(providers, (pmod($"event_id", lit(5)) + 1).cast("int"))
+          .as("ai_provider_id"),
+        element_at(models, (pmod($"event_id" * 3 + 1, lit(5)) + 1).cast("int"))
+          .as("cs_model"),
+        pmod($"event_id" * 2654435761L + 12345L, lit(1000L)).as("prng"))
+      .orderBy($"event_id")
+  }
+
+  /** Exact math scalars: abs/ceil/floor/sign/mod/greatest/least. */
+  def fnMath(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir).filter($"c_custkey" < 1000)
+      .select($"c_custkey",
+        abs(dec($"c_acctbal")).cast("double").as("abs_bal"),
+        ceil($"c_acctbal").as("ceil_bal"),
+        floor($"c_acctbal").as("floor_bal"),
+        signum($"c_acctbal").cast("long").as("sign_bal"),
+        pmod($"c_custkey", lit(7L)).as("mod7"),
+        greatest($"c_custkey", $"c_nationkey".cast("long")).as("gr"),
+        least($"c_custkey", $"c_nationkey".cast("long")).as("le"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Array build + explode of words (UDTF shape, `explode` = built-in
+    * Generator; list<struct> model at `Validator:97-131`). */
+  def explodeArray(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).filter($"doc_id" < 100)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+      .orderBy($"doc_id", $"word")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_epoch_to_parts" -> (fnEpochToParts _),
+    "fn_time_trunc" -> (fnTimeTrunc _),
+    "fn_time_parts_literal" -> (fnTimePartsLiteral _),
+    "fn_string_fmt" -> (fnStringFmt _),
+    "fn_str_case" -> (fnStrCase _),
+    "fn_null_safe_cast" -> (fnNullSafeCast _),
+    "fn_json_extract" -> (fnJsonExtract _),
+    "fn_mod_cycle" -> (fnModCycle _),
+    "fn_math" -> (fnMath _),
+    "explode_array" -> (explodeArray _))
+
+  val oracles: Map[String, String] = Map(
+    "fn_epoch_to_parts" ->
+      """SELECT event_id, epoch_us(ts) // 1000 AS epoch_ms,
+        |  year(ts) AS year, month(ts) AS month, day(ts) AS day,
+        |  hour(ts) AS hour, minute(ts) AS minute
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+    "fn_time_trunc" ->
+      """SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n,
+        |  COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "fn_time_parts_literal" ->
+      """SELECT CAST(2024 AS BIGINT) AS year, CAST(1 AS BIGINT) AS month,
+        |  CAST(15 AS BIGINT) AS day, CAST(10 AS BIGINT) AS hour""".stripMargin,
+    "fn_string_fmt" ->
+      """SELECT event_id,
+        |  printf('tenant=%d/year=%04d/month=%02d/day=%02d/hour=%02d',
+        |    user_id, year(ts), month(ts), day(ts), hour(ts))
+        |    AS partition_path,
+        |  event_type || '-' || CAST(user_id AS VARCHAR) AS tagged
+        |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
+    "fn_str_case" ->
+      """SELECT p_partkey, lower(p_name) AS name_lc, upper(p_brand) AS brand_uc,
+        |  substr(p_type, 1, 5) AS type_prefix, length(p_name) AS name_len
+        |FROM part
+        |WHERE lower(p_type) LIKE '%dard' OR lower(p_type) = 'promo'
+        |ORDER BY p_partkey""".stripMargin,
+    "fn_null_safe_cast" ->
+      """SELECT c_custkey, CAST(c_nationkey AS VARCHAR) AS nation_str,
+        |  NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(none)') AS seg_filled
+        |FROM customer WHERE c_custkey < 1000 ORDER BY c_custkey""".stripMargin,
+    "fn_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+    "fn_mod_cycle" ->
+      """SELECT event_id,
+        |  (['openai','anthropic','cohere','google','aws-bedrock'])
+        |    [CAST(event_id % 5 AS INT) + 1] AS ai_provider_id,
+        |  (['gpt-4','claude-3','llama-2','gemini-pro','titan-xl'])
+        |    [CAST((event_id * 3 + 1) % 5 AS INT) + 1] AS cs_model,
+        |  (event_id * 2654435761 + 12345) % 1000 AS prng
+        |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
+    "fn_math" ->
+      """SELECT c_custkey,
+        |  CAST(abs(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS abs_bal,
+        |  CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+        |  CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+        |  CAST(sign(c_acctbal) AS BIGINT) AS sign_bal,
+        |  c_custkey % 7 AS mod7,
+        |  greatest(c_custkey, CAST(c_nationkey AS BIGINT)) AS gr,
+        |  least(c_custkey, CAST(c_nationkey AS BIGINT)) AS le
+        |FROM customer WHERE c_custkey < 1000 ORDER BY c_custkey""".stripMargin,
+    "explode_array" ->
+      """SELECT doc_id, u.word FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE doc_id < 100
+        |) u WHERE word <> '' ORDER BY doc_id, word""".stripMargin)
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** SURVEY.md §2e — window functions (X-tier; the reference's time buckets at
+  * `TimeEx:256-280` are group-bys, not windows).
+  *
+  * Every window partitions by a key (tenant/customer/user) so state stays
+  * bounded per partition at scale; no global-order windows (a global
+  * `orderBy` window would single-task the whole 100 TB).
+  */
+object Windows {
+
+  /** Top-3 orders per customer via row_number. */
+  def winRowNumber(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir).filter($"o_custkey" < 300)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"rn", $"o_orderkey",
+        dec($"o_totalprice").cast("double").as("totalprice"))
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** rank / dense_rank per event_type over value. */
+  def winRankDense(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"value".desc, $"event_id")
+    Tables.events(spark, dir).filter($"user_id" < 10)
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter($"rnk" <= 20)
+      .select($"event_type", $"rnk", $"drnk", $"event_id", $"value")
+      .orderBy($"event_type", $"rnk", $"event_id")
+  }
+
+  /** lag/lead inter-event deltas per user, in exact microseconds. */
+  def winLagDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir).filter($"user_id" < 30)
+      .withColumn("prev_id", lag($"event_id", 1).over(w))
+      .withColumn("delta_us",
+        unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+      .withColumn("next_id", lead($"event_id", 1).over(w))
+      .select($"user_id", $"event_id", $"ts", $"prev_id", $"next_id",
+        $"delta_us")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Running per-user usage total — frame rowsBetween(unboundedPreceding,
+    * currentRow), exact via decimal. */
+  def winRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir).filter($"user_id" < 30)
+      .withColumn("running_value", sum(dec($"value")).over(w).cast("double"))
+      .withColumn("running_n", count(lit(1)).over(w))
+      .select($"user_id", $"event_id", $"ts", $"running_n", $"running_value")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** ntile quartiles of customers by account balance (exact cents). */
+  def winNtile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy(dec($"c_acctbal").desc, $"c_custkey")
+    Tables.customer(spark, dir).filter($"c_custkey" < 2000)
+      .withColumn("quartile", ntile(4).over(w))
+      .select($"c_custkey", $"quartile",
+        dec($"c_acctbal").cast("double").as("acctbal"))
+      .orderBy($"c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_row_number" -> (winRowNumber _),
+    "win_rank_dense" -> (winRankDense _),
+    "win_lag_delta" -> (winLagDelta _),
+    "win_running_sum" -> (winRunningSum _),
+    "win_ntile" -> (winNtile _))
+
+  private val D = "DECIMAL(18,2)"
+
+  val oracles: Map[String, String] = Map(
+    "win_row_number" ->
+      s"""SELECT o_custkey, rn, o_orderkey, totalprice FROM (
+         |  SELECT o_custkey, o_orderkey,
+         |    CAST(CAST(o_totalprice AS $D) AS DOUBLE) AS totalprice,
+         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |  FROM orders WHERE o_custkey < 300
+         |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_rank_dense" ->
+      """SELECT event_type, rnk, drnk, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    RANK() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rnk,
+        |    DENSE_RANK() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS drnk
+        |  FROM events WHERE user_id < 10
+        |) WHERE rnk <= 20 ORDER BY event_type, rnk, event_id""".stripMargin,
+    "win_lag_delta" ->
+      """SELECT user_id, event_id, ts,
+        |  LAG(event_id, 1) OVER w AS prev_id,
+        |  LEAD(event_id, 1) OVER w AS next_id,
+        |  epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) AS delta_us
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "win_running_sum" ->
+      s"""SELECT user_id, event_id, ts,
+         |  COUNT(*) OVER w AS running_n,
+         |  CAST(SUM(CAST(value AS $D)) OVER w AS DOUBLE) AS running_value
+         |FROM events WHERE user_id < 30
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_id""".stripMargin,
+    "win_ntile" ->
+      s"""SELECT c_custkey, quartile, acctbal FROM (
+         |  SELECT c_custkey,
+         |    NTILE(4) OVER (ORDER BY CAST(c_acctbal AS $D) DESC, c_custkey)
+         |      AS quartile,
+         |    CAST(CAST(c_acctbal AS $D) AS DOUBLE) AS acctbal
+         |  FROM customer WHERE c_custkey < 2000
+         |) ORDER BY c_custkey""".stripMargin)
+}

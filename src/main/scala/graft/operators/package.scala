@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for oracle-deterministic query authoring.
+  *
+  * The driver hash-compares each query's parquet dump against DuckDB running
+  * the twin SQL from `SparkEntry.oracleSql` (SURVEY.md §5.1, §7.3). Floating
+  * sums are order-dependent, so every money/metric aggregate goes through
+  * exact decimal arithmetic and is only converted to double at the very end
+  * — both engines then produce bit-identical doubles.
+  */
+package object operators {
+  /** Exact 2-dp decimal view of a double column (money / metric values).
+    * Twin DuckDB spelling: `CAST(x AS DECIMAL(18,2))`. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Order-independent exact sum of a double column, surfaced as double.
+    * Twin: `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Exact average: decimal sum divided by count, in double at the end.
+    * Twin: `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(x)`. */
+  def davg(c: Column): Column = sum(dec(c)).cast("double") / count(c)
+}

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver corpus (TESTDATA.md / FIXTURES.md §A).
+  *
+  * One parquet file per table under `/root/testdata/sfN/`. Mirrors the
+  * reference's scan entry points (`LocalReadParquetToS3Iceberg.java:88-92`,
+  * `BulkParquetToIcebergAtomicMultipart.java:146-149`) re-expressed as the
+  * Spark vectorized parquet source: projection and predicates are pushed
+  * down by Catalyst, so `Tables.lineitem(s, d).select(...).filter(...)`
+  * reads only the needed columns/row-groups.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Force Spark 4's CollationAwareUTF8String static init (a full-Unicode
+    * ICU case-mapping table build) at startup. Deferred to first use of
+    * lower()/upper() deep into a session, it can run with a saturated JIT
+    * code cache and take 100+ seconds; at startup it takes ~1s. */
+  def warmup(): Unit =
+    Class.forName("org.apache.spark.sql.catalyst.util.CollationAwareUTF8String")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    * reader rejects (SPARK-40819). Read it as long nanos and floor-convert
+    * to micros — exactly DuckDB's truncation — so downstream operators and
+    * oracles see an identical TimestampType column. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
