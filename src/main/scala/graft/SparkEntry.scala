@@ -18,11 +18,19 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Aggregates.queries ++ Filters.queries ++ Joins.queries ++
-      Windows.queries ++ SetOps.queries ++ Scalars.queries
+      Windows.queries ++ SetOps.queries ++ Scalars.queries ++
+      graft.sources.IngestOps.queries ++ TextOps.queries ++
+      DedupOps.queries ++ SimilarityOps.queries ++
+      MultimodalOps.queries ++ GenOps.queries ++
+      graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Aggregates.oracles ++ Filters.oracles ++ Joins.oracles ++
-      Windows.oracles ++ SetOps.oracles ++ Scalars.oracles
+      Windows.oracles ++ SetOps.oracles ++ Scalars.oracles ++
+      graft.sources.IngestOps.oracles ++ TextOps.oracles ++
+      DedupOps.oracles ++ SimilarityOps.oracles ++
+      MultimodalOps.oracles ++ GenOps.oracles ++
+      graft.streaming.StreamingOps.oracles
 }

@@ -177,7 +177,25 @@ object Aggregates {
       .orderBy($"returnflag", $"linestatus")
   }
 
+  /** Custom typed Aggregator UDAF (SURVEY §2j "custom aggregate demo"):
+    * size-weighted average retail price per brand, exact in integer cents
+    * so partition merge order can't perturb the result. */
+  def aggUdafWavg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wavg = udaf(graft.functions.WeightedAvgCents,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    Tables.part(spark, dir)
+      .groupBy($"p_brand")
+      .agg(wavg($"p_retailprice", $"p_size".cast("long"))
+        .as("wavg_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_udaf_wavg" -> (aggUdafWavg _),
     "q1_agg" -> (q1Agg _),
     "agg_group_by_partition" -> (aggGroupByPartition _),
     "agg_group_by_tenant" -> (aggGroupByTenant _),
@@ -194,6 +212,12 @@ object Aggregates {
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "agg_udaf_wavg" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT) * p_size)
+        |    AS DOUBLE) / (100.0 * SUM(p_size)) AS wavg_price,
+        |  COUNT(*) AS n
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) AS sum_qty,

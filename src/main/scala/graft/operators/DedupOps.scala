@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** North-star deduplication operators over `documents` (SURVEY.md §2j).
+  *
+  * Scale design: every variant is a shuffle-on-key formulation — group by
+  * content hash (exact/near), or explode→bucket-join on shingle/band/bucket
+  * keys (jaccard/minhash/simhash) — never an O(n²) cross join. At 100 TB the
+  * candidate-pair space is bounded by bucket collisions, which is the whole
+  * point of MinHash-LSH banding (Broder '97 / Leskovec MMDS ch.3).
+  */
+object DedupOps {
+
+  /** Distinct character 3-gram shingles of a doc's text. */
+  private def shingles3(text: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - 2, lit(1))),
+      i => text.substr(i, lit(3))))
+
+  /** `dedup_exact` — exact duplicate removal on raw text: keep min doc_id
+    * per identical text, report group sizes. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"text")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies", length($"text").cast("long").as("len"))
+      .orderBy($"keep_id")
+  }
+
+  /** `dedup_near` — near-dup grouping on normalized text (lower, collapse
+    * whitespace, strip punctuation) hashed with sha2-256. */
+  def dedupNear(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val norm = regexp_replace(
+      lower(trim(regexp_replace($"text", "\\s+", " "))), "[^a-z0-9 ]", "")
+    Tables.documents(spark, dir)
+      .select($"doc_id", sha2(norm.cast("binary"), 256).as("h"))
+      .groupBy($"h")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies", $"h")
+      .orderBy($"keep_id")
+  }
+
+  /** `dedup_ngram_jaccard` — pairwise Jaccard over character-3-gram
+    * shingles, via explode→equi-join on the shingle (shuffle-bounded, no
+    * cross join), for a bounded doc subset. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, dir).filter($"doc_id" < 40)
+      .select($"doc_id", explode(shingles3($"text")).as("s"))
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.select($"doc_id".as("da"), $"n".as("na")), "da")
+      .join(sz.select($"doc_id".as("db"), $"n".as("nb")), "db")
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+      .filter($"jaccard" >= 0.5)
+      .select($"da", $"db", $"inter", $"na", $"nb",
+        round($"jaccard", 6).as("jaccard"))
+      .orderBy($"da", $"db")
+  }
+
+  /** `dedup_minhash_lsh` — MinHash signatures (16 xxhash64 permutations
+    * over shingles) banded 4×4 into LSH buckets; candidate pairs share ≥1
+    * band bucket, then exact Jaccard confirms ≥ 0.4. No DuckDB oracle
+    * (xxhash64 is Spark-specific) — MinHashSpec property-tests it against
+    * exact Jaccard with planted duplicates. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nHashes = 16
+    val bandSize = 4
+    val docs = Tables.documents(spark, dir).filter($"doc_id" < 200)
+    val sh = docs.select($"doc_id", explode(shingles3($"text")).as("s"))
+    // minhash signature: per doc, min over shingles of xxhash64(seed, s)
+    val sigCols = (0 until nHashes).map(i =>
+      min(xxhash64(lit(i), $"s")).as(s"h$i"))
+    val sig = sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // bands: hash the 4-tuple of each band → bucket key
+    val bandCols = (0 until nHashes / bandSize).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * bandSize until (b + 1) * bandSize)
+          .map(i => col(s"h$i")): _*).as("bucket"))
+    }
+    val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+      .select($"doc_id", $"bb.band", $"bb.bucket")
+    val cand = buckets.as("x").join(buckets.as("y"),
+        $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("da"), $"y.doc_id".as("db")).distinct()
+    // confirm with exact jaccard on the candidates only
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+      .agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("da", "db"))
+      .join(sz.select($"doc_id".as("da"), $"n".as("na")), "da")
+      .join(sz.select($"doc_id".as("db"), $"n".as("nb")), "db")
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+      .filter($"jaccard" >= 0.4)
+      .select($"da", $"db", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"da", $"db")
+  }
+
+  /** `dedup_simhash` — 64-bit SimHash over whitespace tokens (per-bit
+    * majority vote of token hashes); near-dups = hamming distance ≤ 3 via
+    * self-join on 8 rotated 8-bit blocks (a ≤7-bit-distant pair shares ≥1
+    * exact block — pigeonhole). No DuckDB oracle (xxhash64); the scalatest
+    * suite covers it with planted duplicates. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bits = 64
+    val toks = filter(split($"text", " "), t => t =!= "")
+    val th = Tables.documents(spark, dir).filter($"doc_id" < 500)
+      .select($"doc_id", explode(array_distinct(toks)).as("t"))
+      .select($"doc_id", xxhash64($"t").as("h"))
+    // per-bit vote: +1 if bit set else -1; simhash bit = vote > 0
+    val voteCols = (0 until bits).map(i =>
+      sum(when(($"h".bitwiseAND(lit(1L << i))) =!= 0L, 1).otherwise(-1))
+        .as(s"v$i"))
+    val votes = th.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val sim = votes.select($"doc_id",
+      (0 until bits).map(i =>
+        when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+    val withBytes = sim.select($"doc_id", $"simhash",
+      explode(array((0 until 8).map(b => struct(lit(b).as("byte_idx"),
+        shiftright($"simhash", b * 8).bitwiseAND(lit(0xFFL))
+          .as("byte_val"))): _*)).as("p"))
+      .select($"doc_id", $"simhash", $"p.byte_idx", $"p.byte_val")
+    val cand = withBytes.as("x").join(withBytes.as("y"),
+        $"x.byte_idx" === $"y.byte_idx" && $"x.byte_val" === $"y.byte_val" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("da"), $"x.simhash".as("ha"),
+        $"y.doc_id".as("db"), $"y.simhash".as("hb")).distinct()
+    cand
+      .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")))
+      .filter($"hamming" <= 3)
+      .select($"da", $"db", $"hamming")
+      .orderBy($"da", $"db")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_near" -> (dedupNear _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _))
+
+  private val SH = "list_distinct(list_transform(range(1, " +
+    "greatest(len(text) - 1, 2)), i -> substr(text, i::INT, 3)))"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+        |  length(MIN(text)) AS len
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_near" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, h FROM (
+        |  SELECT doc_id, sha256(regexp_replace(lower(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9 ]', '', 'g'))
+        |    AS h
+        |  FROM documents
+        |) GROUP BY h ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($SH) AS s FROM documents WHERE doc_id < 40
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT da, db, inter, x.n AS na, y.n AS nb,
+         |  round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard
+         |FROM pairs
+         |JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5
+         |ORDER BY da, db""".stripMargin)
+}

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2k — synthetic AIG-event generation, schema validation and
+  * DDL emission (port of `aig/AIGEventsTableCreator.java:209-352` +
+  * `aig/AIGEventsSchemaValidator.java`).
+  *
+  * Determinism deltas per FIXTURES.md §B: wall-clock → fixed literal base
+  * timestamp; ThreadLocalRandom → pure arithmetic (hash-mix) on the row
+  * index; UUIDs → counters. Generation is `spark.range(N)` + expressions —
+  * fully distributed and codegen'd, no driver-side record lists (the
+  * reference materializes all records in heap at `Creator:209-214`).
+  */
+object GenOps {
+
+  /** AIG events schema — the queried core of the 73-field schema at
+    * `Validator:61-146`; required fields NOT NULL per `Validator:65-68`. */
+  val aigSchema: StructType = StructType(Seq(
+    StructField("transaction_id", IntegerType, nullable = true),
+    StructField("tenant_id", IntegerType, nullable = false),
+    StructField("home_pop", StringType, nullable = false),
+    StructField("service_id", StringType, nullable = false),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("type", StringType, nullable = true),
+    StructField("ai_provider_id", StringType, nullable = true),
+    StructField("cs_model", StringType, nullable = true),
+    StructField("rs_status", IntegerType, nullable = true),
+    StructField("rs_response_time", IntegerType, nullable = true),
+    StructField("usage_total", IntegerType, nullable = true),
+    StructField("usage_input", IntegerType, nullable = true),
+    StructField("usage_output", IntegerType, nullable = true),
+    StructField("action", StringType, nullable = true),
+    StructField("activity", StringType, nullable = true),
+    StructField("policy", ArrayType(StructType(Seq(
+      StructField("type", StringType, nullable = true),
+      StructField("name", StringType, nullable = true),
+      StructField("action", StringType, nullable = true),
+      StructField("profile", ArrayType(StringType), nullable = true),
+      StructField("object_id", IntegerType, nullable = true)))),
+      nullable = true),
+    StructField("ratelimit", ArrayType(StringType), nullable = true),
+    StructField("tenant", IntegerType, nullable = true),
+    StructField("year", IntegerType, nullable = true),
+    StructField("month", IntegerType, nullable = true),
+    StructField("day", IntegerType, nullable = true),
+    StructField("hour", IntegerType, nullable = true)))
+
+  /** Deterministic hash-mix "random" in [0, m) from the row index — the
+    * seeded stand-in for ThreadLocalRandom (`Creator:244-248`). */
+  private def mix(i: org.apache.spark.sql.Column, salt: Long, m: Long) =
+    pmod(i * 2654435761L + salt, lit(m))
+
+  /** Base timestamp: 2024-01-15 00:00:00 UTC in epoch millis — the fixed
+    * literal replacing `System.currentTimeMillis()` (`Creator:213`). */
+  private val baseMs = 1705276800000L
+
+  /** `gen_events` — N synthetic events with the reference's value domains
+    * (FIXTURES.md §B): 10 tenants at 1000+i%10, cyclic categoricals,
+    * hash-mixed metrics, derived partition columns. Flat columns only so
+    * the DuckDB twin is a pure range() expression. */
+  def genEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = 1000L
+    val providers = array(Seq("openai", "anthropic", "cohere", "google",
+      "aws-bedrock").map(lit): _*)
+    val services = array(Seq("ai-gateway-v1", "ai-gateway-v2", "ai-proxy",
+      "ml-service").map(lit): _*)
+    val pops = array(Seq("us-west-2", "us-east-1", "eu-west-1",
+      "ap-southeast-1").map(lit): _*)
+    val models = array(Seq("gpt-4", "claude-3", "llama-2", "gemini-pro",
+      "titan-xl").map(lit): _*)
+    val i = $"id"
+    val ts = lit(baseMs) + i * 60000L   // one event per minute
+    val t = timestamp_millis(ts)
+    spark.range(n)
+      .select(
+        i.cast("int").as("transaction_id"),
+        (lit(1000) + pmod(i, lit(10L)).cast("int")).as("tenant_id"),
+        element_at(pops, (pmod(i, lit(4L)) + 1).cast("int")).as("home_pop"),
+        element_at(services, (pmod(i, lit(4L)) + 1).cast("int"))
+          .as("service_id"),
+        ts.as("timestamp"),
+        lit("aig").as("type"),
+        element_at(providers, (pmod(i, lit(5L)) + 1).cast("int"))
+          .as("ai_provider_id"),
+        element_at(models, (pmod(i * 7L + 3L, lit(5L)) + 1).cast("int"))
+          .as("cs_model"),
+        element_at(array(lit(200), lit(400), lit(500)),
+          (when(mix(i, 17L, 10L) < 8L, lit(0L))
+            .when(mix(i, 17L, 10L) === 8L, lit(1L))
+            .otherwise(lit(2L)) + 1).cast("int")).as("rs_status"),
+        (lit(50) + mix(i, 101L, 4950L).cast("int")).as("rs_response_time"),
+        (lit(10) + mix(i, 211L, 990L).cast("int")).as("usage_total"),
+        (lit(5) + mix(i, 307L, 495L).cast("int")).as("usage_input"),
+        (lit(5) + mix(i, 401L, 495L).cast("int")).as("usage_output"),
+        when(mix(i, 503L, 10L) < 9L, "allow").otherwise("throttle")
+          .as("action"),
+        concat(lit("ai_request_"), pmod(i, lit(3L)).cast("string"))
+          .as("activity"),
+        year(t).as("year"), month(t).as("month"),
+        dayofmonth(t).as("day"), hour(t).as("hour"))
+      .orderBy($"transaction_id")
+  }
+
+  /** `validate_schema` — the Validator's 6-step schema assertions
+    * (`Validator:149-275`) as a queryable (field, type, nullable) relation
+    * from the in-code StructType; oracle pins the expected shape. */
+  def validateSchema(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    aigSchema.fields.zipWithIndex.map { case (f, idx) =>
+      (idx.toLong, f.name, f.dataType.sql, f.nullable)
+    }.toSeq.toDF("pos", "field", "data_type", "nullable")
+      .orderBy($"pos")
+  }
+
+  /** `ddl_generate` — CREATE TABLE DDL emission from the schema
+    * (`Validator:277-305`, `CreatorTest:61-82`): partition spec + the
+    * reference's table properties (`Creator:184-191`). */
+  def ddlGenerate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = aigSchema.fields.take(15).map { f =>
+      s"${f.name} ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}"
+    }.mkString(", ")
+    val ddl = s"CREATE TABLE IF NOT EXISTS aig.events ($cols) " +
+      "USING parquet PARTITIONED BY (tenant, year, month, day, hour) " +
+      "TBLPROPERTIES (" +
+      "'write.format.default'='parquet', " +
+      "'write.parquet.compression-codec'='zstd', " +
+      "'write.target-file-size-bytes'='134217728', " +
+      "'write.parquet.page-size-bytes'='1048576', " +
+      "'write.parquet.dict-size-bytes'='2097152')"
+    Seq((1L, ddl)).toDF("id", "ddl")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gen_events" -> (genEvents _),
+    "validate_schema" -> (validateSchema _),
+    "ddl_generate" -> (ddlGenerate _))
+
+  /** The DuckDB twin of gen_events — same arithmetic over range(1000). */
+  private val genSql: String = {
+    val mixS = (salt: Long, m: Long) => s"(i * 2654435761 + $salt) % $m"
+    s"""SELECT CAST(i AS INT) AS transaction_id,
+       |  CAST(1000 + i % 10 AS INT) AS tenant_id,
+       |  (['us-west-2','us-east-1','eu-west-1','ap-southeast-1'])
+       |    [CAST(i % 4 AS INT) + 1] AS home_pop,
+       |  (['ai-gateway-v1','ai-gateway-v2','ai-proxy','ml-service'])
+       |    [CAST(i % 4 AS INT) + 1] AS service_id,
+       |  $baseMs + i * 60000 AS "timestamp",
+       |  'aig' AS type,
+       |  (['openai','anthropic','cohere','google','aws-bedrock'])
+       |    [CAST(i % 5 AS INT) + 1] AS ai_provider_id,
+       |  (['gpt-4','claude-3','llama-2','gemini-pro','titan-xl'])
+       |    [CAST((i * 7 + 3) % 5 AS INT) + 1] AS cs_model,
+       |  ([200, 400, 500])[CAST(
+       |    CASE WHEN ${mixS(17L, 10L)} < 8 THEN 0
+       |         WHEN ${mixS(17L, 10L)} = 8 THEN 1 ELSE 2 END AS INT) + 1]
+       |    AS rs_status,
+       |  CAST(50 + ${mixS(101L, 4950L)} AS INT) AS rs_response_time,
+       |  CAST(10 + ${mixS(211L, 990L)} AS INT) AS usage_total,
+       |  CAST(5 + ${mixS(307L, 495L)} AS INT) AS usage_input,
+       |  CAST(5 + ${mixS(401L, 495L)} AS INT) AS usage_output,
+       |  CASE WHEN ${mixS(503L, 10L)} < 9 THEN 'allow' ELSE 'throttle' END
+       |    AS action,
+       |  'ai_request_' || CAST(i % 3 AS VARCHAR) AS activity,
+       |  CAST(year(ep) AS INT) AS year, CAST(month(ep) AS INT) AS month,
+       |  CAST(day(ep) AS INT) AS day, CAST(hour(ep) AS INT) AS hour
+       |FROM (SELECT i, make_timestamp(($baseMs + i * 60000) * 1000) AS ep
+       |      FROM range(1000) t(i))
+       |ORDER BY transaction_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "gen_events" -> genSql,
+    "validate_schema" -> {
+      val rows = aigSchema.fields.zipWithIndex.map { case (f, idx) =>
+        val pos = if (idx == 0) "CAST(0 AS BIGINT)" else idx.toString
+        s"($pos, '${f.name}', '${f.dataType.sql.replace("'", "''")}', " +
+          s"${f.nullable})"
+      }.mkString(",\n  ")
+      s"""SELECT * FROM (VALUES
+         |  $rows
+         |) AS t(pos, field, data_type, nullable) ORDER BY pos""".stripMargin
+    },
+    "ddl_generate" -> {
+      val cols = aigSchema.fields.take(15).map { f =>
+        s"${f.name} ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}"
+      }.mkString(", ")
+      val ddl = (s"CREATE TABLE IF NOT EXISTS aig.events ($cols) " +
+        "USING parquet PARTITIONED BY (tenant, year, month, day, hour) " +
+        "TBLPROPERTIES (" +
+        "'write.format.default'='parquet', " +
+        "'write.parquet.compression-codec'='zstd', " +
+        "'write.target-file-size-bytes'='134217728', " +
+        "'write.parquet.page-size-bytes'='1048576', " +
+        "'write.parquet.dict-size-bytes'='2097152')").replace("'", "''")
+      s"SELECT CAST(1 AS BIGINT) AS id, '$ddl' AS ddl"
+    })
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** North-star similarity search over `embeddings` (SURVEY.md §2j):
+  * brute-force cosine top-k as the correctness baseline, a sign-LSH
+  * bucketed variant as the scale path, and a single-query kNN.
+  *
+  * Scale design: the all-pairs form is explicitly bounded (subset filter) —
+  * at 100 TB you never cross-join the full table; the LSH variant buckets
+  * by deterministic hyperplane signs so candidate generation is an
+  * equi-join on the bucket key, and only in-bucket pairs pay the O(d) dot
+  * product. Cosine math runs in float64 with sequential accumulation so
+  * DuckDB's twin expression produces bit-identical scores.
+  */
+object SimilarityOps {
+
+  /** Fused codegen cosine (graft.functions.CosineSimilarity): float64
+    * sequential accumulation, bit-identical to the DuckDB twin formula. */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine(a, b)
+
+  /** `sim_cosine_topk` — top-20 most similar pairs (bounded subset). */
+  def simCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).filter($"vec_id" < 200)
+      .select($"vec_id", $"embedding")
+    e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+        round(cosine($"a.embedding", $"b.embedding"), 6).as("cos"))
+      .orderBy($"cos".desc, $"va", $"vb")
+      .limit(20)
+  }
+
+  /** `sim_knn_query` — k nearest neighbours of one query vector against
+    * the whole table (broadcast the query row; single scan, top-k merge). */
+  def simKnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("q_emb"))
+    e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id", $"label",
+        round(cosine($"embedding", $"q_emb"), 6).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  /** `sim_ann_lsh` — approximate NN via deterministic sign-LSH: bucket =
+    * sign bits of 8 fixed dimensions (a fixed axis-aligned hyperplane
+    * family), candidates = same-bucket pairs, then exact cosine + top-50.
+    * The bucket join replaces the cross join — this is the 100 TB path. */
+  def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
+    val bucket = concat(dims.map(i =>
+      when(element_at($"embedding", i) >= 0f, "1").otherwise("0")): _*)
+    val e = Tables.embeddings(spark, dir).filter($"vec_id" < 2000)
+      .select($"vec_id", $"embedding", bucket.as("bucket"))
+    e.as("a").join(e.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.bucket".as("bucket"), $"a.vec_id".as("va"),
+        $"b.vec_id".as("vb"),
+        round(cosine($"a.embedding", $"b.embedding"), 6).as("cos"))
+      .orderBy($"cos".desc, $"va", $"vb")
+      .limit(50)
+  }
+
+  /** `dedup_embedding` — embedding-cosine near-duplicate pairs above a
+    * similarity threshold (bounded subset; the LSH bucket path above is
+    * the scale formulation). */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).filter($"vec_id" < 300)
+      .select($"vec_id", $"embedding")
+    e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+        cosine($"a.embedding", $"b.embedding").as("raw_cos"))
+      .filter($"raw_cos" >= 0.35)
+      .select($"va", $"vb", round($"raw_cos", 6).as("cos"))
+      .orderBy($"va", $"vb")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> (simCosineTopk _),
+    "sim_knn_query" -> (simKnnQuery _),
+    "sim_ann_lsh" -> (simAnnLsh _),
+    "dedup_embedding" -> (dedupEmbedding _))
+
+  /** DuckDB twin of `cosine(...)`: same formula, same float64 order. */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      s"""SELECT a.vec_id AS va, b.vec_id AS vb,
+         |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE a.vec_id < 200 AND b.vec_id < 200
+         |ORDER BY cos DESC, va, vb LIMIT 20""".stripMargin,
+    "sim_knn_query" ->
+      s"""SELECT e.vec_id, e.label,
+         |  round(${cosSql("e.embedding", "q.embedding")}, 6) AS cos
+         |FROM embeddings e,
+         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    "sim_ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    concat(
+         |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+         |      CASE WHEN embedding[9] >= 0 THEN '1' ELSE '0' END,
+         |      CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END,
+         |      CASE WHEN embedding[25] >= 0 THEN '1' ELSE '0' END,
+         |      CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END,
+         |      CASE WHEN embedding[41] >= 0 THEN '1' ELSE '0' END,
+         |      CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END,
+         |      CASE WHEN embedding[57] >= 0 THEN '1' ELSE '0' END
+         |    ) AS bucket
+         |  FROM embeddings WHERE vec_id < 2000)
+         |SELECT a.bucket AS bucket, a.vec_id AS va, b.vec_id AS vb,
+         |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |ORDER BY cos DESC, va, vb LIMIT 50""".stripMargin,
+    "dedup_embedding" ->
+      s"""SELECT a.vec_id AS va, b.vec_id AS vb,
+         |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE a.vec_id < 300 AND b.vec_id < 300
+         |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.35
+         |ORDER BY va, vb""".stripMargin)
+}

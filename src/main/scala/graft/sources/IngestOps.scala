@@ -1,0 +1,252 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{dec, dsum}
+
+/** SURVEY.md §2a — scans / sources / sinks: the reference's whole ingest
+  * pipeline re-expressed Spark-first.
+  *
+  * The reference reads parquet record-by-record and rewrites it into a
+  * partitioned Iceberg layout with a thread pool and one atomic commit
+  * (`BulkParquetToIcebergAtomicMultipart.java:78-101`,
+  * `AIGEventsTableCreator.java:354-439`). Here the same semantics are a
+  * declarative read → derive partition columns → `repartition(partition
+  * cols)` → `write.partitionBy(...)`: grouping becomes the shuffle, the
+  * 4-thread pool becomes the task scheduler, the atomic append commit
+  * becomes the output-committer job commit (SURVEY §3.2 mapping). At 100 TB
+  * the repartition bounds file counts to one file per partition per shuffle
+  * partition instead of the reference's one-file-per-input-batch.
+  *
+  * All writes land under `<repo>/target/tmp` (driver-local scratch), zstd
+  * like every reference write (`Creator:186-187`, `Local:84`).
+  */
+object IngestOps {
+
+  private def tmp(name: String) = s"/root/repo/target/tmp/$name"
+
+  /** events + derived partition columns (`Hidden:133-135` identity
+    * transforms; values from data, not wall clock). */
+  private def eventsWithParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("year", year($"ts"))
+      .withColumn("month", month($"ts"))
+      .withColumn("day", dayofmonth($"ts"))
+  }
+
+  /** `scan_parquet` — projection + pushed predicate over the raw file
+    * (`Local:88-92`). */
+  def scanParquet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_orderkey" < 1000)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** `scan_schema_only` — footer-only schema read (`Main:30-34`); no row
+    * data is touched, the plan is a LocalRelation over the StructType. */
+  def scanSchemaOnly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = Tables.lineitem(spark, dir).schema
+    schema.fields.zipWithIndex
+      .map { case (f, i) => (i.toLong, f.name, f.dataType.sql) }
+      .toSeq.toDF("pos", "col_name", "data_type")
+      .orderBy($"pos")
+  }
+
+  /** `schema_infer_sample` — infer table schema from files in a directory
+    * (`Bulk:109-118` reads the first footer; Spark merges all footers,
+    * strictly stronger). */
+  def schemaInferSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/orders.parquet").schema
+    schema.fields.zipWithIndex
+      .map { case (f, i) => (i.toLong, f.name, f.dataType.sql) }
+      .toSeq.toDF("pos", "col_name", "data_type")
+      .orderBy($"pos")
+  }
+
+  /** `write_parquet_zstd` — zstd parquet sink + re-read round-trip
+    * (`Local:98-133` append loop; here one distributed write). */
+  def writeParquetZstd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("zstd_roundtrip")
+    Tables.lineitem(spark, dir)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(out)
+    spark.read.parquet(out)
+      .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("sum_price"))
+  }
+
+  /** `write_partitioned` — Hive-style partition layout
+    * `year=/month=/day=` from data-derived values (`Creator:385-409`,
+    * `KMS:202-207`); repartition on the partition key first so each
+    * partition gets exactly one file (the reference's 128 MB target-file
+    * discipline, `Creator:188`). */
+  def writePartitioned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("events_partitioned")
+    eventsWithParts(spark, dir)
+      .repartition($"year", $"month", $"day")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .partitionBy("year", "month", "day")
+      .parquet(out)
+    spark.read.parquet(out)
+      .filter($"month" === 1 && $"day".between(10, 12))
+      .groupBy($"year".cast("long").as("year"),
+        $"month".cast("long").as("month"), $"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"year", $"month", $"day")
+  }
+
+  /** `append_commit` — atomic append of a second batch to an existing
+    * layout (`Bulk:97-101` single commit; Spark's output committer gives
+    * job-level atomicity, SURVEY §2a divergence note). */
+  def appendCommit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("events_append")
+    val ev = eventsWithParts(spark, dir)
+    ev.filter($"day".between(1, 5))
+      .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(out)
+    ev.filter($"day".between(6, 10))
+      .write.mode(SaveMode.Append).partitionBy("day").parquet(out)
+    spark.read.parquet(out)
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"day")
+  }
+
+  /** `ingest_parallel` — the Bulk fan-out/join (`Bulk:78-101`): four
+    * "batches" written independently, then ingested by ONE scan over all
+    * four directories (Spark schedules the file reads across tasks — the
+    * thread pool is the task scheduler). */
+  def ingestParallel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).withColumn(
+      "batch", pmod($"event_id", lit(4L)))
+    (0L until 4L).foreach { b =>
+      ev.filter($"batch" === b).write.mode(SaveMode.Overwrite)
+        .parquet(tmp(s"ingest_batch/b$b"))
+    }
+    spark.read.parquet((0 until 4).map(b => tmp(s"ingest_batch/b$b")): _*)
+      .groupBy($"batch")
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"batch")
+  }
+
+  /** `datafile_stats` — per-file metadata after a partitioned write
+    * (`DataFiles.builder` stats at `Local:126-132`): file counts and row
+    * counts per partition via input_file_name(), proving the
+    * one-file-per-partition layout. */
+  def datafileStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("events_stats")
+    eventsWithParts(spark, dir)
+      .repartition($"year", $"month", $"day")
+      .write.mode(SaveMode.Overwrite).partitionBy("year", "month", "day")
+      .parquet(out)
+    spark.read.parquet(out)
+      .withColumn("fname", input_file_name())
+      .groupBy($"year".cast("long").as("year"),
+        $"month".cast("long").as("month"), $"day".cast("long").as("day"))
+      .agg(countDistinct($"fname").as("n_files"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"year", $"month", $"day")
+  }
+
+  /** `table_create` — idempotent catalog table creation + insert + query
+    * (`Main:55-67`, `Creator:147-181`): namespace → `CREATE TABLE ...
+    * USING parquet PARTITIONED BY`, then read back through the catalog. */
+  def tableCreate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft")
+    spark.sql("DROP TABLE IF EXISTS graft.events_tbl")
+    // the in-memory catalog forgets tables between sessions but their
+    // managed locations survive — clear the stale dir or CREATE fails
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/graft.db/events_tbl")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+    eventsWithParts(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("day")
+      .saveAsTable("graft.events_tbl")
+    spark.table("graft.events_tbl")
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), countDistinct($"event_type").as("n_types"))
+      .orderBy($"day")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_parquet" -> (scanParquet _),
+    "scan_schema_only" -> (scanSchemaOnly _),
+    "schema_infer_sample" -> (schemaInferSample _),
+    "write_parquet_zstd" -> (writeParquetZstd _),
+    "write_partitioned" -> (writePartitioned _),
+    "append_commit" -> (appendCommit _),
+    "ingest_parallel" -> (ingestParallel _),
+    "datafile_stats" -> (datafileStats _),
+    "table_create" -> (tableCreate _))
+
+  private val D = "DECIMAL(18,2)"
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_schema_only" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'l_orderkey', 'BIGINT'),
+        |  (1, 'l_partkey', 'BIGINT'),
+        |  (2, 'l_suppkey', 'BIGINT'),
+        |  (3, 'l_linenumber', 'INT'),
+        |  (4, 'l_quantity', 'DOUBLE'),
+        |  (5, 'l_extendedprice', 'DOUBLE'),
+        |  (6, 'l_discount', 'DOUBLE'),
+        |  (7, 'l_tax', 'DOUBLE'),
+        |  (8, 'l_returnflag', 'STRING'),
+        |  (9, 'l_linestatus', 'STRING'),
+        |  (10, 'l_shipdate', 'TIMESTAMP_NTZ')
+        |) AS t(pos, col_name, data_type) ORDER BY pos""".stripMargin,
+    "schema_infer_sample" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'o_orderkey', 'BIGINT'),
+        |  (1, 'o_custkey', 'BIGINT'),
+        |  (2, 'o_orderstatus', 'STRING'),
+        |  (3, 'o_totalprice', 'DOUBLE'),
+        |  (4, 'o_orderdate', 'TIMESTAMP_NTZ'),
+        |  (5, 'o_orderpriority', 'STRING')
+        |) AS t(pos, col_name, data_type) ORDER BY pos""".stripMargin,
+    "write_parquet_zstd" ->
+      s"""SELECT COUNT(*) AS n,
+         |  CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) AS sum_price
+         |FROM lineitem""".stripMargin,
+    "write_partitioned" ->
+      s"""SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
+         |  COUNT(*) AS n, CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events
+         |WHERE month(ts) = 1 AND day(ts) BETWEEN 10 AND 12
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "append_commit" ->
+      """SELECT day(ts) AS day, COUNT(*) AS n FROM events
+        |WHERE day(ts) BETWEEN 1 AND 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ingest_parallel" ->
+      """SELECT event_id % 4 AS batch, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "datafile_stats" ->
+      """SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
+        |  CAST(1 AS BIGINT) AS n_files, COUNT(*) AS n_rows
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "table_create" ->
+      """SELECT day(ts) AS day, COUNT(*) AS n,
+        |  COUNT(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{dec, dsum}
+import graft.sources.Tables
+
+/** SURVEY.md §2i — Structured Streaming (X-tier; the reference is batch-
+  * only, its event-time partition model maps 1:1 onto tumbling windows:
+  * hourly partitions ≙ `window(ts, '1 hour')`, `TimeEx:134-136`).
+  *
+  * The streaming rollup is verified by batch equivalence (SURVEY §2i:
+  * DuckDB can't run a stream, but a finite file stream drained with
+  * `processAllAvailable` must produce exactly the batch answer — so the
+  * oracle is the batch SQL).
+  */
+object StreamingOps {
+
+  /** `stream_hourly_rollup` — file-source stream over the events parquet →
+    * 1-hour tumbling window counts/sums per event_type → memory sink in
+    * complete mode, drained synchronously. Watermark bounds state at scale
+    * (late events beyond 2h are dropped from state). */
+  def streamHourlyRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val queryName = s"hourly_rollup_${System.nanoTime()}"
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val withTs = stream.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => stream
+    }
+    val agg = withTs
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+      .select($"window.start".as("hour_start"), $"event_type", $"n",
+        $"sum_value")
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hourly_rollup" -> (streamHourlyRollup _))
+
+  val oracles: Map[String, String] = Map(
+    "stream_hourly_rollup" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
