@@ -23,8 +23,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType == ArrayType(FloatType)))
-      TypeCheckResult.TypeCheckSuccess
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"cosine_similarity expects two array<float> arguments, got " +
         s"${left.dataType.sql} and ${right.dataType.sql}")

@@ -75,9 +75,19 @@ object DedupOps {
     * exact Jaccard with planted duplicates. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val nHashes = 16
-    val bandSize = 4
-    val docs = Tables.documents(spark, dir).filter($"doc_id" < 200)
+    minhashPipeline(
+      Tables.documents(spark, dir).filter($"doc_id" < 200),
+      nHashes = 16, bandSize = 4, threshold = 0.4)
+  }
+
+  /** Reusable MinHash-LSH pipeline over any (doc_id, text) DataFrame:
+    * signatures → banded buckets → candidate pairs → exact-Jaccard confirm.
+    * Docs whose true Jaccard ≥ threshold are found with probability
+    * 1-(1-t^bandSize)^(nHashes/bandSize) (the LSH S-curve). */
+  def minhashPipeline(docs: DataFrame, nHashes: Int, bandSize: Int,
+      threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sh = docs.select($"doc_id", explode(shingles3($"text")).as("s"))
     // minhash signature: per doc, min over shingles of xxhash64(seed, s)
     val sigCols = (0 until nHashes).map(i =>
@@ -106,7 +116,7 @@ object DedupOps {
       .join(sz.select($"doc_id".as("db"), $"n".as("nb")), "db")
       .withColumn("jaccard",
         $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
-      .filter($"jaccard" >= 0.4)
+      .filter($"jaccard" >= threshold)
       .select($"da", $"db", round($"jaccard", 6).as("jaccard"))
       .orderBy($"da", $"db")
   }
@@ -118,9 +128,18 @@ object DedupOps {
     * suite covers it with planted duplicates. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    simhashPipeline(Tables.documents(spark, dir).filter($"doc_id" < 500),
+      maxHamming = 3)
+  }
+
+  /** Reusable 64-bit SimHash near-dup pipeline over any (doc_id, text)
+    * DataFrame; candidate generation via 8×8-bit block equality. */
+  def simhashPipeline(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val bits = 64
     val toks = filter(split($"text", " "), t => t =!= "")
-    val th = Tables.documents(spark, dir).filter($"doc_id" < 500)
+    val th = docs
       .select($"doc_id", explode(array_distinct(toks)).as("t"))
       .select($"doc_id", xxhash64($"t").as("h"))
     // per-bit vote: +1 if bit set else -1; simhash bit = vote > 0
@@ -144,7 +163,7 @@ object DedupOps {
         $"y.doc_id".as("db"), $"y.simhash".as("hb")).distinct()
     cand
       .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")))
-      .filter($"hamming" <= 3)
+      .filter($"hamming" <= maxHamming)
       .select($"da", $"db", $"hamming")
       .orderBy($"da", $"db")
   }

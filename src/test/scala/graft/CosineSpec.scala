@@ -1,0 +1,53 @@
+package graft
+
+import org.scalacheck.Gen
+import graft.functions.VectorFunctions
+
+/** CosineSimilarity expression vs an independent Scala reference
+  * implementation, including the codegen path (the expression runs inside
+  * whole-stage codegen in a DataFrame pipeline). */
+class CosineSpec extends SparkSpecBase {
+
+  private def refCosine(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    a.indices.foreach { i =>
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("matches reference implementation on random vectors (codegen path)") {
+    import spark.implicits._
+    val gen = Gen.listOfN(64,
+      Gen.chooseNum(-10.0f, 10.0f).suchThat(f => !f.isNaN))
+    val vecs = (1 to 50).flatMap(_ =>
+      (gen.sample, gen.sample) match {
+        case (Some(a), Some(b)) => Some((a.toArray, b.toArray))
+        case _ => None
+      })
+    val df = vecs.toDF("a", "b")
+      .select($"a", $"b", VectorFunctions.cosine($"a", $"b").as("cos"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val a = r.getSeq[Float](0); val b = r.getSeq[Float](1)
+      assert(r.getDouble(2) === refCosine(a, b))
+    }
+  }
+
+  test("self-similarity is 1.0 on real embeddings") {
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sf).limit(20)
+    val got = e.select(
+      VectorFunctions.cosine($"embedding", $"embedding").as("c")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("null vector propagates null") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    val r = df.select(VectorFunctions.cosine($"a", $"b")).collect()
+    assert(r.head.isNullAt(0))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.DedupOps
+
+/** MinHash-LSH and SimHash pipelines against planted near-duplicates —
+  * the recall check SURVEY.md §5(2) calls for (the driver corpus has no
+  * duplicates, so the oracle alone can't prove dedup finds any). */
+class DedupSpec extends SparkSpecBase {
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the river bank " +
+      "while data engines shuffle partitions and join tables at scale " +
+      "every hour of every day in the warehouse of records"
+
+  /** 20 distinct docs (disjoint vocabularies) + 3 planted near-dup pairs
+    * (small token edits of a shared base). */
+  private def plantedDocs = {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val distinct = (0L until 20L).map { i =>
+      (i, (0 until 30)
+        .map(j => s"w${i}q${j}x${rng.nextInt(1000)}").mkString(" "))
+    }
+    val nearDups = Seq(
+      (100L, base), (101L, base.replace("quick", "swift")),
+      (102L, base + " extra tail"), (103L, base + " extra tail words"),
+      (104L, base.replace("lazy", "sleepy")),
+      (105L, base.replace("lazy", "sleepy").replace("dog", "cat")))
+    (distinct ++ nearDups).toDF("doc_id", "text")
+  }
+
+  test("minhash-lsh finds planted near-dup pairs, no false high-jaccard") {
+    // 8 bands of 4: miss probability at j=0.9 is (1-0.9^4)^8 ≈ 2e-4,
+    // and deterministic given the fixed xxhash64 family
+    val got = DedupOps.minhashPipeline(plantedDocs, nHashes = 32,
+      bandSize = 4, threshold = 0.4).collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), s"missing (100,101) in $pairs")
+    assert(pairs.contains((102L, 103L)))
+    assert(pairs.contains((104L, 105L)))
+    // distinct shuffled docs share vocabulary but shingle-jaccard is low
+    assert(!pairs.exists { case (a, b) => a < 20 && b < 20 })
+  }
+
+  test("minhash candidates confirmed by exact jaccard >= threshold") {
+    val got = DedupOps.minhashPipeline(plantedDocs, nHashes = 16,
+      bandSize = 4, threshold = 0.4).collect()
+    got.foreach(r => assert(r.getDouble(2) >= 0.4))
+  }
+
+  test("simhash: near-dups within hamming 3, distinct docs far apart") {
+    val got = DedupOps.simhashPipeline(plantedDocs, maxHamming = 3)
+      .collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)))
+    assert(pairs.contains((104L, 105L)))
+    // shuffled-word docs have IDENTICAL token sets only if same marker —
+    // markers differ, so no sub-20 pair should be within hamming 3
+    assert(!pairs.exists { case (a, b) => a < 20 && b < 20 })
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-cutting engine checks: driver contract, generator determinism,
+  * schema validation (the Validator port, SURVEY.md §2k), streaming batch
+  * equivalence (§2i), multimodal plumbing (§2j). */
+class EngineSpec extends SparkSpecBase {
+
+  test("driver contract: entry returns rows; every query has distinct " +
+    "column names; every oracle key exists in queries") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    SparkEntry.oracleSql.keys.foreach(k =>
+      assert(SparkEntry.queries.contains(k), s"oracle without query: $k"))
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val cols = fn(spark, sf).columns
+      assert(cols.distinct.length == cols.length,
+        s"$name has duplicate columns: ${cols.mkString(",")}")
+    }
+  }
+
+  test("gen_events is deterministic and respects the reference domains") {
+    val a = operators.GenOps.genEvents(spark, sf).collect()
+    val b = operators.GenOps.genEvents(spark, sf).collect()
+    assert(a.sameElements(b))
+    assert(a.length == 1000)
+    val tenants = a.map(_.getAs[Int]("tenant_id")).distinct.sorted
+    assert(tenants.sameElements(1000 until 1010))
+    val statuses = a.map(_.getAs[Int]("rs_status")).distinct.toSet
+    assert(statuses.subsetOf(Set(200, 400, 500)))
+    a.foreach { r =>
+      assert(r.getAs[Int]("rs_response_time") >= 50 &&
+        r.getAs[Int]("rs_response_time") < 5000)
+      assert(r.getAs[Int]("usage_total") >= 10 &&
+        r.getAs[Int]("usage_total") < 1000)
+    }
+  }
+
+  test("AIG schema: required fields are NOT NULL (Validator:65-68)") {
+    val s = operators.GenOps.aigSchema
+    val required = Set("tenant_id", "home_pop", "service_id", "timestamp")
+    s.fields.foreach { f =>
+      assert(f.nullable != required.contains(f.name),
+        s"${f.name} nullability wrong")
+    }
+    assert(s.fieldNames.takeRight(5).sameElements(
+      Seq("tenant", "year", "month", "day", "hour")))
+  }
+
+  test("streaming hourly rollup equals the batch rollup exactly") {
+    import spark.implicits._
+    val streamed = streaming.StreamingOps.streamHourlyRollup(spark, sf)
+      .collect()
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        operators.dsum($"value").as("sum_value"))
+      .orderBy($"hour_start", $"event_type")
+      .collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
+  test("multimodal decode: schema, determinism, partition-parallelism") {
+    val out = operators.MultimodalOps.multimodalDecode(spark, sf)
+    assert(out.schema.fieldNames.sameElements(
+      Seq("doc_id", "width", "height", "n_channels", "feature_norm")))
+    val a = out.collect()
+    val b = operators.MultimodalOps.multimodalDecode(spark, sf).collect()
+    assert(a.sameElements(b))
+    assert(a.length == 500)
+  }
+
+  test("weighted-avg UDAF merge is order-independent (1 vs 8 partitions)") {
+    import spark.implicits._
+    val wavg = udaf(functions.WeightedAvgCents,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val base = graft.sources.Tables.part(spark, sf)
+    val one = base.repartition(1)
+      .agg(wavg($"p_retailprice", $"p_size".cast("long"))).head.getDouble(0)
+    val eight = base.repartition(8)
+      .agg(wavg($"p_retailprice", $"p_size".cast("long"))).head.getDouble(0)
+    assert(one == eight)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.io.File
+import org.apache.spark.sql.functions._
+
+/** Ingest/write-path behavior the oracle can't see (SURVEY.md §2a):
+  * physical partition layout, one-file-per-partition discipline, and
+  * partition-pruned read-back (`PartitionSpecTest.java:42-50` layout;
+  * `TimeEx:180-195` pruning). */
+class IngestSpec extends SparkSpecBase {
+
+  test("write_partitioned produces Hive-style year=/month=/day= layout " +
+    "with one file per partition") {
+    import spark.implicits._
+    graft.sources.IngestOps.writePartitioned(spark, sf).collect()
+    val root = new File("/root/repo/target/tmp/events_partitioned")
+    val yearDirs = root.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(yearDirs.toSeq == Seq("year=2024"), yearDirs.toSeq)
+    val dayDirs = new File(root, "year=2024/month=1").listFiles()
+      .filter(_.isDirectory)
+    assert(dayDirs.length >= 28, s"expected ~30 day dirs, ${dayDirs.length}")
+    dayDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+    }
+  }
+
+  test("partition filter prunes files on read-back") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val df = spark.read.parquet("/root/repo/target/tmp/events_partitioned")
+    val total = df.inputFiles.length
+    val q = df.filter($"day" === 15)
+    q.collect()
+    val scanned = scans(q.queryExecution.executedPlan)
+      .head.metrics("numFiles").value
+    assert(scanned < total, s"scanned=$scanned should be < total=$total")
+    assert(scanned == 1, s"day=15 should scan exactly 1 file, got $scanned")
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    import spark.implicits._
+    val plan = graft.sources.Tables.lineitem(spark, sf)
+      .filter($"l_orderkey" < 100)
+      .select($"l_orderkey", $"l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), " +
+      "LessThan(l_orderkey,100)]"), plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_quantity:double>"), plan)
+  }
+
+  test("zstd round-trip preserves row count exactly") {
+    import spark.implicits._
+    val got = graft.sources.IngestOps.writeParquetZstd(spark, sf).collect()
+    val direct = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(got.head.getLong(0) == direct)
+  }
+}

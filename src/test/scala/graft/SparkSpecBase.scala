@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session per suite (SURVEY.md §5 plan; one JVM via sbt fork). */
+trait SparkSpecBase extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpecBase.session
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+object SparkSpecBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.sources.Tables.warmup()
+    s
+  }
+}
