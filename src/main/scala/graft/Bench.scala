@@ -10,7 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.sources.Tables.warmup()
+    graft.sources.Tables.warmup(spark)
+    // untimed session warmup: exercises parquet reader, shuffle machinery
+    // and whole-stage codegen once so the first timed query isn't charged
+    // for JVM startup
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -16,7 +16,7 @@ object DebugRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.sources.Tables.warmup()
+    graft.sources.Tables.warmup(spark)
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, sfDir).count()

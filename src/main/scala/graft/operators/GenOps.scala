@@ -135,7 +135,35 @@ object GenOps {
     Seq((1L, ddl)).toDF("id", "ddl")
   }
 
+  /** `gen_nested` — the nested-structure generators (`gen_policy_structs`
+    * `Creator:283-311`): 20% of rows carry 1–3 policy structs built as a
+    * real array<struct> via transform(sequence), then exploded + flattened
+    * so the DuckDB twin (same arithmetic over range×unnest) can hash it. */
+  def genNested(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val i = $"id"
+    val types = array(lit("dlp"), lit("rate_limit"), lit("content_filter"))
+    val actions = array(lit("allow"), lit("deny"), lit("redact"))
+    val nPolicy = (lit(1) + mix(i, 701L, 3L)).cast("int")
+    val policies = transform(sequence(lit(0), nPolicy - 1), j => struct(
+      element_at(types, (pmod(i + j, lit(3L)) + 1).cast("int")).as("type"),
+      concat(lit("policy_"), pmod(i * 3 + j, lit(5L)).cast("string"))
+        .as("name"),
+      element_at(actions, (pmod(i + j * 2, lit(3L)) + 1).cast("int"))
+        .as("action"),
+      (lit(1) + pmod(i + j, lit(2L))).cast("int").as("n_profiles"),
+      (i * 10 + j).cast("int").as("object_id")))
+    spark.range(1000)
+      .filter(mix(i, 601L, 10L) < 2)      // 20% of rows carry policies
+      .select(i.as("gen_id"), explode(policies).as("p"))
+      .select($"gen_id", $"p.type".as("type"), $"p.name".as("name"),
+        $"p.action".as("action"), $"p.n_profiles".as("n_profiles"),
+        $"p.object_id".as("object_id"))
+      .orderBy($"gen_id", $"object_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gen_nested" -> (genNested _),
     "gen_events" -> (genEvents _),
     "validate_schema" -> (validateSchema _),
     "ddl_generate" -> (ddlGenerate _))
@@ -174,6 +202,21 @@ object GenOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "gen_nested" ->
+      """WITH base AS (
+        |  SELECT i, 1 + (i * 2654435761 + 701) % 3 AS np
+        |  FROM range(1000) t(i)
+        |  WHERE (i * 2654435761 + 601) % 10 < 2)
+        |SELECT i AS gen_id,
+        |  (['dlp','rate_limit','content_filter'])
+        |    [CAST((i + j) % 3 AS INT) + 1] AS type,
+        |  'policy_' || CAST((i * 3 + j) % 5 AS VARCHAR) AS name,
+        |  (['allow','deny','redact'])[CAST((i + j * 2) % 3 AS INT) + 1]
+        |    AS action,
+        |  CAST(1 + (i + j) % 2 AS INT) AS n_profiles,
+        |  CAST(i * 10 + j AS INT) AS object_id
+        |FROM base, unnest(range(0, np)) AS u(j)
+        |ORDER BY gen_id, object_id""".stripMargin,
     "gen_events" -> genSql,
     "validate_schema" -> {
       val rows = aigSchema.fields.zipWithIndex.map { case (f, idx) =>

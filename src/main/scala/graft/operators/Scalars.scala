@@ -145,7 +145,39 @@ object Scalars {
       .orderBy($"doc_id", $"word")
   }
 
+  /** Array / map / JSON collection functions (X-tier additions per SURVEY
+    * §2h note): array_contains, slice, array_sort/distinct, map build +
+    * lookup, from_json/to_json round-trip. Array outputs are stringified
+    * so the DuckDB hash compare stays scalar. */
+  def fnCollections(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = filter(split($"text", " "), t => t =!= "")
+    Tables.documents(spark, dir).filter($"doc_id" < 200)
+      .select($"doc_id",
+        array_contains(words, "data").as("has_data"),
+        concat_ws("|", slice(words, 1, 3)).as("first3"),
+        concat_ws("|", slice(array_sort(array_distinct(words)), 1, 5))
+          .as("sorted_uniq5"),
+        size(array_distinct(words)).cast("long").as("n_uniq"),
+        element_at(
+          map(lit("lang"), $"lang", lit("source"), $"source"), "lang")
+          .as("map_lang"))
+      .orderBy($"doc_id")
+  }
+
+  /** from_json / to_json round-trip over the events props column. */
+  def fnJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).filter($"event_id" < 1000)
+      .select($"event_id",
+        from_json($"props", lit("k LONG")).getField("k").as("k_parsed"),
+        to_json(struct($"event_id", $"event_type")).as("j"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_collections" -> (fnCollections _),
+    "fn_json_roundtrip" -> (fnJsonRoundtrip _),
     "fn_epoch_to_parts" -> (fnEpochToParts _),
     "fn_time_trunc" -> (fnTimeTrunc _),
     "fn_time_parts_literal" -> (fnTimePartsLiteral _),
@@ -158,6 +190,25 @@ object Scalars {
     "explode_array" -> (explodeArray _))
 
   val oracles: Map[String, String] = Map(
+    "fn_collections" ->
+      """SELECT doc_id,
+        |  list_contains(list_filter(string_split(text, ' '), t -> t <> ''),
+        |    'data') AS has_data,
+        |  array_to_string(list_filter(string_split(text, ' '),
+        |    t -> t <> '')[1:3], '|') AS first3,
+        |  array_to_string(list_sort(list_distinct(list_filter(
+        |    string_split(text, ' '), t -> t <> '')))[1:5], '|')
+        |    AS sorted_uniq5,
+        |  len(list_distinct(list_filter(string_split(text, ' '),
+        |    t -> t <> ''))) AS n_uniq,
+        |  lang AS map_lang
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "fn_json_roundtrip" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
+        |  '{"event_id":' || event_id || ',"event_type":"' || event_type
+        |    || '"}' AS j
+        |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
     "fn_epoch_to_parts" ->
       """SELECT event_id, epoch_us(ts) // 1000 AS epoch_ms,
         |  year(ts) AS year, month(ts) AS month, day(ts) AS day,

@@ -182,7 +182,31 @@ object IngestOps {
       .orderBy($"day")
   }
 
+  /** `table_props` — write-property management (`table.updateProperties()
+    * .set(...).commit()` at `Local:82-85`, values from `Creator:184-191`):
+    * set via ALTER TABLE, read back via SHOW TBLPROPERTIES. */
+  def tableProps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft")
+    spark.sql("DROP TABLE IF EXISTS graft.props_tbl")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/graft.db/props_tbl")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+    spark.sql(
+      "CREATE TABLE graft.props_tbl (k INT) USING parquet TBLPROPERTIES (" +
+        "'write.parquet.compression-codec'='zstd')")
+    spark.sql("ALTER TABLE graft.props_tbl SET TBLPROPERTIES (" +
+      "'write.target-file-size-bytes'='134217728'," +
+      "'write.parquet.page-size-bytes'='1048576'," +
+      "'write.parquet.dict-size-bytes'='2097152')")
+    spark.sql("SHOW TBLPROPERTIES graft.props_tbl")
+      .filter($"key".startsWith("write."))
+      .orderBy($"key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_props" -> (tableProps _),
     "scan_parquet" -> (scanParquet _),
     "scan_schema_only" -> (scanSchemaOnly _),
     "schema_infer_sample" -> (schemaInferSample _),
@@ -196,6 +220,13 @@ object IngestOps {
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "table_props" ->
+      """SELECT * FROM (VALUES
+        |  ('write.parquet.compression-codec', 'zstd'),
+        |  ('write.parquet.dict-size-bytes', '2097152'),
+        |  ('write.parquet.page-size-bytes', '1048576'),
+        |  ('write.target-file-size-bytes', '134217728')
+        |) AS t(key, value) ORDER BY key""".stripMargin,
     "scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_orderkey < 1000

@@ -15,12 +15,25 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Force Spark 4's CollationAwareUTF8String static init (a full-Unicode
-    * ICU case-mapping table build) at startup. Deferred to first use of
-    * lower()/upper() deep into a session, it can run with a saturated JIT
-    * code cache and take 100+ seconds; at startup it takes ~1s. */
-  def warmup(): Unit =
-    Class.forName("org.apache.spark.sql.catalyst.util.CollationAwareUTF8String")
+  /** Session prep: force Spark 4's CollationAwareUTF8String static init (a
+    * full-Unicode ICU case-mapping table build — deferred to first use of
+    * lower()/upper() deep into a session it can run against a saturated JIT
+    * code cache and take 100+ seconds; at startup ~1s), and install the
+    * nanos-timestamp predicate pushdown rule. */
+  def warmup(spark: SparkSession = null): Unit = {
+    Class.forName(
+      "org.apache.spark.sql.catalyst.util.CollationAwareUTF8String")
+    if (spark != null) {
+      graft.plans.TimestampPushdownRule.install(spark)
+      // fork-free local FS (see NioLocalFileSystem); evict any cached
+      // default instances so the override takes effect session-wide
+      val hc = spark.sparkContext.hadoopConfiguration
+      if (hc.get("fs.file.impl") == null) {
+        hc.set("fs.file.impl", classOf[NioLocalFileSystem].getName)
+        org.apache.hadoop.fs.FileSystem.closeAll()
+      }
+    }
+  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** TimestampPushdownRule: the added raw-nanos conjunct must be exactly
+  * equivalent (floor-division boundary cases) and must reach the parquet
+  * scan as a PushedFilter. */
+class PlanRuleSpec extends SparkSpecBase {
+
+  test("boundary exactness: augmented filters keep every matching row") {
+    import spark.implicits._
+    // nanos straddling the micro boundary around T = 1_000_000 us
+    val tUs = 1000000L
+    val ns = Seq(tUs * 1000 - 1, tUs * 1000, tUs * 1000 + 1,
+      tUs * 1000 + 999, tUs * 1000 + 1000, (tUs + 1) * 1000,
+      (tUs - 1) * 1000 + 999)
+    val df = ns.toDF("ts_ns")
+      .select($"ts_ns", timestamp_micros(expr("ts_ns div 1000")).as("ts"))
+    val t = timestamp_micros(lit(tUs))
+    def expectedUs(p: Long => Boolean) =
+      ns.filter(n => p(Math.floorDiv(n, 1000L))).toSet
+    assert(df.filter($"ts" >= t).select($"ts_ns").collect()
+      .map(_.getLong(0)).toSet == expectedUs(_ >= tUs))
+    assert(df.filter($"ts" <= t).select($"ts_ns").collect()
+      .map(_.getLong(0)).toSet == expectedUs(_ <= tUs))
+    assert(df.filter($"ts" > t).select($"ts_ns").collect()
+      .map(_.getLong(0)).toSet == expectedUs(_ > tUs))
+    assert(df.filter($"ts" < t).select($"ts_ns").collect()
+      .map(_.getLong(0)).toSet == expectedUs(_ < tUs))
+  }
+
+  test("raw nanos predicate reaches the parquet scan exactly once") {
+    import spark.implicits._
+    val plan = graft.sources.Tables.events(spark, sf)
+      .filter($"ts" >= lit("2024-01-28 00:00:00").cast("timestamp"))
+      .queryExecution.executedPlan.toString
+    val pushed = "GreaterThanOrEqual\\(ts,\\d+\\)".r
+      .findAllIn(plan).toSeq
+    assert(pushed.nonEmpty, s"no raw pushdown in: $plan")
+    assert(pushed.distinct.length <= 2, s"rule not idempotent: $pushed")
+  }
+
+  test("rule result matches unaugmented semantics on real events") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf)
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-12 00:00:00").cast("timestamp")
+    val filtered = ev.filter($"ts".between(lo, hi)).count()
+    // independent check straight from duck-typed raw micros arithmetic
+    val expected = ev.select(unix_micros($"ts").as("us")).filter(
+      $"us" >= 1704844800000000L && $"us" <= 1705017600000000L).count()
+    assert(filtered == expected)
+  }
+}

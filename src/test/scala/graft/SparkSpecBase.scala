@@ -18,7 +18,7 @@ object SparkSpecBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    graft.sources.Tables.warmup()
+    graft.sources.Tables.warmup(s)
     s
   }
 }
