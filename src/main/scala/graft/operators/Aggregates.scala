@@ -194,7 +194,37 @@ object Aggregates {
       .orderBy($"p_brand")
   }
 
+  /** Explicit GROUPING SETS (X-tier per §2c note). */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"),
+          Seq.empty),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"total")
+      .orderBy($"status", $"priority")
+  }
+
+  /** Exact interpolated percentiles (median/p90) on cent-exact values. */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        round(expr("percentile(CAST(CAST(o_totalprice AS DECIMAL(18,2)) " +
+          "AS DOUBLE), 0.5)"), 4).as("median"),
+        round(expr("percentile(CAST(CAST(o_totalprice AS DECIMAL(18,2)) " +
+          "AS DOUBLE), 0.9)"), 4).as("p90"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "agg_percentile" -> (aggPercentile _),
     "agg_udaf_wavg" -> (aggUdafWavg _),
     "q1_agg" -> (q1Agg _),
     "agg_group_by_partition" -> (aggGroupByPartition _),
@@ -212,6 +242,22 @@ object Aggregates {
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "agg_grouping_sets" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |  COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n,
+         |  CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+         |  (o_orderstatus), ())
+         |ORDER BY status, priority""".stripMargin,
+    "agg_percentile" ->
+      s"""SELECT o_orderstatus,
+         |  round(quantile_cont(CAST(CAST(o_totalprice AS $D) AS DOUBLE),
+         |    0.5), 4) AS median,
+         |  round(quantile_cont(CAST(CAST(o_totalprice AS $D) AS DOUBLE),
+         |    0.9), 4) AS p90
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
     "agg_udaf_wavg" ->
       """SELECT p_brand,
         |  CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT) * p_size)

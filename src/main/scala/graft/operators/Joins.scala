@@ -126,7 +126,33 @@ object Joins {
       .orderBy($"p_id")
   }
 
+  /** Full outer join: customers vs active event users, null-safe key. */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).filter($"c_custkey" < 300)
+      .select($"c_custkey", $"c_mktsegment")
+    val u = Tables.events(spark, dir).filter($"user_id" < 300)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+    c.join(u, $"c_custkey" === $"user_id", "full_outer")
+      .select(coalesce($"c_custkey", $"user_id").as("id"),
+        coalesce($"c_mktsegment", lit("(no customer)")).as("segment"),
+        coalesce($"n_events", lit(0L)).as("n_events"))
+      .orderBy($"id")
+  }
+
+  /** Cross join (small × small — the only place a cross join is sane). */
+  def joinCross(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flags = Tables.lineitem(spark, dir)
+      .select($"l_returnflag").distinct()
+    Tables.region(spark, dir).crossJoin(flags)
+      .select($"r_name", $"l_returnflag")
+      .orderBy($"r_name", $"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_full_outer" -> (joinFullOuter _),
+    "join_cross" -> (joinCross _),
     "join_inner_hash" -> (joinInnerHash _),
     "join_left_outer" -> (joinLeftOuter _),
     "join_semi" -> (joinSemi _),
@@ -139,6 +165,20 @@ object Joins {
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "join_full_outer" ->
+      """SELECT COALESCE(c_custkey, user_id) AS id,
+        |  COALESCE(c_mktsegment, '(no customer)') AS segment,
+        |  COALESCE(n_events, 0) AS n_events
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer
+        |      WHERE c_custkey < 300) c
+        |FULL OUTER JOIN (SELECT user_id, COUNT(*) AS n_events FROM events
+        |                 WHERE user_id < 300 GROUP BY user_id) u
+        |  ON c_custkey = user_id
+        |ORDER BY id""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, l_returnflag
+        |FROM region CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem)
+        |ORDER BY r_name, l_returnflag""".stripMargin,
     "join_inner_hash" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
          |  CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total

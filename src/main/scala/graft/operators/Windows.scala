@@ -78,7 +78,21 @@ object Windows {
       .orderBy($"c_custkey")
   }
 
+  /** first_value / last_value / nth over an explicit frame. */
+  def winFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir).filter($"user_id" < 20)
+      .select($"user_id", $"event_id", $"ts",
+        first($"event_id").over(w).as("first_id"),
+        last($"event_id").over(w).as("last_id"),
+        nth_value($"event_id", 2).over(w).as("second_id"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_first_last" -> (winFirstLast _),
     "win_row_number" -> (winRowNumber _),
     "win_rank_dense" -> (winRankDense _),
     "win_lag_delta" -> (winLagDelta _),
@@ -88,6 +102,15 @@ object Windows {
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "win_first_last" ->
+      """SELECT user_id, event_id, ts,
+        |  FIRST_VALUE(event_id) OVER w AS first_id,
+        |  LAST_VALUE(event_id) OVER w AS last_id,
+        |  NTH_VALUE(event_id, 2) OVER w AS second_id
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
     "win_row_number" ->
       s"""SELECT o_custkey, rn, o_orderkey, totalprice FROM (
          |  SELECT o_custkey, o_orderkey,
