@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** North-star similarity search over `embeddings` (SURVEY.md §2j):
@@ -83,7 +84,41 @@ object SimilarityOps {
       .orderBy($"va", $"vb")
   }
 
+  /** `sim_ivf_knn` — IVF-style ANN: a fixed centroid set (deterministic:
+    * the first 8 vectors) partitions the space; every vector is assigned to
+    * its nearest centroid (inverted lists = bucket column); a query probes
+    * only the lists of its top-2 centroids and ranks candidates exactly.
+    * At 100 TB the assignment is one broadcast-join pass and the probe
+    * touches ~2/8 of the data instead of all of it. */
+  def simIvfKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val centroids = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy($"c_cos".desc, $"c_id")
+    val assigned = e.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"embedding", $"c_id",
+        cosine($"embedding", $"c_emb").as("c_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"c_id".as("bucket"))
+    // query = vec 0: probe its two nearest centroid lists
+    val qProbe = assigned.filter($"vec_id" === 0)
+      .select($"embedding".as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .select($"c_id", $"q_emb", cosine($"q_emb", $"c_emb").as("c_cos"))
+      .orderBy($"c_cos".desc, $"c_id").limit(2)
+    assigned.filter($"vec_id" =!= 0)
+      .join(broadcast(qProbe), $"bucket" === $"c_id")
+      .select($"vec_id", $"bucket",
+        round(cosine($"embedding", $"q_emb"), 6).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_knn" -> (simIvfKnn _),
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_knn_query" -> (simKnnQuery _),
     "sim_ann_lsh" -> (simAnnLsh _),
@@ -96,6 +131,28 @@ object SimilarityOps {
       s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
 
   val oracles: Map[String, String] = Map(
+    "sim_ivf_knn" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < 8),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c_id AS bucket FROM (
+         |    SELECT e.vec_id, e.embedding, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id)
+         |        AS rn
+         |    FROM embeddings e CROSS JOIN c)
+         |  WHERE rn = 1),
+         |probe AS (
+         |  SELECT c.c_id, q.embedding AS q_emb FROM c,
+         |    (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |  ORDER BY ${cosSql("q.embedding", "c.c_emb")} DESC, c.c_id
+         |  LIMIT 2)
+         |SELECT a.vec_id, a.bucket,
+         |  round(${cosSql("a.embedding", "p.q_emb")}, 6) AS cos
+         |FROM assigned a JOIN probe p ON a.bucket = p.c_id
+         |WHERE a.vec_id <> 0
+         |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin,
     "sim_cosine_topk" ->
       s"""SELECT a.vec_id AS va, b.vec_id AS vb,
          |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos

@@ -50,10 +50,68 @@ object StreamingOps {
       .orderBy($"hour_start", $"event_type")
   }
 
+  /** `stream_dedup` — streaming deduplication (dropDuplicates keyed state):
+    * distinct (user_id, event_type) pairs from the file stream; batch
+    * equivalence = SELECT DISTINCT. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val queryName = s"stream_dedup_${System.nanoTime()}"
+    val q = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select($"user_id", $"event_type")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName).orderBy($"user_id", $"event_type")
+  }
+
+  /** `agg_session_window` — gap-based session windows (Spark's
+    * session_window, the streaming-native sessionization primitive, run in
+    * batch mode); oracle = first-principles gaps-and-islands SQL. */
+  def aggSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).filter($"user_id" < 50)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"n", $"sum_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_hourly_rollup" -> (streamHourlyRollup _))
+    "stream_hourly_rollup" -> (streamHourlyRollup _),
+    "stream_dedup" -> (streamDedup _),
+    "agg_session_window" -> (aggSessionWindow _))
 
   val oracles: Map[String, String] = Map(
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "agg_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           > INTERVAL 30 MINUTE OR
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id < 50),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "stream_hourly_rollup" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
         |  event_type, COUNT(*) AS n,
