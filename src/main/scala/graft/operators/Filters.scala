@@ -100,7 +100,34 @@ object Filters {
       .orderBy($"orderkey")
   }
 
+  /** list<struct> reshape (`Nested:230-282` recursive copier, list branch
+    * `Nested:262-277`): pack lineitems into a per-order array<struct>,
+    * reshape every element with transform() (drop fields, derive revenue),
+    * then explode back out. sort_array makes the packed order canonical
+    * (struct sort = field order, l_linenumber leads). */
+  def reshapeListStruct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val packed = Tables.lineitem(spark, dir)
+      .filter($"l_orderkey" < 300)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list(struct(
+        $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_discount")))
+        .as("lines"))
+    val reshaped = packed.select($"l_orderkey",
+      transform($"lines", l => struct(
+        l.getField("l_linenumber").as("line"),
+        (dec(l.getField("l_extendedprice")) *
+          (lit(1) - dec(l.getField("l_discount"))))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          .cast("double").as("revenue"))).as("lines"))
+    reshaped
+      .select($"l_orderkey", explode($"lines").as("l"))
+      .select($"l_orderkey", $"l.line".as("line"), $"l.revenue".as("revenue"))
+      .orderBy($"l_orderkey", $"line")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reshape_list_struct" -> (reshapeListStruct _),
     "project_cols" -> (projectCols _),
     "drop_cols" -> (dropCols _),
     "filter_time_gte" -> (filterTimeGte _),
@@ -110,6 +137,13 @@ object Filters {
     "reshape_nested" -> (reshapeNested _))
 
   val oracles: Map[String, String] = Map(
+    "reshape_list_struct" ->
+      """SELECT l_orderkey, l_linenumber AS line,
+        |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, line""".stripMargin,
     "project_cols" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
         |WHERE o_orderstatus = 'F' AND o_orderkey < 2000
