@@ -126,7 +126,20 @@ object Filters {
       .orderBy($"l_orderkey", $"line")
   }
 
+  /** Add missing partition columns to an inferred schema
+    * (`Bulk:120-126`): derive year/month/day ints from data. */
+  def addCols(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).filter($"event_id" < 1000)
+      .withColumn("year", year($"ts").cast("long"))
+      .withColumn("month", month($"ts").cast("long"))
+      .withColumn("day", dayofmonth($"ts").cast("long"))
+      .select($"event_id", $"year", $"month", $"day", $"event_type")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "add_cols" -> (addCols _),
     "reshape_list_struct" -> (reshapeListStruct _),
     "project_cols" -> (projectCols _),
     "drop_cols" -> (dropCols _),
@@ -137,6 +150,10 @@ object Filters {
     "reshape_nested" -> (reshapeNested _))
 
   val oracles: Map[String, String] = Map(
+    "add_cols" ->
+      """SELECT event_id, year(ts) AS year, month(ts) AS month,
+        |  day(ts) AS day, event_type
+        |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
     "reshape_list_struct" ->
       """SELECT l_orderkey, l_linenumber AS line,
         |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -162,7 +162,25 @@ object GenOps {
       .orderBy($"gen_id", $"object_id")
   }
 
+  /** `gen_ratelimit` — list<string> tag generator (`Creator:340-352`:
+    * 50% of rows, 1–2 tags from a fixed vocabulary), exploded flat. */
+  def genRatelimit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val i = $"id"
+    val tags = array(lit("token_bucket"), lit("sliding_window"),
+      lit("fixed_window"), lit("adaptive_limit"))
+    val nTags = (lit(1) + mix(i, 811L, 2L)).cast("int")
+    val tagList = transform(sequence(lit(0), nTags - 1), j =>
+      element_at(tags, (pmod(i + j, lit(4L)) + 1).cast("int")))
+    spark.range(1000)
+      .filter(mix(i, 907L, 2L) === 0)      // 50% of rows
+      .select(i.as("gen_id"), posexplode(tagList).as(Seq("pos", "tag")))
+      .select($"gen_id", $"pos".cast("long").as("pos"), $"tag")
+      .orderBy($"gen_id", $"pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gen_ratelimit" -> (genRatelimit _),
     "gen_nested" -> (genNested _),
     "gen_events" -> (genEvents _),
     "validate_schema" -> (validateSchema _),
@@ -202,6 +220,15 @@ object GenOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "gen_ratelimit" ->
+      """SELECT i AS gen_id, j AS pos,
+        |  (['token_bucket','sliding_window','fixed_window','adaptive_limit'])
+        |    [CAST((i + j) % 4 AS INT) + 1] AS tag
+        |FROM (SELECT i, 1 + (i * 2654435761 + 811) % 2 AS nt
+        |      FROM range(1000) t(i)
+        |      WHERE (i * 2654435761 + 907) % 2 = 0),
+        |  unnest(range(0, nt)) AS u(j)
+        |ORDER BY gen_id, pos""".stripMargin,
     "gen_nested" ->
       """WITH base AS (
         |  SELECT i, 1 + (i * 2654435761 + 701) % 3 AS np

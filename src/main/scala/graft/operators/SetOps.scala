@@ -74,7 +74,19 @@ object SetOps {
       .limit(5)
   }
 
+  /** `sort_by_key` — the reference's hourly-histogram sort+take-6
+    * (`TimeEx:276-279`: sorted(comparingByKey).limit(6)). */
+  def sortByKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(hour($"ts").cast("long").as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"hour_of_day")
+      .limit(6)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sort_by_key" -> (sortByKey _),
     "setop_union" -> (setopUnion _),
     "setop_union_all" -> (setopUnionAll _),
     "setop_intersect" -> (setopIntersect _),
@@ -83,6 +95,9 @@ object SetOps {
     "limit_n" -> (limitN _))
 
   val oracles: Map[String, String] = Map(
+    "sort_by_key" ->
+      """SELECT hour(ts) AS hour_of_day, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1 LIMIT 6""".stripMargin,
     "setop_union" ->
       """SELECT user_id AS id FROM events WHERE user_id < 400
         |UNION

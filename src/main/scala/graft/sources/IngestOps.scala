@@ -205,7 +205,25 @@ object IngestOps {
       .orderBy($"key")
   }
 
+  /** `partition_prune_scan` — metadata-pruned read of the partitioned
+    * layout (`TimeEx:180-195` planTasks over manifests): a partition-column
+    * predicate prunes directories before any row is read (file-count
+    * assertion in IngestSpec); result proves only matching partitions were
+    * touched. */
+  def partitionPruneScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("events_partitioned")
+    if (!new java.io.File(out).exists())
+      writePartitioned(spark, dir).collect()
+    spark.read.parquet(out)
+      .filter($"day" === 15 || $"day" === 16)
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "partition_prune_scan" -> (partitionPruneScan _),
     "table_props" -> (tableProps _),
     "scan_parquet" -> (scanParquet _),
     "scan_schema_only" -> (scanSchemaOnly _),
@@ -220,6 +238,11 @@ object IngestOps {
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "partition_prune_scan" ->
+      """SELECT day(ts) AS day, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events WHERE day(ts) IN (15, 16)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "table_props" ->
       """SELECT * FROM (VALUES
         |  ('write.parquet.compression-codec', 'zstd'),
