@@ -5,6 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.{dec, dsum}
 import graft.sources.Tables
 
+/** Per-user custom state carried by mapGroupsWithState (top-level so the
+  * Catalyst encoder's generated code can reach the accessors). */
+case class UserState(n: Long, maxValue: Double, lastType: String)
+
 /** SURVEY.md §2i — Structured Streaming (X-tier; the reference is batch-
   * only, its event-time partition model maps 1:1 onto tumbling windows:
   * hourly partitions ≙ `window(ts, '1 hour')`, `TimeEx:134-136`).
@@ -86,12 +90,80 @@ object StreamingOps {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** `stream_custom_state` — arbitrary keyed state via
+    * `KeyValueGroupedDataset.mapGroupsWithState` (the brief's custom-state
+    * streaming surface): per-user event count, running max value, and
+    * event_type of the latest event (by ts). Drained on a finite stream the
+    * final state equals the batch aggregate — that is the oracle. */
+  def streamCustomState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val queryName = s"stream_state_${System.nanoTime()}"
+    val src = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select($"user_id", $"value", $"event_type",
+        // micros ordinal (matches DuckDB's truncated timestamps exactly;
+        // raw nanos would win ties DuckDB can't see)
+        expr("ts div 1000").as("ts_ord"), $"event_id")
+      .as[(Long, Double, String, Long, Long)]
+    val q = src.groupByKey(_._1)
+      .mapGroupsWithState[UserState, (Long, Long, Double, String)](
+        GroupStateTimeout.NoTimeout) { case (user, rows, state) =>
+        val prev = state.getOption.getOrElse(UserState(0L, Double.MinValue,
+          ""))
+        var n = prev.n
+        var mx = prev.maxValue
+        var lastKey = (Long.MinValue, Long.MinValue)
+        var lastType = prev.lastType
+        rows.foreach { case (_, v, t, ord, id) =>
+          n += 1
+          if (v > mx) mx = v
+          if (ord > lastKey._1 || (ord == lastKey._1 && id > lastKey._2)) {
+            lastKey = (ord, id)
+            lastType = t
+          }
+        }
+        val next = UserState(n, mx, lastType)
+        state.update(next)
+        (user, n, mx, lastType)
+      }
+      .toDF("user_id", "n", "max_value", "last_type")
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+      .groupBy($"user_id")     // keep the final state row per key
+      .agg(max($"n").as("n"), max($"max_value").as("max_value"),
+        max_by($"last_type", $"n").as("last_type"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_custom_state" -> (streamCustomState _),
     "stream_hourly_rollup" -> (streamHourlyRollup _),
     "stream_dedup" -> (streamDedup _),
     "agg_session_window" -> (aggSessionWindow _))
 
   val oracles: Map[String, String] = Map(
+    "stream_custom_state" ->
+      """WITH last AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id, COUNT(*) AS n, MAX(value) AS mx
+        |  FROM events GROUP BY user_id)
+        |SELECT a.user_id, a.n, a.mx AS max_value, l.event_type AS last_type
+        |FROM agg a JOIN last l ON a.user_id = l.user_id AND l.rn = 1
+        |ORDER BY a.user_id""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
