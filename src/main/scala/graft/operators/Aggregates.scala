@@ -222,7 +222,22 @@ object Aggregates {
       .orderBy($"o_orderstatus")
   }
 
+  /** Pivot (wide aggregation): events per day × event_type. The pivot
+    * value list is explicit — at scale an implicit pivot would need a
+    * distinct-values job first and an unbounded column count. */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(dayofmonth($"ts").cast("long").as("day"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pivot" -> (aggPivot _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_percentile" -> (aggPercentile _),
     "agg_udaf_wavg" -> (aggUdafWavg _),
@@ -242,6 +257,14 @@ object Aggregates {
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "agg_pivot" ->
+      """SELECT day(ts) AS day,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_grouping_sets" ->
       s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
          |  COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n,

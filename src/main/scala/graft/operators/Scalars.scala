@@ -175,7 +175,20 @@ object Scalars {
       .orderBy($"event_id")
   }
 
+  /** regexp_extract with a capture group + split + element access. */
+  def fnRegexpExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey",
+        regexp_extract($"p_brand", "Brand#(\\d+)", 1).cast("long")
+          .as("brand_num"),
+        element_at(split($"p_name", " "), 1).as("first_word"),
+        size(split($"p_name", " ")).cast("long").as("n_words"))
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_regexp_extract" -> (fnRegexpExtract _),
     "fn_collections" -> (fnCollections _),
     "fn_json_roundtrip" -> (fnJsonRoundtrip _),
     "fn_epoch_to_parts" -> (fnEpochToParts _),
@@ -190,6 +203,13 @@ object Scalars {
     "explode_array" -> (explodeArray _))
 
   val oracles: Map[String, String] = Map(
+    "fn_regexp_extract" ->
+      """SELECT p_partkey,
+        |  CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT)
+        |    AS brand_num,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  len(string_split(p_name, ' ')) AS n_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_collections" ->
       """SELECT doc_id,
         |  list_contains(list_filter(string_split(text, ' '), t -> t <> ''),

@@ -67,7 +67,13 @@ object Windows {
       .orderBy($"user_id", $"event_id")
   }
 
-  /** ntile quartiles of customers by account balance (exact cents). */
+  /** ntile quartiles of customers by account balance (exact cents).
+    *
+    * Scale note: a global-order window single-tasks its input, so this is
+    * deliberately bounded (c_custkey < 2000). The 100 TB formulation of
+    * global quantile bucketing is approx-percentile cut points
+    * (`approx_percentile(x, array(0.25,0.5,0.75))` broadcast, then a
+    * codegen'd CASE) — no total order needed. */
   def winNtile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.orderBy(dec($"c_acctbal").desc, $"c_custkey")
