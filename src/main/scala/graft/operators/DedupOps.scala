@@ -83,7 +83,13 @@ object DedupOps {
   /** Reusable MinHash-LSH pipeline over any (doc_id, text) DataFrame:
     * signatures → banded buckets → candidate pairs → exact-Jaccard confirm.
     * Docs whose true Jaccard ≥ threshold are found with probability
-    * 1-(1-t^bandSize)^(nHashes/bandSize) (the LSH S-curve). */
+    * 1-(1-t^bandSize)^(nHashes/bandSize) (the LSH S-curve).
+    *
+    * Scale note: the shingle relation feeds three consumers (signatures,
+    * sizes, intersection counts); locally AQE's runtime exchange reuse
+    * covers it, but at 100 TB materialize it once
+    * (`sh.persist(DISK_ONLY)` or a staged write) so the explode isn't
+    * recomputed per consumer. */
   def minhashPipeline(docs: DataFrame, nHashes: Int, bandSize: Int,
       threshold: Double): DataFrame = {
     val spark = docs.sparkSession

@@ -20,6 +20,18 @@ case class UserState(n: Long, maxValue: Double, lastType: String)
   */
 object StreamingOps {
 
+  /** Run `body` with a reduced shuffle-partition count: streaming state
+    * stores are per shuffle partition, and for these single-micro-batch
+    * drains 8 stores beat 32 on fixed per-store overhead. Restores the
+    * session conf afterwards. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)
+      (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** `stream_hourly_rollup` — file-source stream over the events parquet →
     * 1-hour tumbling window counts/sums per event_type → memory sink in
     * complete mode, drained synchronously. Watermark bounds state at scale
@@ -42,12 +54,14 @@ object StreamingOps {
       .withWatermark("ts", "2 hours")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(queryName)
       .select($"window.start".as("hour_start"), $"event_type", $"n",
         $"sum_value")
@@ -62,18 +76,20 @@ object StreamingOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val queryName = s"stream_dedup_${System.nanoTime()}"
-    val q = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .select($"user_id", $"event_type")
-      .dropDuplicates("user_id", "event_type")
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = spark.readStream
+        .schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select($"user_id", $"event_type")
+        .dropDuplicates("user_id", "event_type")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(queryName).orderBy($"user_id", $"event_type")
   }
 
@@ -110,7 +126,7 @@ object StreamingOps {
         // raw nanos would win ties DuckDB can't see)
         expr("ts div 1000").as("ts_ord"), $"event_id")
       .as[(Long, Double, String, Long, Long)]
-    val q = src.groupByKey(_._1)
+    val stateStream = src.groupByKey(_._1)
       .mapGroupsWithState[UserState, (Long, Long, Double, String)](
         GroupStateTimeout.NoTimeout) { case (user, rows, state) =>
         val prev = state.getOption.getOrElse(UserState(0L, Double.MinValue,
@@ -132,12 +148,14 @@ object StreamingOps {
         (user, n, mx, lastType)
       }
       .toDF("user_id", "n", "max_value", "last_type")
-      .writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = stateStream.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(queryName)
       .groupBy($"user_id")     // keep the final state row per key
       .agg(max($"n").as("n"), max($"max_value").as("max_value"),
