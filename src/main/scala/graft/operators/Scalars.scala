@@ -187,7 +187,21 @@ object Scalars {
       .orderBy($"p_partkey")
   }
 
+  /** Date/interval arithmetic: shifts, day diffs, month truncation. */
+  def fnDateArith(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir).filter($"o_orderkey" < 2000)
+      .select($"o_orderkey", $"o_orderdate",
+        ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("due_date"),
+        datediff(lit("2002-01-01").cast("date"),
+          $"o_orderdate".cast("date")).cast("long").as("age_days"),
+        date_trunc("month", $"o_orderdate").as("order_month"),
+        last_day($"o_orderdate".cast("date")).as("month_end"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_date_arith" -> (fnDateArith _),
     "fn_regexp_extract" -> (fnRegexpExtract _),
     "fn_collections" -> (fnCollections _),
     "fn_json_roundtrip" -> (fnJsonRoundtrip _),
@@ -203,6 +217,16 @@ object Scalars {
     "explode_array" -> (explodeArray _))
 
   val oracles: Map[String, String] = Map(
+    "fn_date_arith" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  o_orderdate + INTERVAL 30 DAY AS due_date,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+        |    AS age_days,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+        |    AS order_month,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
     "fn_regexp_extract" ->
       """SELECT p_partkey,
         |  CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT)

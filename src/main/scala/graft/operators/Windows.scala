@@ -97,7 +97,21 @@ object Windows {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** RANGE frame: per-user rolling 1-hour event count/sum (value-based
+    * frame over the micros ordinal — peers included, unlike ROWS). */
+  def winRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600000000L, 0L)   // 1 hour in micros
+    Tables.events(spark, dir).filter($"user_id" < 20)
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(dec($"value")).over(w).cast("double"))
+      .select($"user_id", $"event_id", $"ts", $"n_1h", $"sum_1h")
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_range_frame" -> (winRangeFrame _),
     "win_first_last" -> (winFirstLast _),
     "win_row_number" -> (winRowNumber _),
     "win_rank_dense" -> (winRankDense _),
@@ -108,6 +122,14 @@ object Windows {
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "win_range_frame" ->
+      s"""SELECT user_id, event_id, ts,
+         |  COUNT(*) OVER w AS n_1h,
+         |  CAST(SUM(CAST(value AS $D)) OVER w AS DOUBLE) AS sum_1h
+         |FROM events WHERE user_id < 20
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_id""".stripMargin,
     "win_first_last" ->
       """SELECT user_id, event_id, ts,
         |  FIRST_VALUE(event_id) OVER w AS first_id,
