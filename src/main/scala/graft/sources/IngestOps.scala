@@ -213,8 +213,9 @@ object IngestOps {
   def partitionPruneScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val out = tmp("events_partitioned")
-    if (!new java.io.File(out).exists())
-      writePartitioned(spark, dir).collect()
+    // always rewrite: a dir left by a previous run at a different scale
+    // factor would silently serve stale data
+    writePartitioned(spark, dir).collect()
     spark.read.parquet(out)
       .filter($"day" === 15 || $"day" === 16)
       .groupBy($"day".cast("long").as("day"))
