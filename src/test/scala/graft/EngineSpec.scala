@@ -36,6 +36,28 @@ class EngineSpec extends SparkSpecBase {
     }
   }
 
+  test("gen_nested: ~20% sparsity, 1-3 policies each, object_ids unique") {
+    val rows = operators.GenOps.genNested(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    // 20% of 1000 rows carry policies (hash-mix, so approximately)
+    assert(byDoc.size > 150 && byDoc.size < 250, s"docs=${byDoc.size}")
+    byDoc.values.foreach(g => assert(g.length >= 1 && g.length <= 3))
+    val ids = rows.map(_.getInt(5))
+    assert(ids.distinct.length == ids.length, "object_id collision")
+    val types = rows.map(_.getString(1)).distinct.toSet
+    assert(types == Set("dlp", "rate_limit", "content_filter"))
+  }
+
+  test("gen_ratelimit: ~50% of rows, 1-2 tags from the fixed vocabulary") {
+    val rows = operators.GenOps.genRatelimit(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.size > 400 && byDoc.size < 600, s"rows=${byDoc.size}")
+    byDoc.values.foreach(g => assert(g.length >= 1 && g.length <= 2))
+    val vocab = Set("token_bucket", "sliding_window", "fixed_window",
+      "adaptive_limit")
+    rows.foreach(r => assert(vocab.contains(r.getString(2))))
+  }
+
   test("AIG schema: required fields are NOT NULL (Validator:65-68)") {
     val s = operators.GenOps.aigSchema
     val required = Set("tenant_id", "home_pop", "service_id", "timestamp")
