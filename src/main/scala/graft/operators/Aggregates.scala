@@ -143,20 +143,36 @@ object Aggregates {
   }
 
   /** ROLLUP over region→nation revenue; null group keys are coalesced to a
-    * sentinel so sort order is engine-independent (SURVEY §7.3). */
+    * sentinel so sort order is engine-independent (SURVEY §7.3).
+    *
+    * Scale shape: the fact side is partially aggregated per orderkey BEFORE
+    * the dimension joins, and the rollup's Expand runs over the ~25
+    * (region, nation) grouped rows — not over raw joined lineitem rows.
+    * Rolling up raw fact rows triples the Expand input at any scale; with
+    * pre-aggregation the Expand cost is constant in the fact size. All
+    * sums stay exact decimal until the final double cast, so partial
+    * aggregation cannot perturb the oracle hash. */
   def aggRollup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir)
-    val o = Tables.orders(spark, dir)
-    val c = Tables.customer(spark, dir)
+    val liAgg = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("li_n"),
+        sum(dec($"l_extendedprice")).as("li_rev"))
+    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    val c = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
     val n = Tables.nation(spark, dir)
-    val r = Tables.region(spark, dir)
-    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+    val r = Tables.region(spark, dir).select($"r_regionkey", $"r_name")
+    val perNation = liAgg
+      .join(o, $"l_orderkey" === $"o_orderkey")
       .join(c, $"o_custkey" === $"c_custkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum($"li_n").as("nn"), sum($"li_rev").as("nrev"))
+    perNation
       .rollup($"r_name", $"n_name")
-      .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("revenue"))
+      .agg(sum($"nn").as("n"), sum($"nrev").cast("double").as("revenue"))
       .select(
         coalesce($"r_name", lit("ALL")).as("region"),
         coalesce($"n_name", lit("ALL")).as("nation"),

@@ -85,16 +85,16 @@ object DedupOps {
     * Docs whose true Jaccard ≥ threshold are found with probability
     * 1-(1-t^bandSize)^(nHashes/bandSize) (the LSH S-curve).
     *
-    * Scale note: the shingle relation feeds three consumers (signatures,
-    * sizes, intersection counts); locally AQE's runtime exchange reuse
-    * covers it, but at 100 TB materialize it once
-    * (`sh.persist(DISK_ONLY)` or a staged write) so the explode isn't
-    * recomputed per consumer. */
+    * Scale note: the shingle relation feeds two consumers (signatures and
+    * the candidate-restricted confirm stage), so it is persisted once —
+    * the explode is not recomputed per consumer. Locally memory-and-disk;
+    * at 100 TB swap for DISK_ONLY or a staged parquet write. */
   def minhashPipeline(docs: DataFrame, nHashes: Int, bandSize: Int,
       threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = docs.select($"doc_id", explode(shingles3($"text")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // minhash signature: per doc, min over shingles of xxhash64(seed, s)
     val sigCols = (0 until nHashes).map(i =>
       min(xxhash64(lit(i), $"s")).as(s"h$i"))
@@ -111,9 +111,19 @@ object DedupOps {
         $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("da"), $"y.doc_id".as("db")).distinct()
-    // confirm with exact jaccard on the candidates only
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // confirm with exact jaccard on the candidates only. The shingle
+    // relation is semi-joined down to candidate doc_ids FIRST, so the
+    // intersection join's input is bounded by what the banding produced —
+    // at 100 TB the expensive co-shingle join runs over the (tiny)
+    // candidate subset, not the full corpus. (Joining all co-shingled
+    // pairs and filtering to candidates afterwards would cost the same as
+    // no LSH at all: Catalyst cannot push the candidate set into the
+    // aggregation below the join.)
+    val candIds = cand.select($"da".as("doc_id"))
+      .union(cand.select($"db".as("doc_id"))).distinct()
+    val csh = sh.join(candIds, Seq("doc_id"), "left_semi")
+    val sz = csh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = csh.as("a").join(csh.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
       .agg(count(lit(1)).as("inter"))

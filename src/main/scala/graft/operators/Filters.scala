@@ -126,6 +126,37 @@ object Filters {
       .orderBy($"l_orderkey", $"line")
   }
 
+  /** MapType reshape (`Nested:262-277`, the MAP branch of the recursive
+    * record copier, struct-valued): pack each order's lineitems into a
+    * map<line → struct<qty,price>>, copy/reshape every entry with
+    * transform_values (rebuild the value struct — the copier's
+    * struct-in-map path), then explode map_entries back out flat so the
+    * DuckDB twin can hash it. */
+  def reshapeMap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // l_linenumber repeats within an order in this corpus, and map keys
+    // must be unique — pre-aggregate per (order, line) first
+    val perLine = Tables.lineitem(spark, dir)
+      .filter($"l_orderkey" < 300)
+      .groupBy($"l_orderkey", $"l_linenumber")
+      .agg(sum($"l_quantity").as("qty"),
+        sum(dec($"l_extendedprice")).as("price"))
+    val packed = perLine
+      .groupBy($"l_orderkey")
+      .agg(map_from_entries(sort_array(collect_list(struct(
+        $"l_linenumber",
+        struct($"qty", $"price").as("v"))))).as("by_line"))
+    val reshaped = packed.select($"l_orderkey",
+      transform_values($"by_line", (_, v) => struct(
+        (v.getField("qty") * 2).as("qty2"),
+        v.getField("price").cast("double").as("price"))).as("by_line"))
+    reshaped
+      .select($"l_orderkey", explode(map_entries($"by_line")).as("e"))
+      .select($"l_orderkey", $"e.key".as("line"),
+        $"e.value.qty2".as("qty2"), $"e.value.price".as("price"))
+      .orderBy($"l_orderkey", $"line")
+  }
+
   /** Add missing partition columns to an inferred schema
     * (`Bulk:120-126`): derive year/month/day ints from data. */
   def addCols(spark: SparkSession, dir: String): DataFrame = {
@@ -139,6 +170,7 @@ object Filters {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reshape_map" -> (reshapeMap _),
     "add_cols" -> (addCols _),
     "reshape_list_struct" -> (reshapeListStruct _),
     "project_cols" -> (projectCols _),
@@ -150,6 +182,14 @@ object Filters {
     "reshape_nested" -> (reshapeNested _))
 
   val oracles: Map[String, String] = Map(
+    "reshape_map" ->
+      """WITH per_line AS (
+        |  SELECT l_orderkey, l_linenumber, SUM(l_quantity) AS qty,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS price
+        |  FROM lineitem WHERE l_orderkey < 300 GROUP BY 1, 2)
+        |SELECT l_orderkey, l_linenumber AS line, qty * 2 AS qty2,
+        |  CAST(price AS DOUBLE) AS price
+        |FROM per_line ORDER BY l_orderkey, line""".stripMargin,
     "add_cols" ->
       """SELECT event_id, year(ts) AS year, month(ts) AS month,
         |  day(ts) AS day, event_type

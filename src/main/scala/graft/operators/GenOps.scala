@@ -162,6 +162,46 @@ object GenOps {
       .orderBy($"gen_id", $"object_id")
   }
 
+  /** `gen_file_structs` — the cs_files/rs_files file-metadata generator
+    * (`Creator:313-338`; element schema `Validator:110-131`): cs on 30% of
+    * rows / rs on 25%, 1–2 structs each, fields object_id / purpose / type
+    * / mime_type / filename / bytes(100..9999) / create_at (within the
+    * hour before update_at). Same determinism deltas as gen_events
+    * (wall clock → baseMs literal, ThreadLocalRandom → hash-mix), same
+    * flatten-via-explode strategy as gen_nested so DuckDB can hash it. */
+  def genFileStructs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val i = $"id"
+    val mimes = array(lit("text/plain"), lit("application/json"))
+    def fileKind(kind: String, purpose: String, pct: Int, saltP: Long,
+        saltN: Long): DataFrame = {
+      val tpe = if (purpose == "input") "prompt" else "response"
+      val nFiles = (lit(1) + mix(i, saltN, 2L)).cast("int")
+      val files = transform(sequence(lit(0), nFiles - 1), j => struct(
+        (lit(3000) + i + j).cast("int").as("object_id"),
+        lit(purpose).as("purpose"),
+        lit(tpe).as("type"),
+        element_at(mimes, (pmod(i + j, lit(2L)) + 1).cast("int"))
+          .as("mime_type"),
+        concat(lit(purpose + "_"), i.cast("string"), lit("_"),
+          j.cast("string"), lit(".txt")).as("filename"),
+        (lit(100) + mix(i * 2 + j, 1409L, 9900L)).cast("long").as("bytes"),
+        (lit(baseMs) - mix(i + j, 1511L, 3600000L)).as("create_at"),
+        lit(baseMs).as("update_at")))
+      spark.range(1000)
+        .filter(mix(i, saltP, 100L) < pct)
+        .select(i.as("gen_id"), lit(kind).as("kind"), explode(files).as("f"))
+    }
+    fileKind("cs", "input", 30, 1009L, 1201L)
+      .unionByName(fileKind("rs", "output", 25, 1103L, 1301L))
+      .select($"gen_id", $"kind", $"f.object_id".as("object_id"),
+        $"f.purpose".as("purpose"), $"f.type".as("type"),
+        $"f.mime_type".as("mime_type"), $"f.filename".as("filename"),
+        $"f.bytes".as("bytes"), $"f.create_at".as("create_at"),
+        $"f.update_at".as("update_at"))
+      .orderBy($"kind", $"gen_id", $"object_id")
+  }
+
   /** `gen_ratelimit` — list<string> tag generator (`Creator:340-352`:
     * 50% of rows, 1–2 tags from a fixed vocabulary), exploded flat. */
   def genRatelimit(spark: SparkSession, dir: String): DataFrame = {
@@ -180,6 +220,7 @@ object GenOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gen_file_structs" -> (genFileStructs _),
     "gen_ratelimit" -> (genRatelimit _),
     "gen_nested" -> (genNested _),
     "gen_events" -> (genEvents _),
@@ -220,6 +261,30 @@ object GenOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "gen_file_structs" ->
+      s"""WITH cs AS (
+         |  SELECT i, 'cs' AS kind, 'input' AS purpose, 'prompt' AS type,
+         |    1 + (i * 2654435761 + 1201) % 2 AS nf
+         |  FROM range(1000) t(i)
+         |  WHERE (i * 2654435761 + 1009) % 100 < 30),
+         |rs AS (
+         |  SELECT i, 'rs' AS kind, 'output' AS purpose, 'response' AS type,
+         |    1 + (i * 2654435761 + 1301) % 2 AS nf
+         |  FROM range(1000) t(i)
+         |  WHERE (i * 2654435761 + 1103) % 100 < 25),
+         |fb AS (SELECT * FROM cs UNION ALL SELECT * FROM rs)
+         |SELECT i AS gen_id, kind,
+         |  CAST(3000 + i + j AS INT) AS object_id, purpose, type,
+         |  (['text/plain','application/json'])[CAST((i + j) % 2 AS INT) + 1]
+         |    AS mime_type,
+         |  purpose || '_' || CAST(i AS VARCHAR) || '_' ||
+         |    CAST(j AS VARCHAR) || '.txt' AS filename,
+         |  CAST(100 + ((i * 2 + j) * 2654435761 + 1409) % 9900 AS BIGINT)
+         |    AS bytes,
+         |  $baseMs - ((i + j) * 2654435761 + 1511) % 3600000 AS create_at,
+         |  $baseMs AS update_at
+         |FROM fb, unnest(range(0, nf)) AS u(j)
+         |ORDER BY kind, gen_id, object_id""".stripMargin,
     "gen_ratelimit" ->
       """SELECT i AS gen_id, j AS pos,
         |  (['token_bucket','sliding_window','fixed_window','adaptive_limit'])

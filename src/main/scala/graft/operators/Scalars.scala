@@ -120,6 +120,20 @@ object Scalars {
       .orderBy($"event_id")
   }
 
+  /** `fn_rand_int` — seeded random ints in [50, 5000)
+    * (`Creator:244-248` ThreadLocalRandom.nextInt(50, 5000)). rand(seed)
+    * is deterministic per seed but its stream is engine-specific, so the
+    * oracle checks the distribution contract — count, range bounds, coarse
+    * mean — not the stream values (SURVEY §7.3 determinism note). */
+  def fnRandInt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.range(10000)
+      .select((lit(50) + floor(rand(42) * 4950)).cast("int").as("v"))
+      .agg(count(lit(1)).as("n"),
+        (min($"v") >= 50 && max($"v") < 5000).as("in_range"),
+        avg($"v").between(2300, 2750).as("mean_centered"))
+  }
+
   /** Exact math scalars: abs/ceil/floor/sign/mod/greatest/least. */
   def fnMath(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -213,10 +227,14 @@ object Scalars {
     "fn_null_safe_cast" -> (fnNullSafeCast _),
     "fn_json_extract" -> (fnJsonExtract _),
     "fn_mod_cycle" -> (fnModCycle _),
+    "fn_rand_int" -> (fnRandInt _),
     "fn_math" -> (fnMath _),
     "explode_array" -> (explodeArray _))
 
   val oracles: Map[String, String] = Map(
+    "fn_rand_int" ->
+      """SELECT CAST(10000 AS BIGINT) AS n, true AS in_range,
+        |  true AS mean_centered""".stripMargin,
     "fn_date_arith" ->
       """SELECT o_orderkey, o_orderdate,
         |  o_orderdate + INTERVAL 30 DAY AS due_date,

@@ -64,6 +64,17 @@ object SetOps {
       .limit(10)
   }
 
+  /** `limit_first` — first-record probe (`Hidden:214-217`: read one record
+    * of a file to extract its partition value); the earliest event by
+    * (ts, event_id), planned as TakeOrdered — no full sort. */
+  def limitFirst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+      .limit(1)
+  }
+
   /** limit-n probe (`Debug:119-122`: first 5 records) with a total order
     * for determinism (SURVEY §7.3). */
   def limitN(spark: SparkSession, dir: String): DataFrame = {
@@ -92,6 +103,7 @@ object SetOps {
     "setop_intersect" -> (setopIntersect _),
     "setop_except" -> (setopExcept _),
     "topk_orders" -> (topkOrders _),
+    "limit_first" -> (limitFirst _),
     "limit_n" -> (limitN _))
 
   val oracles: Map[String, String] = Map(
@@ -124,6 +136,9 @@ object SetOps {
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
         |FROM orders
         |ORDER BY totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "limit_first" ->
+      """SELECT event_id, ts, user_id, event_type FROM events
+        |ORDER BY ts, event_id LIMIT 1""".stripMargin,
     "limit_n" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id LIMIT 5""".stripMargin)

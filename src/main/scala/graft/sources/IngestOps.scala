@@ -69,6 +69,20 @@ object IngestOps {
       .orderBy($"pos")
   }
 
+  /** `schema_convert` — parquet physical schema → engine schema
+    * (`ParquetSchemaUtil.convert` at `Main:37`, `Hidden:119`): the footer's
+    * MessageType (int64 / list<float> / int32) surfaces as Spark SQL types
+    * with nullability, over the nested-typed embeddings table so the
+    * list-element conversion is exercised too. */
+  def schemaConvert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = Tables.embeddings(spark, dir).schema
+    schema.fields.zipWithIndex
+      .map { case (f, i) => (i.toLong, f.name, f.dataType.sql, f.nullable) }
+      .toSeq.toDF("pos", "col_name", "data_type", "nullable")
+      .orderBy($"pos")
+  }
+
   /** `write_parquet_zstd` — zstd parquet sink + re-read round-trip
     * (`Local:98-133` append loop; here one distributed write). */
   def writeParquetZstd(spark: SparkSession, dir: String): DataFrame = {
@@ -205,6 +219,25 @@ object IngestOps {
       .orderBy($"key")
   }
 
+  /** Scale-factor-keyed partitioned layout, written once and reused: the
+    * dir name embeds the source dir, so a layout left by a run at another
+    * scale factor can never be served, and re-invocations measure the
+    * pruned READ, not a rewrite. */
+  private def partitionedLayout(spark: SparkSession, dir: String): String = {
+    val out = tmp("events_partitioned_" + dir.replaceAll("[^A-Za-z0-9.]+", "_"))
+    val success = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
+      eventsWithParts(spark, dir)
+        .repartition(col("year"), col("month"), col("day"))
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .partitionBy("year", "month", "day")
+        .parquet(out)
+    }
+    out
+  }
+
   /** `partition_prune_scan` — metadata-pruned read of the partitioned
     * layout (`TimeEx:180-195` planTasks over manifests): a partition-column
     * predicate prunes directories before any row is read (file-count
@@ -212,10 +245,7 @@ object IngestOps {
     * touched. */
   def partitionPruneScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = tmp("events_partitioned")
-    // always rewrite: a dir left by a previous run at a different scale
-    // factor would silently serve stale data
-    writePartitioned(spark, dir).collect()
+    val out = partitionedLayout(spark, dir)
     spark.read.parquet(out)
       .filter($"day" === 15 || $"day" === 16)
       .groupBy($"day".cast("long").as("day"))
@@ -223,11 +253,58 @@ object IngestOps {
       .orderBy($"day")
   }
 
+  /** `snapshot_log` — minimal versioned-manifest emulation of the Iceberg
+    * snapshot history walk (`Debug:164-196`: per-snapshot id, timestamp,
+    * operation, added-file and record counts; time-travel listing
+    * `TimeEx:198-230`). Three batch appends land like `Bulk:97-101`
+    * commits; after each, the "manifest" row records files/rows added and
+    * the cumulative table size. File counts come from a filesystem listing
+    * (manifest metadata, O(#files) — no row reads), row counts from ONE
+    * per-day aggregate collected up front (31 rows). Commit timestamps are
+    * literals per SURVEY §7.3 (the reference stamps wall clock). */
+  def snapshotLog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("events_snapshots")
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ev = eventsWithParts(spark, dir).filter(col("day").between(1, 15))
+    val dayRows = ev.groupBy($"day").count()
+      .as[(Int, Long)].collect().toMap
+    def parquetFiles(): Long = {
+      val it = fs.listFiles(outPath, true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    var prevFiles = 0L
+    var totalRows = 0L
+    val log = Seq((1, 5), (6, 10), (11, 15)).zipWithIndex.map {
+      case ((lo, hi), idx) =>
+        val mode = if (idx == 0) SaveMode.Overwrite else SaveMode.Append
+        ev.filter($"day".between(lo, hi)).repartition($"day")
+          .write.mode(mode).partitionBy("day").parquet(out)
+        val nf = parquetFiles()
+        val addedRows = (lo to hi).map(dayRows.getOrElse(_, 0L)).sum
+        val addedFiles = nf - prevFiles
+        prevFiles = nf
+        totalRows += addedRows
+        (idx + 1L, 1705276800000L + (idx + 1) * 1000L, "append",
+          addedFiles, addedRows, totalRows)
+    }
+    log.toDF("snapshot_id", "committed_ms", "operation", "n_files",
+      "n_rows", "total_rows")
+      .orderBy($"snapshot_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "snapshot_log" -> (snapshotLog _),
     "partition_prune_scan" -> (partitionPruneScan _),
     "table_props" -> (tableProps _),
     "scan_parquet" -> (scanParquet _),
     "scan_schema_only" -> (scanSchemaOnly _),
+    "schema_convert" -> (schemaConvert _),
     "schema_infer_sample" -> (schemaInferSample _),
     "write_parquet_zstd" -> (writeParquetZstd _),
     "write_partitioned" -> (writePartitioned _),
@@ -239,6 +316,20 @@ object IngestOps {
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "snapshot_log" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN day(ts) <= 5 THEN 1
+        |              WHEN day(ts) <= 10 THEN 2 ELSE 3 END AS snapshot_id,
+        |         day(ts) AS d
+        |  FROM events WHERE day(ts) BETWEEN 1 AND 15)
+        |SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id,
+        |  CAST(1705276800000 + snapshot_id * 1000 AS BIGINT) AS committed_ms,
+        |  'append' AS operation,
+        |  CAST(COUNT(DISTINCT d) AS BIGINT) AS n_files,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(COUNT(*)) OVER (ORDER BY snapshot_id) AS BIGINT)
+        |    AS total_rows
+        |FROM b GROUP BY snapshot_id ORDER BY snapshot_id""".stripMargin,
     "partition_prune_scan" ->
       """SELECT day(ts) AS day, COUNT(*) AS n,
         |  COUNT(DISTINCT user_id) AS n_users
@@ -269,6 +360,12 @@ object IngestOps {
         |  (9, 'l_linestatus', 'STRING'),
         |  (10, 'l_shipdate', 'TIMESTAMP_NTZ')
         |) AS t(pos, col_name, data_type) ORDER BY pos""".stripMargin,
+    "schema_convert" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'vec_id', 'BIGINT', true),
+        |  (1, 'embedding', 'ARRAY<FLOAT>', true),
+        |  (2, 'label', 'INT', true)
+        |) AS t(pos, col_name, data_type, nullable) ORDER BY pos""".stripMargin,
     "schema_infer_sample" ->
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), 'o_orderkey', 'BIGINT'),

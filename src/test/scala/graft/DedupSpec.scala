@@ -48,6 +48,18 @@ class DedupSpec extends SparkSpecBase {
     got.foreach(r => assert(r.getDouble(2) >= 0.4))
   }
 
+  test("minhash confirm stage is bounded by LSH candidates (left-semi)") {
+    // the exact-Jaccard join must consume the candidate-restricted shingle
+    // relation — a full co-shingle self-join would defeat the banding at
+    // scale. The restriction is a left-semi join of shingles against the
+    // candidate doc_ids, visible in the optimized plan.
+    val df = DedupOps.minhashPipeline(plantedDocs, nHashes = 16,
+      bandSize = 4, threshold = 0.4)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"expected LeftSemi candidate restriction in plan:\n$plan")
+  }
+
   test("simhash: near-dups within hamming 3, distinct docs far apart") {
     val got = DedupOps.simhashPipeline(plantedDocs, maxHamming = 3)
       .collect()

@@ -48,6 +48,27 @@ class EngineSpec extends SparkSpecBase {
     assert(types == Set("dlp", "rate_limit", "content_filter"))
   }
 
+  test("gen_file_structs: 30%/25% sparsity, 1-2 files, mime/bytes domains") {
+    val rows = operators.GenOps.genFileStructs(spark, sf).collect()
+    val byKind = rows.groupBy(_.getString(1))
+    // 61 is coprime to 100, so the hash-mix residues are exactly uniform
+    // over 1000 consecutive ids: 300 cs carriers and 250 rs carriers
+    assert(byKind("cs").map(_.getLong(0)).distinct.length == 300)
+    assert(byKind("rs").map(_.getLong(0)).distinct.length == 250)
+    rows.groupBy(r => (r.getString(1), r.getLong(0))).values
+      .foreach(g => assert(g.length >= 1 && g.length <= 2))
+    val mimes = rows.map(_.getString(5)).distinct.toSet
+    assert(mimes == Set("text/plain", "application/json"))
+    rows.foreach { r =>
+      val bytes = r.getLong(7)
+      assert(bytes >= 100 && bytes <= 9999, s"bytes=$bytes")
+      // create_at within the hour before update_at (Creator:330-332)
+      assert(r.getLong(9) - r.getLong(8) >= 0 &&
+        r.getLong(9) - r.getLong(8) < 3600000)
+      assert(r.getString(6).matches("(input|output)_\\d+_[01]\\.txt"))
+    }
+  }
+
   test("gen_ratelimit: ~50% of rows, 1-2 tags from the fixed vocabulary") {
     val rows = operators.GenOps.genRatelimit(spark, sf).collect()
     val byDoc = rows.groupBy(_.getLong(0))
