@@ -107,10 +107,14 @@ object DedupOps {
     }
     val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
       .select($"doc_id", $"bb.band", $"bb.bucket")
+    // cand is consumed three times (both branches of the candIds union and
+    // the final confirm join); persist it or the whole signature+banding
+    // subtree re-executes per consumer — tiny relation, big recompute
     val cand = buckets.as("x").join(buckets.as("y"),
         $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("da"), $"y.doc_id".as("db")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // confirm with exact jaccard on the candidates only. The shingle
     // relation is semi-joined down to candidate doc_ids FIRST, so the
     // intersection join's input is bounded by what the banding produced —
