@@ -21,7 +21,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
@@ -35,6 +35,13 @@ object Bench {
     // stdout tail, and the 100+-entry line above overflows it (r1 had
     // parsed:null). A failed query is an error entry, never a fake timing.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    // full per-query detail ALSO goes to a file: the driver's stdout tail
+    // truncates the 100+-entry line, which left 48/108 timings
+    // unrecoverable in r3 — BENCH_SUMMARY.json is the durable record
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_SUMMARY.json"),
+      s"""{"total":$total,"n_queries":${results.size},"cpus":"$cpus","errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

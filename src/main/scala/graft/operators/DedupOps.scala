@@ -85,21 +85,26 @@ object DedupOps {
     * Docs whose true Jaccard ≥ threshold are found with probability
     * 1-(1-t^bandSize)^(nHashes/bandSize) (the LSH S-curve).
     *
-    * Scale note: the shingle relation feeds two consumers (signatures and
-    * the candidate-restricted confirm stage), so it is persisted once —
-    * the explode is not recomputed per consumer. Locally memory-and-disk;
-    * at 100 TB swap for DISK_ONLY or a staged parquet write. */
+    * Scale design: the shingle set stays an ARRAY column end-to-end — no
+    * explode, no shuffle for signatures (array_min over a transform is a
+    * narrow codegen'd pass), and the confirm joins the candidate PAIR list
+    * back to the per-doc sets and scores each pair with one
+    * `array_intersect`. Total work is ∝ |candidate pairs|: a shingle shared
+    * by k candidate docs costs k set-membership probes, not the k² join
+    * rows a co-shingle self-join would emit. The only wide stages are the
+    * band-bucket self-join and the two pair→set hash joins. */
   def minhashPipeline(docs: DataFrame, nHashes: Int, bandSize: Int,
       threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = docs.select($"doc_id", explode(shingles3($"text")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // minhash signature: per doc, min over shingles of xxhash64(seed, s)
+    // per-doc distinct shingle set, carried as an array column
+    val sets = docs.select($"doc_id", shingles3($"text").as("ss"))
+    // minhash signature: per doc, min over shingles of xxhash64(seed, s) —
+    // pure expressions over the set, zero shuffle
     val sigCols = (0 until nHashes).map(i =>
-      min(xxhash64(lit(i), $"s")).as(s"h$i"))
-    val sig = sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
-    // bands: hash the 4-tuple of each band → bucket key
+      array_min(transform($"ss", s => xxhash64(lit(i), s))).as(s"h$i"))
+    val sig = sets.select(($"doc_id" +: sigCols): _*)
+    // bands: hash the bandSize-tuple of each band → bucket key
     val bandCols = (0 until nHashes / bandSize).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * bandSize until (b + 1) * bandSize)
@@ -107,35 +112,21 @@ object DedupOps {
     }
     val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
       .select($"doc_id", $"bb.band", $"bb.bucket")
-    // cand is consumed three times (both branches of the candIds union and
-    // the final confirm join); persist it or the whole signature+banding
-    // subtree re-executes per consumer — tiny relation, big recompute
     val cand = buckets.as("x").join(buckets.as("y"),
         $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("da"), $"y.doc_id".as("db")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // confirm with exact jaccard on the candidates only. The shingle
-    // relation is semi-joined down to candidate doc_ids FIRST, so the
-    // intersection join's input is bounded by what the banding produced —
-    // at 100 TB the expensive co-shingle join runs over the (tiny)
-    // candidate subset, not the full corpus. (Joining all co-shingled
-    // pairs and filtering to candidates afterwards would cost the same as
-    // no LSH at all: Catalyst cannot push the candidate set into the
-    // aggregation below the join.)
-    val candIds = cand.select($"da".as("doc_id"))
-      .union(cand.select($"db".as("doc_id"))).distinct()
-    val csh = sh.join(candIds, Seq("doc_id"), "left_semi")
-    val sz = csh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = csh.as("a").join(csh.as("b"),
-        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
-      .agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("da", "db"))
-      .join(sz.select($"doc_id".as("da"), $"n".as("na")), "da")
-      .join(sz.select($"doc_id".as("db"), $"n".as("nb")), "db")
-      .withColumn("jaccard",
-        $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+    // confirm: look up both docs' shingle sets for each candidate pair and
+    // compute exact Jaccard via array_intersect — the join output (and the
+    // intersection work) is bounded by |candidate pairs|, immune to
+    // high-frequency-shingle blowup
+    cand
+      .join(sets.select($"doc_id".as("da"), $"ss".as("ssa")), "da")
+      .join(sets.select($"doc_id".as("db"), $"ss".as("ssb")), "db")
+      .withColumn("inter",
+        size(array_intersect($"ssa", $"ssb")).cast("long"))
+      .withColumn("jaccard", $"inter".cast("double") /
+        (size($"ssa") + size($"ssb") - $"inter"))
       .filter($"jaccard" >= threshold)
       .select($"da", $"db", round($"jaccard", 6).as("jaccard"))
       .orderBy($"da", $"db")

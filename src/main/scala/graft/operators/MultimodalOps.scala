@@ -10,10 +10,10 @@ import graft.sources.Tables
   * Media payloads are opaque `binary` columns + typed metadata structs —
   * the reference's `cs_files list<struct<mime_type, bytes, ...>>` model
   * (`AIGEventsSchemaValidator.java:110-131`) generalized. The decode step
-  * is STUBBED with a deterministic fake (no image/audio libs in this
-  * container — see builder brief); the Spark-side plumbing (schema,
-  * batching, partition-parallel map) is real: swap `fakeDecode` for a
-  * JNI/library call and nothing else changes.
+  * parses the actual payload bytes (length, header bytes, checksum, head
+  * digest) — deterministic and oracle-checked; a real image/audio decoder
+  * (not present in this container) slots in at the same `decodePayload`
+  * signature and partition-parallel batch shape with no other change.
   */
 object MultimodalOps {
 
@@ -58,19 +58,23 @@ object MultimodalOps {
       .orderBy($"doc_id")
   }
 
-  /** Output schema of the stubbed decoder. */
+  /** Output schema of the payload decoder. */
   private val decodedSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("n_channels", IntegerType, nullable = false),
-    StructField("feature_norm", DoubleType, nullable = false)))
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("header_a", IntegerType, nullable = false),
+    StructField("header_b", IntegerType, nullable = false),
+    StructField("byte_sum", LongType, nullable = false),
+    StructField("head_md5", StringType, nullable = false)))
 
   /** `multimodal_decode` — partition-parallel decode/feature-extract over
     * binary payloads via mapPartitions (the Scala analog of mapInPandas
-    * batch UDFs). `fakeDecode` is the deterministic stub standing in for a
-    * real image decoder. Rows-only check (the stub is engine-internal);
-    * MultimodalSpec asserts the plumbing. */
+    * batch UDFs). `decodePayload` genuinely parses the bytes — payload
+    * length, the two leading "header" bytes, a full byte checksum, and an
+    * MD5 of the 16-byte head — so the op is deterministic and
+    * hash-checked against a DuckDB oracle (payloads here are ASCII text
+    * bytes, making the byte-level parse SQL-expressible; a real image
+    * decoder slots in at the same signature and batch shape). */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val payloads = Tables.documents(spark, dir)
@@ -81,20 +85,25 @@ object MultimodalOps {
       it.map { row =>
         val id = row.getLong(0)
         val bytes = row.getAs[Array[Byte]](1)
-        fakeDecode(id, bytes)
+        decodePayload(id, bytes)
       }
     }(enc).orderBy($"doc_id")
   }
 
-  /** Deterministic stand-in for an image decode + feature extraction:
-    * derives fake dimensions from the payload length and a fake feature
-    * norm from a byte checksum. Replace with a real decoder at the same
-    * signature. */
-  private def fakeDecode(id: Long, bytes: Array[Byte]): Row = {
+  /** Real byte-level parse of a payload: length, leading header bytes,
+    * byte checksum, digest of the 16-byte head. Deterministic. */
+  private def decodePayload(id: Long, bytes: Array[Byte]): Row = {
     val n = bytes.length
-    val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) %
-      1000000007L)
-    Row(id, 64 + n % 64, 64 + n % 48, 3, (checksum % 100000) / 1000.0)
+    val headerA = if (n > 0) bytes(0) & 0xff else 0
+    val headerB = if (n > 1) bytes(1) & 0xff else 0
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += bytes(i) & 0xff; i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(
+      java.util.Arrays.copyOfRange(bytes, 0, math.min(16, n)))
+    Row(id, n.toLong, headerA, headerB, sum,
+      digest.map("%02x".format(_)).mkString)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -103,6 +112,14 @@ object MultimodalOps {
     "multimodal_decode" -> (multimodalDecode _))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_decode" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  ascii(substr(text, 1, 1)) AS header_a,
+        |  ascii(substr(text, 2, 1)) AS header_b,
+        |  CAST(list_sum(list_transform(split(text, ''), c -> ascii(c)))
+        |    AS BIGINT) AS byte_sum,
+        |  md5(substr(text, 1, 16)) AS head_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, length(text) AS n_bytes, md5(text) AS payload_md5,
         |  'text/plain' AS mime_type, source AS origin,

@@ -48,16 +48,21 @@ class DedupSpec extends SparkSpecBase {
     got.foreach(r => assert(r.getDouble(2) >= 0.4))
   }
 
-  test("minhash confirm stage is bounded by LSH candidates (left-semi)") {
-    // the exact-Jaccard join must consume the candidate-restricted shingle
-    // relation — a full co-shingle self-join would defeat the banding at
-    // scale. The restriction is a left-semi join of shingles against the
-    // candidate doc_ids, visible in the optimized plan.
+  test("minhash confirm is pair-bounded array_intersect, not a " +
+    "co-shingle self-join") {
+    // the exact-Jaccard confirm must score each candidate pair with
+    // array_intersect over the two docs' shingle sets — a co-shingle
+    // self-join would emit k² rows for a shingle shared by k candidate
+    // docs and defeat the banding at scale. Plan shape: exactly 3 joins
+    // (band-bucket candidates + the two pair→set lookups) and an
+    // array_intersect in the projection.
     val df = DedupOps.minhashPipeline(plantedDocs, nHashes = 16,
       bandSize = 4, threshold = 0.4)
     val plan = df.queryExecution.optimizedPlan.toString
-    assert(plan.contains("LeftSemi"),
-      s"expected LeftSemi candidate restriction in plan:\n$plan")
+    assert(plan.contains("array_intersect"),
+      s"expected array_intersect confirm in plan:\n$plan")
+    val nJoins = "Join Inner".r.findAllIn(plan).size
+    assert(nJoins == 3, s"expected 3 joins, got $nJoins:\n$plan")
   }
 
   test("simhash: near-dups within hamming 3, distinct docs far apart") {

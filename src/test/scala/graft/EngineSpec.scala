@@ -104,14 +104,26 @@ class EngineSpec extends SparkSpecBase {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
-  test("multimodal decode: schema, determinism, partition-parallelism") {
+  test("multimodal decode: schema, determinism, real byte parse") {
+    import spark.implicits._
     val out = operators.MultimodalOps.multimodalDecode(spark, sf)
     assert(out.schema.fieldNames.sameElements(
-      Seq("doc_id", "width", "height", "n_channels", "feature_norm")))
+      Seq("doc_id", "n_bytes", "header_a", "header_b", "byte_sum",
+        "head_md5")))
     val a = out.collect()
     val b = operators.MultimodalOps.multimodalDecode(spark, sf).collect()
     assert(a.sameElements(b))
-    assert(a.length == 500)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(a.length == nDocs)
+    // cross-check one row against an independent driver-side parse
+    val doc0 = graft.sources.Tables.documents(spark, sf)
+      .filter($"doc_id" === 0).head.getAs[String]("text")
+    val bytes = doc0.getBytes("UTF-8")
+    val row = a.find(_.getLong(0) == 0L).get
+    assert(row.getLong(1) == bytes.length)
+    assert(row.getInt(2) == (bytes(0) & 0xff))
+    assert(row.getInt(3) == (bytes(1) & 0xff))
+    assert(row.getLong(4) == bytes.map(_ & 0xff).map(_.toLong).sum)
   }
 
   test("weighted-avg UDAF merge is order-independent (1 vs 8 partitions)") {
