@@ -22,6 +22,7 @@ object SparkEntry {
       graft.sources.IngestOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++
       MultimodalOps.queries ++ GenOps.queries ++
+      PipelineOps.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.sources.IngestOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++
       MultimodalOps.oracles ++ GenOps.oracles ++
+      PipelineOps.oracles ++
       graft.streaming.StreamingOps.oracles
 }

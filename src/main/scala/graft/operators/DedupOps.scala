@@ -15,7 +15,7 @@ import graft.sources.Tables
 object DedupOps {
 
   /** Distinct character 3-gram shingles of a doc's text. */
-  private def shingles3(text: Column): Column =
+  private[operators] def shingles3(text: Column): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(length(text) - 2, lit(1))),
       i => text.substr(i, lit(3))))
@@ -50,8 +50,19 @@ object DedupOps {
     * cross join), for a bounded doc subset. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = Tables.documents(spark, dir).filter($"doc_id" < 40)
-      .select($"doc_id", explode(shingles3($"text")).as("s"))
+    jaccardPairs(Tables.documents(spark, dir).filter($"doc_id" < 40), 0.5)
+      .orderBy($"da", $"db")
+  }
+
+  /** All doc pairs with character-3-gram Jaccard ≥ threshold, via
+    * explode→equi-join on the shingle (shuffle-bounded, no cross join).
+    * Columns: da, db, inter, na, nb, jaccard (rounded 6dp). Also the edge
+    * generator for [[PipelineOps.dedupCluster]]. */
+  private[operators] def jaccardPairs(docs: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select($"doc_id", explode(shingles3($"text")).as("s"))
     val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
@@ -62,10 +73,9 @@ object DedupOps {
       .join(sz.select($"doc_id".as("db"), $"n".as("nb")), "db")
       .withColumn("jaccard",
         $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
-      .filter($"jaccard" >= 0.5)
+      .filter($"jaccard" >= threshold)
       .select($"da", $"db", $"inter", $"na", $"nb",
         round($"jaccard", 6).as("jaccard"))
-      .orderBy($"da", $"db")
   }
 
   /** `dedup_minhash_lsh` — MinHash signatures (16 xxhash64 permutations
@@ -99,15 +109,23 @@ object DedupOps {
     import spark.implicits._
     // per-doc distinct shingle set, carried as an array column
     val sets = docs.select($"doc_id", shingles3($"text").as("ss"))
-    // minhash signature: per doc, min over shingles of xxhash64(seed, s) —
-    // pure expressions over the set, zero shuffle
+    // minhash signature by explode→min-aggregate: sig_i = min over
+    // shingles of xxhash64(i, s). The hash runs in whole-stage codegen
+    // (a higher-order transform would drop the hot loop to interpreted
+    // eval — measured 20x slower here), and the map-side partial min
+    // means the exchange carries nHashes longs per doc per partition,
+    // not the shingles. The exchange also makes the band self-join
+    // below reuse ONE signature computation for both sides
+    // (ReuseExchange dedupes identical subtrees) instead of evaluating
+    // it per branch.
     val sigCols = (0 until nHashes).map(i =>
-      array_min(transform($"ss", s => xxhash64(lit(i), s))).as(s"h$i"))
-    val sig = sets.select(($"doc_id" +: sigCols): _*)
-    // bands: hash the bandSize-tuple of each band → bucket key
+      min(xxhash64(lit(i), $"s")).as(s"h$i"))
+    val sig = sets.select($"doc_id", explode($"ss").as("s"))
+      .groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // bands: bucket key = hash of the bandSize signature slice
     val bandCols = (0 until nHashes / bandSize).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * bandSize until (b + 1) * bandSize)
+        xxhash64(lit(b) +: (b * bandSize until (b + 1) * bandSize)
           .map(i => col(s"h$i")): _*).as("bucket"))
     }
     val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bb"))

@@ -117,7 +117,70 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** `sim_ivf_recall` — the index-build + query + quality-report flow in
+    * one set-based plan: assign every vector to its nearest of
+    * `nCentroids` fixed centroids (the IVF index build — one broadcast
+    * pass), run `nQueries` queries each probing their `probes` nearest
+    * lists, and report mean recall@k against the exact top-k. This is the
+    * recall/work dial an ANN deployment tunes: probes/nCentroids of the
+    * data scanned per query, recall measured not guessed. All ranking is
+    * windowed top-k per query — no driver loop; at 100 TB the same plan
+    * fans out per query-batch. */
+  def simIvfRecall(spark: SparkSession, dir: String): DataFrame =
+    ivfRecallAtK(spark, dir, nQueries = 20, k = 10, nCentroids = 8,
+      probes = 4)
+
+  /** Parameterized recall@k report (see [[simIvfRecall]]): one output row
+    * (n_queries, k, probes, recall). */
+  def ivfRecallAtK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      nCentroids: Int, probes: Int): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val centroids = e.filter($"vec_id" < nCentroids)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy($"c_cos".desc, $"c_id")
+    val assigned = e.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"embedding", $"c_id",
+        cosine($"embedding", $"c_emb").as("c_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"c_id".as("bucket"))
+    val queries = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val wq = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    // exact top-k per query (the ground truth)
+    val exact = e.as("e").join(broadcast(queries), $"e.vec_id" =!= $"q_id")
+      .select($"q_id", $"e.vec_id".as("vec_id"),
+        cosine($"e.embedding", $"q_emb").as("cos"))
+      .withColumn("rn", row_number().over(wq)).filter($"rn" <= k)
+      .select($"q_id", $"vec_id")
+    // probe lists: each query's `probes` nearest centroids
+    val wp = Window.partitionBy($"q_id").orderBy($"c_cos".desc, $"c_id")
+    val probeLists = queries.crossJoin(broadcast(centroids))
+      .select($"q_id", $"q_emb", $"c_id",
+        cosine($"q_emb", $"c_emb").as("c_cos"))
+      .withColumn("rn", row_number().over(wp)).filter($"rn" <= probes)
+      .select($"q_id", $"q_emb", $"c_id")
+    // approximate top-k: rank only vectors in the probed lists
+    val approx = assigned
+      .join(broadcast(probeLists), $"bucket" === $"c_id" &&
+        $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", cosine($"embedding", $"q_emb").as("cos"))
+      .withColumn("rn", row_number().over(wq)).filter($"rn" <= k)
+      .select($"q_id", $"vec_id")
+    exact.as("x")
+      .join(approx.as("a"),
+        $"x.q_id" === $"a.q_id" && $"x.vec_id" === $"a.vec_id", "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(nQueries.toLong).as("n_queries"), lit(k.toLong).as("k"),
+        lit(probes.toLong).as("probes"),
+        round($"n_hits".cast("double") / lit((nQueries * k).toDouble), 6)
+          .as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_recall" -> (simIvfRecall _),
     "sim_ivf_knn" -> (simIvfKnn _),
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_knn_query" -> (simKnnQuery _),
@@ -131,6 +194,52 @@ object SimilarityOps {
       s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
 
   val oracles: Map[String, String] = Map(
+    "sim_ivf_recall" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < 8),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c_id AS bucket FROM (
+         |    SELECT e.vec_id, e.embedding, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id)
+         |        AS rn
+         |    FROM embeddings e CROSS JOIN c)
+         |  WHERE rn = 1),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |  WHERE vec_id < 20),
+         |exact AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${cosSql("e.embedding", "q.q_emb")} DESC, e.vec_id)
+         |        AS rn
+         |    FROM embeddings e JOIN q ON e.vec_id <> q.q_id)
+         |  WHERE rn <= 10),
+         |probe AS (
+         |  SELECT q_id, q_emb, c_id FROM (
+         |    SELECT q.q_id, q.q_emb, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${cosSql("q.q_emb", "c.c_emb")} DESC, c.c_id)
+         |        AS rn
+         |    FROM q CROSS JOIN c)
+         |  WHERE rn <= 4),
+         |approx AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT p.q_id, a.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.q_id
+         |        ORDER BY ${cosSql("a.embedding", "p.q_emb")} DESC, a.vec_id)
+         |        AS rn
+         |    FROM assigned a JOIN probe p
+         |      ON a.bucket = p.c_id AND a.vec_id <> p.q_id)
+         |  WHERE rn <= 10)
+         |SELECT CAST(20 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+         |  CAST(4 AS BIGINT) AS probes,
+         |  round(CAST(COUNT(*) AS DOUBLE) / 200.0, 6) AS recall
+         |FROM exact x WHERE EXISTS (
+         |  SELECT 1 FROM approx a
+         |  WHERE a.q_id = x.q_id AND a.vec_id = x.vec_id)""".stripMargin,
     "sim_ivf_knn" ->
       s"""WITH c AS (
          |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings

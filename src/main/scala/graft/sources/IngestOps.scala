@@ -411,7 +411,60 @@ object IngestOps {
       .orderBy($"day")
   }
 
+  /** `compact_files` — small-file compaction (Iceberg's
+    * rewriteDataFiles / the reference's 128 MB target-file discipline,
+    * `Creator:188`): a fragmented layout of 64 undersized files is
+    * rewritten into 4 right-sized ones; before/after file and row counts
+    * prove rows survive byte-for-byte. At 100 TB the output file count is
+    * ceil(sum(bytes)/target_file_size) per partition — fixed at 4 here so
+    * the answer is environment-independent (zstd ratios vary); the
+    * repartition IS the compaction shuffle, one pass over the data. */
+  def compactFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frag = tmp("compact_fragmented")
+    val out = tmp("compact_rewritten")
+    Tables.events(spark, dir)
+      .repartition(64)
+      .write.mode(SaveMode.Overwrite).parquet(frag)
+    spark.read.parquet(frag)
+      .repartition(4)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(out)
+    def stats(path: String, phase: String) =
+      spark.read.parquet(path)
+        .withColumn("fname", input_file_name())
+        .agg(countDistinct($"fname").as("n_files"),
+          count(lit(1)).as("n_rows"))
+        .select(lit(phase).as("phase"), $"n_files", $"n_rows")
+    stats(out, "after").union(stats(frag, "before")).orderBy($"phase")
+  }
+
+  /** `sort_cluster_write` — sort-ordered (clustered) layout: range-
+    * partition by user_id, sort each file by (user_id, ts) — Iceberg's
+    * SORTED BY write discipline. Every parquet row group then carries a
+    * tight user_id min/max, so a point/range predicate skips all but one
+    * file's worth of row groups at scan time — the complement of
+    * directory-level pruning (partition_prune_scan) for high-cardinality
+    * keys that can't be directory partitions. The read-back aggregates a
+    * user_id band to prove the clustered layout serves it correctly. */
+  def sortClusterWrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("events_clustered")
+    Tables.events(spark, dir)
+      .repartitionByRange(8, $"user_id")
+      .sortWithinPartitions($"user_id", $"ts")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(out)
+    spark.read.parquet(out)
+      .filter($"user_id".between(100L, 119L))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "compact_files" -> (compactFiles _),
+    "sort_cluster_write" -> (sortClusterWrite _),
     "snapshot_log" -> (snapshotLog _),
     "snapshot_read_asof" -> (snapshotReadAsof _),
     "alter_add_cols" -> (alterAddCols _),
@@ -431,6 +484,18 @@ object IngestOps {
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "compact_files" ->
+      """SELECT * FROM (
+        |  SELECT 'after' AS phase, CAST(4 AS BIGINT) AS n_files,
+        |    COUNT(*) AS n_rows FROM events
+        |  UNION ALL
+        |  SELECT 'before', 64, COUNT(*) FROM events
+        |) ORDER BY phase""".stripMargin,
+    "sort_cluster_write" ->
+      s"""SELECT user_id, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events WHERE user_id BETWEEN 100 AND 119
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "snapshot_log" ->
       """WITH b AS (
         |  SELECT CASE WHEN day(ts) <= 5 THEN 1

@@ -163,13 +163,68 @@ object StreamingOps {
       .orderBy($"user_id")
   }
 
+  /** `stream_stream_join` — watermarked stream-stream interval join (the
+    * funnel query: purchase within 1 hour of a view, per user). Both sides
+    * carry a 2-hour watermark and the join predicate bounds purchase time
+    * to [view, view + 1h], so Spark can expire buffered state — at 100 TB
+    * each side's state is one watermark-window of rows per key, not the
+    * stream's history. Drained on a finite file stream the result equals
+    * the batch interval join — that is the oracle. Bounded to days 1-3. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val queryName = s"stream_join_${System.nanoTime()}"
+    def side(eventType: String, prefix: String) = {
+      val stream = spark.readStream
+        .schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val withTs = stream.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => stream
+      }
+      withTs
+        .filter($"event_type" === eventType && dayofmonth($"ts") <= 3)
+        .select($"user_id".as(s"${prefix}_user"), $"ts".as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "2 hours")
+    }
+    val joined = side("view", "view").join(side("purchase", "purchase"),
+      expr("view_user = purchase_user AND " +
+        "purchase_ts BETWEEN view_ts AND view_ts + INTERVAL 1 HOUR"))
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+      .groupBy(dayofmonth($"view_ts").cast("long").as("d"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"view_user").as("n_users"))
+      .orderBy($"d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_stream_join" -> (streamStreamJoin _),
     "stream_custom_state" -> (streamCustomState _),
     "stream_hourly_rollup" -> (streamHourlyRollup _),
     "stream_dedup" -> (streamDedup _),
     "agg_session_window" -> (aggSessionWindow _))
 
   val oracles: Map[String, String] = Map(
+    "stream_stream_join" ->
+      """WITH e AS (SELECT * FROM events WHERE day(ts) <= 3),
+        |v AS (SELECT user_id, ts FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT day(v.ts) AS d, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT v.user_id) AS n_users
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p.ts BETWEEN v.ts AND v.ts + INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_custom_state" ->
       """WITH last AS (
         |  SELECT user_id, event_type,

@@ -62,4 +62,29 @@ class IngestSpec extends SparkSpecBase {
     val direct = graft.sources.Tables.lineitem(spark, sf).count()
     assert(got.head.getLong(0) == direct)
   }
+
+  test("compact_files rewrites 64 fragments into 4 files, zero row loss") {
+    val rows = graft.sources.IngestOps.compactFiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = graft.sources.Tables.events(spark, sf).count()
+    assert(rows("before") == (64L, n))
+    assert(rows("after") == (4L, n))
+  }
+
+  test("sort_cluster_write yields disjoint per-file user_id ranges") {
+    import spark.implicits._
+    graft.sources.IngestOps.sortClusterWrite(spark, sf).collect()
+    val ranges = spark.read.parquet("/root/repo/target/tmp/events_clustered")
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"user_id").as("lo"), max($"user_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.nonEmpty)
+    // range partitioning: each file's [lo,hi] interval is disjoint, so a
+    // user_id predicate can skip every other file on footer min/max alone
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
 }

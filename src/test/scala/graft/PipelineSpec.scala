@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PipelineOps
+
+/** Training-data curation ops: clustering against a union-find reference,
+  * hash-sampling determinism and rates, split partition laws, mixture
+  * weight algebra, and stream-stream-join batch equivalence. */
+class PipelineSpec extends SparkSpecBase {
+
+  test("dedup_cluster matches a union-find reference over the edge list") {
+    // edges = the oracle-checked jaccard pairs (same subset + threshold)
+    val edges = graft.operators.DedupOps.dedupNgramJaccard(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 40).select("doc_id")
+      .collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = nodes.groupBy(find).map { case (_, ms) =>
+      (ms.min, ms.length.toLong, ms.max) }.toSet
+    val got = PipelineOps.dedupCluster(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
+  test("sample_stratified is deterministic and applies per-lang rates") {
+    val a = PipelineOps.sampleStratified(spark, sf).collect()
+    val b = PipelineOps.sampleStratified(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    a.foreach { r =>
+      val (lang, total, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val rate = if (lang == "en") 0.25 else 0.75
+      // multiplicative-hash uniformity: binomial 3-sigma bound
+      val sigma = math.sqrt(total * rate * (1 - rate))
+      assert(math.abs(kept - total * rate) <= 3 * sigma + 1,
+        s"$lang kept=$kept of $total, want ~${total * rate}")
+    }
+  }
+
+  test("split_train_test partitions every doc exactly once, ~80/10/10") {
+    val rows = PipelineOps.splitTrainTest(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("train", "val", "test"))
+    val total = rows.values.sum
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(total == nDocs)
+    assert(math.abs(rows("train") - 0.8 * total) <= 0.1 * total)
+    assert(rows("val") > 0 && rows("test") > 0)
+  }
+
+  test("domain_mix weights invert the observed shares to the 20% target") {
+    val rows = PipelineOps.domainMix(spark, sf).collect()
+    val shares = rows.map(_.getDouble(2))
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) * r.getDouble(3) - 0.2) < 1e-4,
+        s"share*weight != 0.2 for ${r.getString(0)}")
+    }
+  }
+
+  test("stream_stream_join equals the batch interval join") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(dayofmonth($"ts") <= 3)
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("vu"), $"ts".as("vts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pts"))
+    val batch = v.join(p, $"vu" === $"pu" &&
+        $"pts".between($"vts", $"vts" + expr("INTERVAL 1 HOUR")))
+      .groupBy(dayofmonth($"vts").cast("long").as("d"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct($"vu").as("n_users"))
+      .orderBy($"d").collect().toSeq
+    val streamed = graft.streaming.StreamingOps
+      .streamStreamJoin(spark, sf).collect().toSeq
+    assert(streamed == batch)
+  }
+}

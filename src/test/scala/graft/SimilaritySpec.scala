@@ -33,6 +33,21 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.4, s"recall=$recall ivf=$ivf exact=$exact")
   }
 
+  test("IVF index+query flow: recall@10 curve vs probes, >=0.9 at 6/8") {
+    def recall(p: Int): Double =
+      SimilarityOps.ivfRecallAtK(spark, sf, nQueries = 20, k = 10,
+        nCentroids = 8, probes = p).collect().head.getDouble(3)
+    val curve = Seq(2, 4, 6, 8).map(p => p -> recall(p))
+    info(s"recall@10 by probes: ${curve.mkString(", ")}")
+    val m = curve.toMap
+    // probing every list scans everything — IVF must equal brute force
+    assert(m(8) == 1.0, s"full probe recall=${m(8)}")
+    // more probes = superset of candidates = recall can only rise
+    assert(m(2) <= m(4) && m(4) <= m(6) && m(6) <= m(8))
+    // the operating point: 75% of lists scanned buys >=0.9 recall
+    assert(m(6) >= 0.9, s"probes=6 recall=${m(6)}")
+  }
+
   test("sign-LSH candidates only pair vectors from the same bucket") {
     import spark.implicits._
     val rows = SimilarityOps.simAnnLsh(spark, sf).collect()
