@@ -125,33 +125,177 @@ object PipelineOps {
       .orderBy($"lang")
   }
 
+  /** `pack_sequences` — deterministic sequence packing: assign each doc to
+    * a fixed 2048-token training window by its cumulative token offset
+    * within its language shard (window id = floor(preceding-tokens /
+    * 2048)). The window function partitions by lang — at 100 TB packing
+    * runs per shard in parallel, never as one global sort — and reports
+    * per-window fill so over/under-packing is visible. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = size(split(trim($"text"), "\\s+")).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", toks.as("n_tokens"))
+      .withColumn("cum_before", sum($"n_tokens").over(w) - $"n_tokens")
+      .withColumn("seq_id", floor($"cum_before" / 2048L))
+      .groupBy($"lang", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("seq_tokens"))
+      .orderBy($"lang", $"seq_id")
+  }
+
+  /** `contamination_check` — eval-set leakage audit: for each held-out
+    * split, how many docs have a character-3-gram Jaccard ≥ 0.5 near-dup
+    * in train (the n-gram-overlap decontamination check run before
+    * training). Candidate pairs come from the shingle equi-join, so the
+    * work is shuffle-bounded like the dedup family; bounded subset here,
+    * the banded minhash path is the 100 TB formulation. */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = hashBucket($"doc_id", 179426549L, 100L)
+    val docs = Tables.documents(spark, dir).filter($"doc_id" < 200)
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+    val labels = docs.select($"doc_id", $"split")
+    val pairs = DedupOps.jaccardPairs(docs, 0.5).select($"da", $"db")
+    val oriented = pairs.union(pairs.select($"db", $"da")).toDF("a", "b")
+    val contaminated = oriented
+      .join(labels.select($"doc_id".as("a"), $"split".as("sa")), "a")
+      .join(labels.select($"doc_id".as("b"), $"split".as("sb")), "b")
+      .filter($"sa".isin("val", "test") && $"sb" === "train")
+      .select($"a", $"sa").distinct()
+    docs.filter($"split" =!= "train")
+      .groupBy($"split").agg(count(lit(1)).as("n_docs"))
+      .join(contaminated.groupBy($"sa".as("split"))
+        .agg(count(lit(1)).as("n_contaminated")), Seq("split"), "left")
+      .select($"split", $"n_docs",
+        coalesce($"n_contaminated", lit(0L)).as("n_contaminated"))
+      .orderBy($"split")
+  }
+
+  /** `token_histogram` — corpus length profile: docs bucketed by
+    * whitespace-token count into width-16 integer bins (integer division —
+    * no float bucketing drift across engines). The one-pass groupBy is the
+    * curation diagnostic that sizes packing windows and length filters. */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = size(split(trim($"text"), "\\s+")).cast("long")
+    Tables.documents(spark, dir)
+      .select((toks / 16L).cast("long").as("bucket"), toks.as("n"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), min($"n").as("min_tokens"),
+        max($"n").as("max_tokens"))
+      .orderBy($"bucket")
+  }
+
+  /** `embedding_normalize` — L2-normalize the embedding column (the step
+    * before any cosine ANN so dot product = cosine). Pure per-row
+    * expression math in float64 with sequential accumulation — the same
+    * formula as the cosine kernel, so the DuckDB twin is bit-identical —
+    * and the output re-checks each normalized vector's unit norm. */
+  def embeddingNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def dot(a: org.apache.spark.sql.Column) =
+      aggregate(a, lit(0.0), (acc, x) =>
+        acc + x.cast("double") * x.cast("double"))
+    val norm = sqrt(dot($"embedding"))
+    val unit = transform($"embedding", x => x.cast("double") / norm)
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", round(norm, 6).as("l2_norm"),
+        round(sqrt(aggregate(unit, lit(0.0), (acc, x) => acc + x * x)), 6)
+          .as("unit_norm"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster" -> (dedupCluster _),
     "sample_stratified" -> (sampleStratified _),
     "split_train_test" -> (splitTrainTest _),
-    "domain_mix" -> (domainMix _))
+    "domain_mix" -> (domainMix _),
+    "pack_sequences" -> (packSequences _),
+    "contamination_check" -> (contaminationCheck _),
+    "token_histogram" -> (tokenHistogram _),
+    "embedding_normalize" -> (embeddingNormalize _))
 
   /** Shared CTE text: Jaccard ≥ 0.5 character-3-gram pairs (the twin of
-    * [[DedupOps.jaccardPairs]] over doc_id < 40). */
-  private val EDGES =
-    """sh AS (
-      |  SELECT doc_id, unnest(list_distinct(list_transform(
-      |    range(1, greatest(len(text) - 1, 2)),
-      |    i -> substr(text, i::INT, 3)))) AS s
-      |  FROM documents WHERE doc_id < 40),
-      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |pairs AS (
-      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |edges AS (
-      |  SELECT da, db FROM pairs
-      |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
-      |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5)""".stripMargin
+    * [[DedupOps.jaccardPairs]] over doc_id < `bound`). */
+  private def edgesCte(bound: Int) =
+    s"""sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(text) - 1, 2)),
+       |    i -> substr(text, i::INT, 3)))) AS s
+       |  FROM documents WHERE doc_id < $bound),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT da, db FROM pairs
+       |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5)""".stripMargin
+
+  private val SPLIT =
+    """CASE WHEN (doc_id * 179426549) % 100 < 80 THEN 'train'
+      |     WHEN (doc_id * 179426549) % 100 < 90 THEN 'val'
+      |     ELSE 'test' END""".stripMargin
+
+  private val NTOK =
+    "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $NTOK AS n_tokens FROM documents),
+         |c AS (
+         |  SELECT lang, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - n_tokens AS cum_before
+         |  FROM d)
+         |SELECT lang, CAST(FLOOR(cum_before / 2048) AS BIGINT) AS seq_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "contamination_check" ->
+      s"""WITH ${edgesCte(200)},
+         |d AS (
+         |  SELECT doc_id, $SPLIT AS split FROM documents WHERE doc_id < 200),
+         |oriented AS (SELECT da AS a, db AS b FROM edges
+         |             UNION ALL SELECT db, da FROM edges),
+         |cont AS (
+         |  SELECT DISTINCT o.a, x.split FROM oriented o
+         |  JOIN d x ON o.a = x.doc_id JOIN d y ON o.b = y.doc_id
+         |  WHERE x.split IN ('val', 'test') AND y.split = 'train'),
+         |base AS (
+         |  SELECT split, COUNT(*) AS n_docs FROM d
+         |  WHERE split <> 'train' GROUP BY 1),
+         |cc AS (SELECT split, COUNT(*) AS n FROM cont GROUP BY 1)
+         |SELECT base.split, base.n_docs,
+         |  CAST(COALESCE(cc.n, 0) AS BIGINT) AS n_contaminated
+         |FROM base LEFT JOIN cc ON base.split = cc.split
+         |ORDER BY base.split""".stripMargin,
+    "token_histogram" ->
+      s"""WITH d AS (SELECT $NTOK AS n FROM documents)
+         |SELECT n // 16 AS bucket, COUNT(*) AS n_docs,
+         |  MIN(n) AS min_tokens, MAX(n) AS max_tokens
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "embedding_normalize" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_dot_product(embedding::DOUBLE[],
+        |    embedding::DOUBLE[])), 6) AS l2_norm,
+        |  round(sqrt(list_dot_product(u, u)), 6) AS unit_norm
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding::DOUBLE[], x ->
+        |      x / sqrt(list_dot_product(embedding::DOUBLE[],
+        |        embedding::DOUBLE[]))) AS u
+        |  FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
     "dedup_cluster" ->
-      s"""WITH RECURSIVE $EDGES,
+      s"""WITH RECURSIVE ${edgesCte(40)},
          |sym AS (SELECT da AS s, db AS d FROM edges
          |        UNION ALL SELECT db, da FROM edges),
          |reach(node, l) AS (

@@ -64,6 +64,49 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("pack_sequences conserves tokens and numbers windows contiguously") {
+    import spark.implicits._
+    val rows = PipelineOps.packSequences(spark, sf).collect()
+    val totalPacked = rows.map(_.getLong(3)).sum
+    val totalTokens = graft.sources.Tables.documents(spark, sf)
+      .select(size(split(trim($"text"), "\\s+")).cast("long").as("n"))
+      .agg(sum($"n")).head.getLong(0)
+    assert(totalPacked == totalTokens)
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.head == 0L && ids.last == ids.length - 1,
+        s"$lang windows not contiguous: ${ids.mkString(",")}")
+    }
+  }
+
+  test("contamination_check counts are bounded and deterministic") {
+    val a = PipelineOps.contaminationCheck(spark, sf).collect()
+    val b = PipelineOps.contaminationCheck(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_.getString(0)).toSet == Set("val", "test"))
+    a.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("token_histogram buckets partition the corpus by width-16 bins") {
+    val rows = PipelineOps.tokenHistogram(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(lo >= b * 16 && hi < (b + 1) * 16 && lo <= hi)
+    }
+  }
+
+  test("embedding_normalize yields exact unit norms after rescale") {
+    val rows = PipelineOps.embeddingNormalize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 0.0)
+      assert(r.getDouble(2) == 1.0,
+        s"vec ${r.getLong(0)} unit_norm=${r.getDouble(2)}")
+    }
+  }
+
   test("stream_stream_join equals the batch interval join") {
     import spark.implicits._
     val ev = graft.sources.Tables.events(spark, sf)
