@@ -411,6 +411,44 @@ object IngestOps {
       .orderBy($"day")
   }
 
+  /** Format round-trip: write a stable projection of events in `fmt`,
+    * read it back, aggregate — proves the engine serves the same answers
+    * through every batch source format it writes (the format layer is
+    * pluggable; semantics are format-independent). Columns restricted to
+    * types every format round-trips losslessly (long, string, double —
+    * Double.toString text round-trips bit-exact for CSV/JSON). */
+  private def formatRoundTrip(spark: SparkSession, dir: String,
+      fmt: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp(s"events_as_$fmt")
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .write.mode(SaveMode.Overwrite).format(fmt)
+      .option("header", "true").save(out)
+    spark.read.format(fmt)
+      .option("header", "true")
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE")
+      .load(out)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  /** `scan_json` — JSON lines sink + schema-ful re-read. */
+  def scanJson(spark: SparkSession, dir: String): DataFrame =
+    formatRoundTrip(spark, dir, "json")
+
+  /** `scan_csv` — CSV sink + schema-ful re-read (header, typed). */
+  def scanCsv(spark: SparkSession, dir: String): DataFrame =
+    formatRoundTrip(spark, dir, "csv")
+
+  /** `scan_orc` — ORC columnar sink + re-read (same vectorized reader
+    * discipline as parquet). */
+  def scanOrc(spark: SparkSession, dir: String): DataFrame =
+    formatRoundTrip(spark, dir, "orc")
+
   /** `compact_files` — small-file compaction (Iceberg's
     * rewriteDataFiles / the reference's 128 MB target-file discipline,
     * `Creator:188`): a fragmented layout of 64 undersized files is
@@ -463,6 +501,9 @@ object IngestOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_json" -> (scanJson _),
+    "scan_csv" -> (scanCsv _),
+    "scan_orc" -> (scanOrc _),
     "compact_files" -> (compactFiles _),
     "sort_cluster_write" -> (sortClusterWrite _),
     "snapshot_log" -> (snapshotLog _),
@@ -483,7 +524,16 @@ object IngestOps {
 
   private val D = "DECIMAL(18,2)"
 
+  private val FMT_ORACLE =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "scan_json" -> FMT_ORACLE,
+    "scan_csv" -> FMT_ORACLE,
+    "scan_orc" -> FMT_ORACLE,
     "compact_files" ->
       """SELECT * FROM (
         |  SELECT 'after' AS phase, CAST(4 AS BIGINT) AS n_files,

@@ -63,6 +63,53 @@ class IngestSpec extends SparkSpecBase {
     assert(got.head.getLong(0) == direct)
   }
 
+  test("compound tenant+hour predicate prunes the 6-field layout to " +
+      "matching cells only") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val root = graft.sources.IngestOps.partitionedLayout(spark, sf)
+    val df = spark.read.parquet(root)
+    val total = df.inputFiles.length
+    val q = df.filter($"tenant_bucket" === 2 && $"day" === 15 &&
+      $"hour".between(6, 12))
+    q.collect()
+    val scanned = scans(q.queryExecution.executedPlan)
+      .head.metrics("numFiles").value
+    // one bucket of 4, one day of the month, 7 hours of 24: directory
+    // metadata alone must cut the file list to at most 7 cells
+    assert(scanned <= 7, s"scanned=$scanned of $total, want <= 7")
+    assert(scanned < total / 10,
+      s"pruning ineffective: $scanned of $total files")
+  }
+
+  test("snapshot_read_asof never opens files committed after snapshot 2") {
+    import spark.implicits._
+    graft.sources.IngestOps.snapshotReadAsof(spark, sf).collect()
+    val root = graft.sources.IngestOps.snapshotLayout(spark, sf)
+    val asofRels = (1 to 2)
+      .flatMap(n => graft.sources.IngestOps.snapshotManifest(spark, root, n))
+      .toSet
+    val snap3Rels = graft.sources.IngestOps.snapshotManifest(spark, root, 3)
+      .toSet
+    assert(snap3Rels.nonEmpty)
+    // compare by manifest-relative path — input_file_name returns a URI
+    val opened = spark.read.option("basePath", s"$root/data")
+      .parquet(asofRels.map(rel => s"$root/data/$rel").toSeq: _*)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+      .map(f => f.substring(f.lastIndexOf("/data/") + 6)).toSet
+    assert(opened.nonEmpty)
+    assert(opened.intersect(snap3Rels).isEmpty,
+      s"asof read touched snapshot-3 files: ${opened.intersect(snap3Rels)}")
+    assert(opened.subsetOf(asofRels))
+  }
+
   test("compact_files rewrites 64 fragments into 4 files, zero row loss") {
     val rows = graft.sources.IngestOps.compactFiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
