@@ -68,14 +68,19 @@ object PipelineOps {
     while (!converged && steps < 20) {
       val nbr = sym.join(labels, sym("dst") === labels("node"))
         .select(sym("src").as("node"), labels("label"))
-      labels = labels.union(nbr)
+      val next = labels.union(nbr)
         .groupBy($"node").agg(min($"label").as("label"))
         .localCheckpoint()
+      labels.unpersist() // superseded checkpoint: free its blocks now
+      labels = next
       val s = labelSum()
       converged = s == prevSum
       prevSum = s
       steps += 1
     }
+    sym.unpersist()
+    // the final `labels` checkpoint backs the returned (lazy) DataFrame
+    // and is freed by the ContextCleaner once the caller's query drops it
     labels
   }
 
