@@ -54,6 +54,23 @@ object PipelineOps {
       edges: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
+    // near-dup graphs are a sliver of the corpus (only docs sharing a
+    // candidate edge), so the per-step shuffles run at a reduced
+    // partition count: each step's cost is dominated by fixed per-task
+    // overhead, and 8 partitions beat 32 the same way the streaming
+    // state stores do. Restored after the loop; at real scale callers
+    // size spark.sql.shuffle.partitions to the edge volume.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    try connectedComponentsLoop(nodes, edges)
+    finally spark.conf.set(key, prev)
+  }
+
+  private def connectedComponentsLoop(nodes: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
     val sym = edges.union(edges.select($"dst", $"src"))
       .toDF("src", "dst").localCheckpoint()
     var labels = nodes.select($"node", $"node".as("label"))
