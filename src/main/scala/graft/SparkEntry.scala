@@ -19,7 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Aggregates.queries ++ Filters.queries ++ Joins.queries ++
       Windows.queries ++ SetOps.queries ++ Scalars.queries ++
-      graft.sources.IngestOps.queries ++ TextOps.queries ++
+      graft.sources.IngestOps.queries ++ graft.sources.LakeOps.queries ++
+      TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++
       MultimodalOps.queries ++ GenOps.queries ++
       PipelineOps.queries ++
@@ -30,7 +31,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Aggregates.oracles ++ Filters.oracles ++ Joins.oracles ++
       Windows.oracles ++ SetOps.oracles ++ Scalars.oracles ++
-      graft.sources.IngestOps.oracles ++ TextOps.oracles ++
+      graft.sources.IngestOps.oracles ++ graft.sources.LakeOps.oracles ++
+      TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++
       MultimodalOps.oracles ++ GenOps.oracles ++
       PipelineOps.oracles ++

@@ -126,6 +126,45 @@ object Joins {
       .orderBy($"p_id")
   }
 
+  /** `join_bucketed` — co-located fact⋈fact join over bucketed tables:
+    * both sides written `bucketBy(8, key)` + `sortBy(key)` into the
+    * catalog, so the join needs NO exchange — each task zips bucket i of
+    * one table with bucket i of the other (EngineSpec asserts zero
+    * ShuffleExchange under the join). This is the 100 TB answer for a
+    * recurring big⋈big join: pay the shuffle once at write time, then
+    * every subsequent join of the pair is scan+merge. Iceberg expresses
+    * the same contract as a bucket partition transform
+    * (`AIGEventsTableCreator.java:164-180` uses identity transforms; the
+    * bucket transform is the sibling for high-cardinality keys). */
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft")
+    Seq("orders_bkt", "customer_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/graft.db/$t")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft.orders_bkt")
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft.customer_bkt")
+    // MERGE hint: at test scale Catalyst would broadcast the small side,
+    // never exercising the bucket layout; at 100 TB sort-merge IS the
+    // chosen strategy, and the buckets erase both of its exchanges.
+    spark.table("graft.orders_bkt")
+      .join(spark.table("graft.customer_bkt").hint("merge"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Full outer join: customers vs active event users, null-safe key. */
   def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -160,6 +199,7 @@ object Joins {
     "join_broadcast" -> (joinBroadcast _),
     "join_range" -> (joinRange _),
     "join_multiway" -> (joinMultiway _),
+    "join_bucketed" -> (joinBucketed _),
     "join_asof" -> (joinAsof _))
 
   private val D = "DECIMAL(18,2)"
@@ -225,6 +265,11 @@ object Joins {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "join_bucketed" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "join_asof" ->
       """SELECT p_id, user_id, p_ts, asof_click_id, asof_click_ts FROM (
         |  SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,

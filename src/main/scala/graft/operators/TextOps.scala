@@ -101,6 +101,59 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** `text_pii_redact` — PII scrubbing before training: emails, phone
+    * numbers, and long digit runs are replaced with typed placeholder
+    * tags and the per-row redaction counts kept for audit. Input lines
+    * are synthesized deterministically from `events` (the fixture corpus
+    * contains no digits — GenOps discipline, same construction in the
+    * oracle), the redaction itself is the real regex pipeline: three
+    * codegen'd regexp passes, no shuffle, streams at scan speed. */
+  def textPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val line = format_string(
+      "user %d wrote to u%d@example.com or 555-%04d about order %d",
+      $"user_id", $"user_id", pmod($"event_id", lit(10000L)), $"event_id")
+    val email = "[a-z0-9]+@[a-z0-9.]+"
+    val phone = "555-[0-9]{4}"
+    val num = "[0-9]{3,}"
+    val redacted = regexp_replace(
+      regexp_replace(regexp_replace(line, email, "<EMAIL>"), phone,
+        "<PHONE>"), num, "<NUM>")
+    Tables.events(spark, dir)
+      .filter($"event_id" < 500)
+      .select($"event_id",
+        regexp_count(line, lit(email)).cast("long").as("n_emails"),
+        regexp_count(line, lit(phone)).cast("long").as("n_phones"),
+        redacted.as("redacted"))
+      .orderBy($"event_id")
+  }
+
+  /** `text_repetition` — repeated-3-gram ratio, the Gopher/RefinedWeb
+    * style repetition filter for training corpora: a doc whose 3-grams
+    * are mostly duplicates is boilerplate/spam. Pure array expressions
+    * (no explode, no shuffle): token trigrams via `transform` over an
+    * index sequence, dup ratio from `array_distinct`. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val n = size(toks)
+    val grams = when(n >= 3,
+      transform(sequence(lit(1), n - 2), i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2))))
+      .otherwise(array())
+    val nG = size(grams)
+    val nDist = size(array_distinct(grams))
+    Tables.documents(spark, dir)
+      .select($"doc_id", nG.cast("long").as("n_grams"),
+        nDist.cast("long").as("n_distinct"),
+        when(nG > 0, (nG - nDist).cast("double") / nG)
+          .otherwise(lit(0.0)).as("dup_ratio"),
+        (nG > 0 && (nG - nDist).cast("double") / nG > 0.2)
+          .as("is_repetitive"))
+      .orderBy($"doc_id")
+  }
+
   /** `tf_top_terms` — corpus term frequency via explode (UDTF shape):
     * top-20 terms, count-desc then term for a total order. */
   def tfTopTerms(spark: SparkSession, dir: String): DataFrame = {
@@ -118,6 +171,8 @@ object TextOps {
     "text_quality" -> (textQuality _),
     "text_token_count" -> (textTokenCount _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_pii_redact" -> (textPiiRedact _),
+    "text_repetition" -> (textRepetition _),
     "tf_top_terms" -> (tfTopTerms _))
 
   private val TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -163,6 +218,38 @@ object TextOps {
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_pii_redact" ->
+      """WITH lines AS (
+        |  SELECT event_id,
+        |    printf('user %d wrote to u%d@example.com or 555-%04d about order %d',
+        |      user_id, user_id, event_id % 10000, event_id) AS line
+        |  FROM events WHERE event_id < 500)
+        |SELECT event_id,
+        |  len(regexp_extract_all(line, '[a-z0-9]+@[a-z0-9.]+')) AS n_emails,
+        |  len(regexp_extract_all(line, '555-[0-9]{4}')) AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(line, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |      '555-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{3,}', '<NUM>', 'g') AS redacted
+        |FROM lines ORDER BY event_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len($TOKS) >= 3 THEN
+         |      list_transform(range(1, len($TOKS) - 1),
+         |        i -> $TOKS[i] || ' ' || $TOKS[i+1] || ' ' || $TOKS[i+2])
+         |    ELSE [] END AS grams
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+         |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+         |  CASE WHEN len(grams) > 0 THEN
+         |    CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+         |      / len(grams) ELSE 0.0 END AS dup_ratio,
+         |  len(grams) > 0 AND
+         |    CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+         |      / len(grams) > 0.2 AS is_repetitive
+         |FROM g ORDER BY doc_id""".stripMargin,
     "tf_top_terms" ->
       s"""SELECT term, COUNT(*) AS n FROM (
          |  SELECT unnest($TOKS) AS term FROM documents

@@ -23,11 +23,12 @@ import graft.operators.{dec, dsum}
   */
 object IngestOps {
 
-  private def tmp(name: String) = s"/root/repo/target/tmp/$name"
+  private[sources] def tmp(name: String) = s"/root/repo/target/tmp/$name"
 
   /** events + derived partition columns (`Hidden:133-135` identity
     * transforms; values from data, not wall clock). */
-  private def eventsWithParts(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventsWithParts(spark: SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
       .withColumn("year", year($"ts"))

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+/** Lake mutation surface (LakeOps) + bucketed-join layout (Joins):
+  * copy-on-write isolation, changelog-read equivalence, exchange-free
+  * co-located joins. */
+class LakeSpec extends SparkSpecBase {
+
+  /** (day partition → max file modification time) under a table root. */
+  private def partMtimes(root: String): Map[Int, Long] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val b = Seq.newBuilder[(Int, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val s = f.getPath.toString
+      if (s.endsWith(".parquet")) {
+        val day = "day=(\\d+)/".r.findFirstMatchIn(s).get.group(1).toInt
+        b += day -> f.getModificationTime
+      }
+    }
+    b.result().groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+  }
+
+  test("merge_upsert rewrites ONLY day partitions 8-12; merged rows " +
+      "carry doubled values and re-keyed inserts") {
+    val rows = sources.LakeOps.mergeUpsert(spark, sf).collect()
+    val mt = partMtimes("/root/repo/target/tmp/events_merge")
+    val (touched, untouched) = mt.partition(kv => kv._1 >= 8 && kv._1 <= 12)
+    assert(touched.nonEmpty && untouched.nonEmpty)
+    // copy-on-write: every untouched partition's files predate the rewrite
+    assert(untouched.values.max < touched.values.min,
+      s"untouched partitions were rewritten: $mt")
+    val byDay = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    // inserts only land in the merged day range
+    (6L to 14L).foreach { d =>
+      val (_, nIns) = byDay(d)
+      if (d >= 8 && d <= 12) assert(nIns > 0, s"day=$d expected inserts")
+      else assert(nIns == 0, s"day=$d unexpected inserts")
+    }
+  }
+
+  test("delete_where removes clicks from days 3-7 only, rewriting only " +
+      "those partitions") {
+    val rows = sources.LakeOps.deleteWhere(spark, sf).collect()
+    val mt = partMtimes("/root/repo/target/tmp/events_delete")
+    val (touched, untouched) = mt.partition(kv => kv._1 >= 3 && kv._1 <= 7)
+    assert(touched.nonEmpty && untouched.nonEmpty)
+    assert(untouched.values.max < touched.values.min,
+      s"untouched partitions were rewritten: $mt")
+    rows.foreach { r =>
+      val (day, nClicks) = (r.getLong(0), r.getLong(2))
+      if (day >= 3 && day <= 7)
+        assert(nClicks == 0, s"day=$day still has $nClicks clicks")
+      else assert(nClicks > 0, s"day=$day lost its clicks")
+    }
+  }
+
+  test("incremental_read of snapshot 3 equals a direct day-11..15 scan " +
+      "and the snapshot-3 manifest holds only day-11..15 files") {
+    import spark.implicits._
+    val got = sources.LakeOps.incrementalRead(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exp = sources.IngestOps.eventsWithParts(spark, sf)
+      .filter($"day".between(11, 15))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sameElements(exp))
+    val root = sources.IngestOps.snapshotLayout(spark, sf)
+    val rels = sources.IngestOps.snapshotManifest(spark, root, 3)
+    assert(rels.nonEmpty)
+    rels.foreach { rel =>
+      val day = "day=(\\d+)/".r.findFirstMatchIn(rel).get.group(1).toInt
+      assert(day >= 11 && day <= 15, s"snapshot-3 manifest leaked $rel")
+    }
+  }
+
+  test("join_bucketed: no shuffle exchange anywhere below the " +
+      "sort-merge join (bucket layout replaces both exchanges)") {
+    val df = operators.Joins.joinBucketed(spark, sf)
+    assert(df.count() > 0)
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case other => other +: other.children.flatMap(unwrap)
+    }
+    val nodes = unwrap(df.queryExecution.executedPlan)
+    val smj = nodes.collectFirst { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, "expected a sort-merge join over bucketed tables")
+    val below = unwrap(smj.get)
+    assert(!below.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      s"shuffle under the bucketed join:\n${smj.get}")
+  }
+}
