@@ -165,6 +165,33 @@ object Joins {
       .orderBy($"c_mktsegment")
   }
 
+  /** `join_skew_salted` — skew-mitigated join: `event_type` has 5 values,
+    * so a plain shuffle join sends the whole 100 TB fact table to 5
+    * reducers no matter how many executors exist. Salting restores
+    * parallelism without broadcast (the technique for when the skewed
+    * side's partner is too big to broadcast): the fact side gets a
+    * deterministic salt in [0,16), the dim side is exploded ×16, and the
+    * join key becomes (event_type, salt) — 80 evenly-loaded partitions
+    * instead of 5 hot ones. The shuffle_hash hint keeps the demo honest
+    * at test scale (Catalyst would broadcast the 80-row dim). Results are
+    * provably identical to the unsalted join (JoinSpec + oracle). */
+  def joinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nSalts = 16
+    val dim = Seq(("click", "0.5"), ("view", "0.1"), ("purchase", "5.0"),
+      ("signup", "2.0"), ("error", "0.25")).toDF("et", "w")
+      .withColumn("weight", $"w".cast("decimal(4,2)"))
+      .withColumn("d_salt", explode(sequence(lit(0), lit(nSalts - 1))))
+    val fact = Tables.events(spark, dir)
+      .withColumn("salt", pmod(hash($"event_id"), lit(nSalts)))
+    fact.join(dim.hint("shuffle_hash"),
+        $"event_type" === $"et" && $"salt" === $"d_salt")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"value") * $"weight").cast("double").as("weighted_value"))
+      .orderBy($"event_type")
+  }
+
   /** Full outer join: customers vs active event users, null-safe key. */
   def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -200,6 +227,7 @@ object Joins {
     "join_range" -> (joinRange _),
     "join_multiway" -> (joinMultiway _),
     "join_bucketed" -> (joinBucketed _),
+    "join_skew_salted" -> (joinSkewSalted _),
     "join_asof" -> (joinAsof _))
 
   private val D = "DECIMAL(18,2)"
@@ -270,6 +298,14 @@ object Joins {
          |  CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_skew_salted" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D) * CAST(weight AS DECIMAL(4,2)))
+         |    AS DOUBLE) AS weighted_value
+         |FROM events JOIN (VALUES ('click', 0.5), ('view', 0.1),
+         |    ('purchase', 5.0), ('signup', 2.0), ('error', 0.25))
+         |  AS d(et, weight) ON event_type = et
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "join_asof" ->
       """SELECT p_id, user_id, p_ts, asof_click_id, asof_click_ts FROM (
         |  SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,

@@ -126,6 +126,26 @@ class EngineSpec extends SparkSpecBase {
     assert(row.getLong(4) == bytes.map(_ & 0xff).map(_.toLong).sum)
   }
 
+  test("join_skew_salted equals the unsalted join and stays shuffle-hash") {
+    import spark.implicits._
+    val salted = operators.Joins.joinSkewSalted(spark, sf)
+    // unsalted twin: same dim, plain equi-join, exact decimal arithmetic
+    val dim = Seq(("click", "0.5"), ("view", "0.1"), ("purchase", "5.0"),
+      ("signup", "2.0"), ("error", "0.25")).toDF("et", "w")
+      .withColumn("weight", $"w".cast("decimal(4,2)"))
+    val plain = graft.sources.Tables.events(spark, sf)
+      .join(dim, $"event_type" === $"et")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(operators.dec($"value") * $"weight").cast("double")
+          .as("weighted_value"))
+      .orderBy($"event_type")
+    assert(salted.collect().sameElements(plain.collect()))
+    val physical = salted.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastHashJoin"),
+      "salting demo must not degenerate into a broadcast join")
+  }
+
   test("weighted-avg UDAF merge is order-independent (1 vs 8 partitions)") {
     import spark.implicits._
     val wavg = udaf(functions.WeightedAvgCents,
