@@ -46,31 +46,53 @@ object DedupOps {
   }
 
   /** `dedup_ngram_jaccard` — pairwise Jaccard over character-3-gram
-    * shingles, via explode→equi-join on the shingle (shuffle-bounded, no
-    * cross join), for a bounded doc subset. */
+    * shingles via the prefix-filtered similarity join ([[jaccardPairs]]):
+    * candidates only from globally-rare shingles, confirm by
+    * `array_intersect` — no cross join, no hot-shingle blowup. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     jaccardPairs(Tables.documents(spark, dir).filter($"doc_id" < 40), 0.5)
       .orderBy($"da", $"db")
   }
 
-  /** All doc pairs with character-3-gram Jaccard ≥ threshold, via
-    * explode→equi-join on the shingle (shuffle-bounded, no cross join).
+  /** All doc pairs with character-3-gram Jaccard ≥ threshold, via the
+    * AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07): candidates
+    * come from an equi-join restricted to each doc's `floor((1-t)·n)+1`
+    * globally-RAREST shingles, then exact Jaccard is confirmed with one
+    * `array_intersect` per candidate pair.
+    *
+    * Lossless: J(a,b) ≥ t forces |a∩b| ≥ t·max(na,nb), and an overlap that
+    * large must reach into both docs' (n - ceil(t·n) + 1)-prefixes under
+    * any shared total order of the shingle universe. Ordering by ascending
+    * document frequency makes the prefixes the rare shingles, so corpus-hot
+    * shingles ("the", " a ") never enter the join — the k-docs-share-a-
+    * shingle k² blowup that a naive co-shingle self-join suffers is gone,
+    * which is what keeps this shape viable at 100 TB.
     * Columns: da, db, inter, na, nb, jaccard (rounded 6dp). Also the edge
     * generator for [[PipelineOps.dedupCluster]]. */
   private[operators] def jaccardPairs(docs: DataFrame,
       threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = docs.select($"doc_id", explode(shingles3($"text")).as("s"))
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    val sets = docs.select($"doc_id", shingles3($"text").as("ss"))
+    val sh = sets.select($"doc_id", size($"ss").as("n"), explode($"ss").as("s"))
+    val freq = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df".asc, $"s".asc)
+    val prefix = sh.join(freq, "s")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter($"rk" <= floor((lit(1.0) - threshold) * $"n") + 1)
+      .select($"doc_id", $"s")
+    val cand = prefix.as("a").join(prefix.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sz.select($"doc_id".as("da"), $"n".as("na")), "da")
-      .join(sz.select($"doc_id".as("db"), $"n".as("nb")), "db")
+      .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
+    cand
+      .join(sets.select($"doc_id".as("da"), $"ss".as("ssa")), "da")
+      .join(sets.select($"doc_id".as("db"), $"ss".as("ssb")), "db")
+      .withColumn("na", size($"ssa").cast("long"))
+      .withColumn("nb", size($"ssb").cast("long"))
+      .withColumn("inter",
+        size(array_intersect($"ssa", $"ssb")).cast("long"))
       .withColumn("jaccard",
         $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
       .filter($"jaccard" >= threshold)

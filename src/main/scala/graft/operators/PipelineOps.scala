@@ -31,11 +31,13 @@ object PipelineOps {
     * doc_id reachable from it — the canonical representative a dedup
     * pipeline keeps). The loop is the Pregel formulation: per step, every
     * node takes the min of its own and its neighbours' labels — one
-    * shuffle join + one aggregation per step, O(diameter) steps; at 100 TB
-    * this is exactly GraphX connectedComponents' shape. Lineage is
-    * truncated per iteration (localCheckpoint) so the plan doesn't grow
-    * with the step count; convergence is detected by a changed-label
-    * count (an aggregate action, not a data collect). */
+    * shuffle join + one aggregation per step, O(diameter) steps (near-dup
+    * components are pairs and tiny cliques, so diameter ≈ 1-2); at 100 TB
+    * this is exactly GraphX connectedComponents' shape. Singleton docs
+    * never enter the loop. Lineage is truncated per iteration
+    * (localCheckpoint) so the plan doesn't grow with the step count;
+    * convergence is detected by the strictly-decreasing label sum (an
+    * aggregate action, not a data collect). */
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).filter($"doc_id" < 40)
@@ -71,15 +73,40 @@ object PipelineOps {
       edges: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val sym = edges.union(edges.select($"dst", $"src"))
-      .toDF("src", "dst").localCheckpoint()
-    var labels = nodes.select($"node", $"node".as("label"))
+    val t0 = System.nanoTime()
+    def mark(what: String): Unit =
+      if (sys.env.contains("DEBUG_CC")) println(
+        f"[cc] $what at ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // both edge orientations in ONE pass over the (expensive) edge input
+    // — a union of edges with its swap would evaluate the similarity-join
+    // subtree twice. persist+count (not localCheckpoint) so the edge
+    // build still runs through AQE — checkpointing materializes the raw
+    // RDD lineage and would forfeit runtime coalescing/exchange reuse on
+    // the most expensive stage of the whole pipeline.
+    val sym = edges.select(explode(array(
+        struct($"src", $"dst"),
+        struct($"dst".as("src"), $"src".as("dst")))).as("e"))
+      .select($"e.src", $"e.dst").persist()
+    sym.count()
+    mark("sym materialized")
+    // only edge-touched nodes enter the loop: in a near-dup graph the
+    // overwhelming majority of a 100 TB corpus is singleton docs, and
+    // they are their own label by definition — keeping them out of the
+    // iteration shrinks every per-step shuffle from |corpus| to |docs
+    // with at least one near-dup edge|
+    var labels = sym.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("label"))
       .localCheckpoint()
     // labels only ever decrease under min-propagation, so the label sum
     // is a strictly-decreasing convergence metric: one tiny aggregate on
-    // the checkpointed result per step instead of a diff join
+    // the checkpointed result per step instead of a diff join. Seeding
+    // prevSum = -1 (label sums are non-negative) skips a pre-loop sum
+    // job. The per-step localCheckpoint (not persist) is load-bearing:
+    // it truncates lineage, so freeing the superseded step's blocks
+    // can't cascade-invalidate the new step's cache the way unpersisting
+    // a parent of a cached plan does.
     def labelSum() = labels.agg(sum($"label")).head.getLong(0)
-    var prevSum = labelSum()
+    var prevSum = -1L
     var converged = false
     var steps = 0
     while (!converged && steps < 20) {
@@ -94,11 +121,13 @@ object PipelineOps {
       converged = s == prevSum
       prevSum = s
       steps += 1
+      mark(s"step $steps done")
     }
     sym.unpersist()
-    // the final `labels` checkpoint backs the returned (lazy) DataFrame
-    // and is freed by the ContextCleaner once the caller's query drops it
-    labels
+    // singletons rejoin with label = own id; the loop's checkpoint backs
+    // the returned (lazy) DataFrame and is freed by the ContextCleaner
+    nodes.join(labels, Seq("node"), "left")
+      .select($"node", coalesce($"label", $"node").as("label"))
   }
 
   /** `dedup_resolve` — the step after clustering: keep each duplicate
@@ -213,7 +242,12 @@ object PipelineOps {
         when(b < 80, "train").when(b < 90, "val").otherwise("test"))
     val labels = docs.select($"doc_id", $"split")
     val pairs = DedupOps.jaccardPairs(docs, 0.5).select($"da", $"db")
-    val oriented = pairs.union(pairs.select($"db", $"da")).toDF("a", "b")
+    // one pass: unioning pairs with its swap would run the similarity
+    // join twice
+    val oriented = pairs.select(explode(array(
+        struct($"da".as("a"), $"db".as("b")),
+        struct($"db".as("a"), $"da".as("b")))).as("e"))
+      .select($"e.a", $"e.b")
     val contaminated = oriented
       .join(labels.select($"doc_id".as("a"), $"split".as("sa")), "a")
       .join(labels.select($"doc_id".as("b"), $"split".as("sb")), "b")
