@@ -296,7 +296,36 @@ object PipelineOps {
       .orderBy($"vec_id")
   }
 
+  /** `embed_quantize` — symmetric int8 scalar quantization of the
+    * embedding column (the 4× memory cut an ANN index takes before
+    * serving): per-vector scale = 127 / max|x|, q_i = floor(x_i·scale +
+    * 0.5) ∈ [-127, 127], and the report carries the quantized range plus
+    * the mean |x - q/scale| reconstruction error. Pure per-row expression
+    * math — no shuffle, no UDF; floor(·+0.5) instead of round() because
+    * both engines define floor identically on IEEE doubles while their
+    * round-half modes differ. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = transform($"embedding", x => x.cast("double"))
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", v.as("v"),
+        (lit(127.0) / array_max(transform(v, x => abs(x)))).as("scale"))
+      .withColumn("q",
+        transform($"v", x => floor(x * $"scale" + lit(0.5)).cast("int")))
+      .select($"vec_id",
+        size($"v").cast("long").as("n_dims"),
+        round(lit(127.0) / $"scale", 6).as("max_abs"),
+        array_min($"q").as("q_min"),
+        array_max($"q").as("q_max"),
+        round(aggregate(
+            zip_with($"v", $"q",
+              (x, qq) => abs(x - qq.cast("double") / $"scale")),
+            lit(0.0), (acc, e) => acc + e) / size($"v"), 6).as("mae"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_quantize" -> (embedQuantize _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_resolve" -> (dedupResolve _),
     "sample_stratified" -> (sampleStratified _),
@@ -334,6 +363,22 @@ object PipelineOps {
     "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    127.0 / list_max(list_transform(embedding::DOUBLE[],
+        |      x -> abs(x))) AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qv
+        |  FROM s)
+        |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
+        |  round(127.0 / scale, 6) AS max_abs,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max,
+        |  round(list_sum(list_transform(range(1, len(v) + 1),
+        |    i -> abs(v[i::INT] - qv[i::INT] / scale))) / len(v), 6) AS mae
+        |FROM q ORDER BY vec_id""".stripMargin,
     "pack_sequences" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang, $NTOK AS n_tokens FROM documents),

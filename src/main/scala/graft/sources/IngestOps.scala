@@ -501,7 +501,63 @@ object IngestOps {
       .orderBy($"user_id")
   }
 
+  /** Bit-interleaved Z-value of two pre-bucketed dimensions (`bits` bits
+    * each): dimension A's bit i lands at position 2i, B's at 2i+1. The
+    * disjoint positions make `+` a safe OR. */
+  private def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** `zorder_cluster_write` — multi-dimensional clustering (Delta/Iceberg
+    * OPTIMIZE ZORDER BY (user_id, day)): each dimension is first mapped to
+    * a 5-bit range bucket (user_id by its max — at 100 TB the bounds come
+    * from a sample/approxQuantile, exactly Delta's range-ID step; day is
+    * already 1-31), the buckets are bit-interleaved into a Z-value, and
+    * the table is range-partitioned + sorted by that Z-value. Unlike the
+    * 1-D sort (sort_cluster_write), BOTH a user-band predicate and a
+    * day-band predicate skip most files — each dimension's selectivity
+    * degrades only by the square root, not to a full scan (ZOrderSpec
+    * asserts the file-skipping vs the 1-D layout). Read-back aggregates a
+    * both-dims box to prove the clustered layout serves it correctly. */
+  def zorderClusterWrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("events_zorder")
+    val ev = eventsWithParts(spark, dir)
+    // box bounds relative to the data so the query is non-empty at every
+    // scale factor (the oracle derives the same bounds with a subquery)
+    val umax = ev.agg(max($"user_id")).head.getLong(0)
+    zorderWrite(ev, out, nFiles = 16)
+    spark.read.parquet(out)
+      .filter($"user_id".between(umax / 4, umax / 2) && $"day".between(3, 6))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
+  /** Z-order the (user_id, day) dimensions of `ev` into `nFiles` files at
+    * `out`; shared with ZOrderSpec's skipping assertions. */
+  private[graft] def zorderWrite(ev: DataFrame, out: String,
+      nFiles: Int): Unit = {
+    import ev.sparkSession.implicits._
+    // range bounds: one metadata-scale aggregate (Delta samples instead;
+    // either way the bounds are tiny relative to the write itself)
+    val umax = ev.agg(max($"user_id")).head.getLong(0)
+    val ubucket = least(floor($"user_id" * 32L / (umax + 1L)), lit(31L))
+      .cast("long")
+    val dbucket = least($"day".cast("long"), lit(31L))
+    ev.withColumn("z", zValue(ubucket, dbucket, 5))
+      .repartitionByRange(nFiles, $"z")
+      .sortWithinPartitions($"z", $"user_id", $"ts")
+      .drop("z")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_cluster_write" -> (zorderClusterWrite _),
     "scan_json" -> (scanJson _),
     "scan_csv" -> (scanCsv _),
     "scan_orc" -> (scanOrc _),
@@ -532,6 +588,15 @@ object IngestOps {
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "zorder_cluster_write" ->
+      s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events
+         |WHERE user_id BETWEEN (SELECT MAX(user_id) // 4 FROM events)
+         |                  AND (SELECT MAX(user_id) // 2 FROM events)
+         |  AND day(ts) BETWEEN 3 AND 6
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "scan_json" -> FMT_ORACLE,
     "scan_csv" -> FMT_ORACLE,
     "scan_orc" -> FMT_ORACLE,

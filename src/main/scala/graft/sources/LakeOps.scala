@@ -135,9 +135,58 @@ object LakeOps {
       .orderBy($"day")
   }
 
+  /** `partition_evolve` — Iceberg partition-spec evolution (the feature
+    * the reference's 6-field identity spec exists to exploit): the table
+    * starts day-partitioned (spec v1, days 1-10), then the spec evolves
+    * to (day, hour) and NEW data (days 11-15) lands under the finer
+    * layout — old files are never rewritten, exactly Iceberg's contract.
+    * A query with an hour predicate prunes hour DIRECTORIES in the v2
+    * region and falls back to row-level filtering inside the day files of
+    * the v1 region (LakeSpec asserts: no hour≥6 file is ever opened in
+    * v2, and v1 bytes stay untouched by the evolution). At 100 TB this is
+    * how a table migrates to finer granularity with zero rewrite cost —
+    * only data written after the evolution pays the new layout. */
+  def partitionEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (v1, v2) = partitionEvolveLayout(spark, dir)
+    val oldRegion = spark.read.parquet(v1)
+      .filter($"day".between(9, 10) && hour($"ts") < 6)
+    val newRegion = spark.read.parquet(v2)
+      .filter($"day".between(11, 12) && $"hour" < 6)
+    oldRegion.select($"day", $"user_id", $"value")
+      .unionByName(newRegion.select($"day", $"user_id", $"value"))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
+  /** Write the two-spec layout (v1: day-partitioned days 1-10; v2:
+    * day/hour-partitioned days 11-15); shared with LakeSpec. */
+  private[graft] def partitionEvolveLayout(spark: SparkSession,
+      dir: String): (String, String) = {
+    import spark.implicits._
+    val v1 = IngestOps.tmp("events_spec_v1")
+    val v2 = IngestOps.tmp("events_spec_v2")
+    val ev = IngestOps.eventsWithParts(spark, dir)
+      .withColumn("hour", hour($"ts"))
+      .select($"event_id", $"user_id", $"event_type", $"value", $"ts",
+        $"day", $"hour")
+    ev.filter($"day".between(1, 10)).drop("hour")
+      .repartition($"day")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").partitionBy("day").parquet(v1)
+    ev.filter($"day".between(11, 15))
+      .repartition($"day", $"hour")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").partitionBy("day", "hour").parquet(v2)
+    (v1, v2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> (mergeUpsert _),
     "delete_where" -> (deleteWhere _),
+    "partition_evolve" -> (partitionEvolve _),
     "incremental_read" -> (incrementalRead _))
 
   private val D = "DECIMAL(18,2)"
@@ -169,5 +218,12 @@ object LakeOps {
       """SELECT day(ts) AS day, COUNT(*) AS n,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events WHERE day(ts) BETWEEN 11 AND 15
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "partition_evolve" ->
+      s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events
+         |WHERE day(ts) BETWEEN 9 AND 12 AND hour(ts) < 6
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -85,6 +85,53 @@ class LakeSpec extends SparkSpecBase {
     }
   }
 
+  test("partition_evolve: hour predicate opens no hour>=6 directory in " +
+      "the evolved region, and v1 files are untouched by the evolution") {
+    import spark.implicits._
+    val (v1, v2) = sources.LakeOps.partitionEvolveLayout(spark, sf)
+    val v1Mtime = partMtimes(v1).values.max
+    // the evolved-region query prunes hour directories: every file the
+    // scan opens sits under hour<6
+    val files = spark.read.parquet(v2)
+      .filter($"day".between(11, 12) && $"hour" < 6)
+      .select(input_file_name().as("f")).distinct().collect()
+      .map(_.getString(0))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val h = "hour=(\\d+)/".r.findFirstMatchIn(f).get.group(1).toInt
+      val d = "day=(\\d+)/".r.findFirstMatchIn(f).get.group(1).toInt
+      assert(h < 6 && d >= 11 && d <= 12, s"pruning leak: $f")
+    }
+    // writing the v2 region must not have rewritten any v1 file
+    assert(partMtimes(v1).values.max == v1Mtime)
+    val rows = sources.LakeOps.partitionEvolve(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).sameElements(Array(9L, 10L, 11L, 12L)))
+  }
+
+  test("zorder_cluster_write: a day-band predicate touches at most half " +
+      "the files of the z-ordered layout but nearly all of the 1-D sort") {
+    import spark.implicits._
+    val ev = sources.IngestOps.eventsWithParts(spark, sf)
+    val zOut = "/root/repo/target/tmp/spec_zorder"
+    val sOut = "/root/repo/target/tmp/spec_usersorted"
+    sources.IngestOps.zorderWrite(ev, zOut, nFiles = 16)
+    ev.repartitionByRange(16, $"user_id")
+      .sortWithinPartitions($"user_id", $"ts")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(sOut)
+    def filesMatching(root: String): Long =
+      spark.read.parquet(root).filter($"day".between(3, 4))
+        .select(input_file_name().as("f")).distinct().count()
+    val (zF, sF) = (filesMatching(zOut), filesMatching(sOut))
+    // user-sorted layout scatters a day band across (nearly) every file;
+    // the z-order curve confines it to the day-bit subtree
+    assert(zF * 2 <= sF, s"z-order files=$zF vs user-sorted files=$sF")
+    // and the z layout still serves a user band without a full scan
+    val uF = spark.read.parquet(zOut)
+      .filter($"user_id" <= 2).select(input_file_name().as("f"))
+      .distinct().count()
+    assert(uF < 16, s"user-band touched every z file ($uF)")
+  }
+
   test("join_bucketed: no shuffle exchange anywhere below the " +
       "sort-merge join (bucket layout replaces both exchanges)") {
     val df = operators.Joins.joinBucketed(spark, sf)
