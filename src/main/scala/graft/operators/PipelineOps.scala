@@ -324,7 +324,84 @@ object PipelineOps {
       .orderBy($"vec_id")
   }
 
+  /** `embed_kmeans` — one driver-coordinated Lloyd iteration of k-means
+    * over the embedding column (k = 8): seed centroids from the k smallest
+    * vec_ids, assign every vector to its nearest centroid (a NARROW
+    * codegen'd expression — the centroid array is a broadcast-sized
+    * literal, so assignment costs zero shuffles), recompute centroids from
+    * per-(cluster, dimension) sums, re-assign, and report each cluster's
+    * size and inertia (sum of squared distances — the k-means objective).
+    * This is how distributed k-means actually runs at 100 TB: the data
+    * never moves for assignment, and the only thing that ever reaches the
+    * driver is k×dims aggregated values per iteration (the same
+    * metadata-scale collect Iceberg does for manifests). Empty clusters
+    * keep their previous centroid.
+    *
+    * Determinism: per-dimension sums run in DECIMAL(38,30) — the values
+    * are |x| < 1 floats, so the cast error (≤5e-31/element) is ~20 orders
+    * below assignment sensitivity and both engines produce identical
+    * centroids; ties in assignment break by centroid id via a (dist, cid)
+    * struct min. */
+  def embedKmeans(spark: SparkSession, dir: String): DataFrame =
+    embedKmeansReport(spark, dir, iters = 1)
+
+  /** Parameterized Lloyd runner (see [[embedKmeans]]): report the per-
+    * cluster sizes and inertia after `iters` centroid updates (0 = under
+    * the seeds). PipelineSpec asserts the descent law: inertia is
+    * non-increasing in `iters`. */
+  private[graft] def embedKmeansReport(spark: SparkSession, dir: String,
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    val k = 8
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+    val seeds: Array[Seq[Double]] = vecs.filter($"vec_id" < k)
+      .orderBy($"vec_id").collect().map(_.getSeq[Double](1))
+
+    // squared distance to each centroid literal, argmin by (d2, cid)
+    def assign(cs: Array[Seq[Double]]) = {
+      val carr = array(cs.map(c => array(c.map(lit): _*)): _*)
+      val d2s = transform(carr, c =>
+        aggregate(zip_with($"v", c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      array_min(zip_with(d2s, sequence(lit(0), lit(k - 1)),
+        (d, i) => struct(d.as("d2"), i.as("cid"))))
+    }
+
+    // Lloyd update: exact per-(cluster, dim) decimal sums -> k*dims rows
+    // to the driver -> new centroid literals for the next assignment
+    def update(cs: Array[Seq[Double]]): Array[Seq[Double]] = {
+      val sums = vecs.withColumn("a", assign(cs))
+        .select($"v", $"a.cid".as("cid"))
+        .select($"cid", posexplode($"v"))
+        .groupBy($"cid", $"pos")
+        .agg(sum(col("col").cast("decimal(38,30)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCid = sums.groupBy(_.getInt(0))
+      cs.indices.map { cid =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).toSeq
+              .map(r => r.getDecimal(2).doubleValue / r.getLong(3))
+          case None => cs(cid) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+
+    val centroids = (1 to iters).foldLeft(seeds)((cs, _) => update(cs))
+    vecs.withColumn("a", assign(centroids))
+      .select($"a.cid".cast("long").as("cid"), $"a.d2".as("d2"))
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum($"d2".cast("decimal(18,9)")).cast("double"), 6)
+          .as("inertia"))
+      .orderBy($"cid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_kmeans" -> (embedKmeans _),
     "embed_quantize" -> (embedQuantize _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_resolve" -> (dedupResolve _),
@@ -363,6 +440,47 @@ object PipelineOps {
     "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "embed_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d0 AS (
+        |  SELECT e.vec_id, e.v, c0.cid,
+        |    list_sum(list_transform(range(1, len(e.v) + 1),
+        |      i -> (e.v[i::INT] - c0.cv[i::INT])
+        |         * (e.v[i::INT] - c0.cv[i::INT]))) AS d2
+        |  FROM e CROSS JOIN c0),
+        |a0 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT *, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d0)
+        |  WHERE rn = 1),
+        |s1 AS (
+        |  SELECT cid, i AS d,
+        |    CAST(SUM(CAST(v[i::INT] AS DECIMAL(38,30))) AS DOUBLE)
+        |      / COUNT(*) AS cval
+        |  FROM a0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
+        |  GROUP BY cid, i),
+        |c1 AS (
+        |  SELECT c0.cid,
+        |    COALESCE(any_value(s.cv), any_value(c0.cv)) AS cv
+        |  FROM c0 LEFT JOIN (
+        |    SELECT cid, list(cval ORDER BY d) AS cv FROM s1 GROUP BY cid) s
+        |  ON c0.cid = s.cid GROUP BY c0.cid),
+        |d1 AS (
+        |  SELECT e.vec_id, c1.cid,
+        |    list_sum(list_transform(range(1, len(e.v) + 1),
+        |      i -> (e.v[i::INT] - c1.cv[i::INT])
+        |         * (e.v[i::INT] - c1.cv[i::INT]))) AS d2
+        |  FROM e CROSS JOIN c1),
+        |a1 AS (
+        |  SELECT vec_id, cid, d2 FROM (
+        |    SELECT *, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1)
+        |  WHERE rn = 1)
+        |SELECT CAST(cid AS BIGINT) AS cid, COUNT(*) AS n_vecs,
+        |  round(CAST(SUM(CAST(d2 AS DECIMAL(18,9))) AS DOUBLE), 6)
+        |    AS inertia
+        |FROM a1 GROUP BY cid ORDER BY cid""".stripMargin,
     "embed_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

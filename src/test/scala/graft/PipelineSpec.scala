@@ -122,6 +122,22 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("embed_kmeans: Lloyd update strictly decreases total inertia and " +
+      "keeps every vector assigned") {
+    def totals(iters: Int): (Long, Double) = {
+      val rows = operators.PipelineOps
+        .embedKmeansReport(spark, sf, iters).collect()
+      (rows.map(_.getLong(1)).sum, rows.map(_.getDouble(2)).sum)
+    }
+    val (n0, i0) = totals(0)
+    val (n1, i1) = totals(1)
+    val (n2, i2) = totals(2)
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(n0 == nVecs && n1 == nVecs && n2 == nVecs)
+    assert(i1 < i0, s"update did not descend: $i0 -> $i1")
+    assert(i2 <= i1, s"second update ascended: $i1 -> $i2")
+  }
+
   test("stream_stream_join equals the batch interval join") {
     import spark.implicits._
     val ev = graft.sources.Tables.events(spark, sf)
