@@ -96,8 +96,28 @@ object SetOps {
       .limit(6)
   }
 
+  /** `topk_per_key` — top-3 orders by price per customer via the custom
+    * TopKPerKey operator (graft.plans): partial per-partition bounded
+    * heaps, then ONE hash exchange carrying ≤ 3 rows per (customer,
+    * upstream partition), then the final heap pass — the per-key
+    * generalization of `TimeEx:276-279`'s sorted().limit(6) that the
+    * built-in Window(row_number)+Filter spelling shuffles every row for.
+    * The tie-break on o_orderkey makes the top-3 set unique, so the
+    * row_number oracle is exact. */
+  def topkPerKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey",
+        dec($"o_totalprice").cast("double").as("totalprice"))
+    graft.plans.TopK.perKey(base,
+        keyCols = Seq($"o_custkey"),
+        orderCols = Seq($"totalprice".desc, $"o_orderkey".asc), k = 3)
+      .orderBy($"o_custkey", $"totalprice".desc, $"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sort_by_key" -> (sortByKey _),
+    "topk_per_key" -> (topkPerKey _),
     "setop_union" -> (setopUnion _),
     "setop_union_all" -> (setopUnionAll _),
     "setop_intersect" -> (setopIntersect _),
@@ -136,6 +156,17 @@ object SetOps {
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
         |FROM orders
         |ORDER BY totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "topk_per_key" ->
+      """SELECT o_orderkey, o_custkey, totalprice FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+        |    row_number() OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |        DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, totalprice DESC, o_orderkey""".stripMargin,
     "limit_first" ->
       """SELECT event_id, ts, user_id, event_type FROM events
         |ORDER BY ts, event_id LIMIT 1""".stripMargin,

@@ -9,4 +9,19 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eagerly converted Catalyst expression (Spark 4's `expression` wraps
+    * the ColumnNode lazily, which custom logical nodes can't carry —
+    * the wrapper survives analysis unresolved and isn't serializable). */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** DataFrame over a custom LogicalPlan (analyzer runs on it). */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The (pre-analysis) logical plan backing a Dataset. */
+  def plan(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].logicalPlan
 }
