@@ -216,7 +216,50 @@ object Joins {
       .orderBy($"r_name", $"l_returnflag")
   }
 
+  /** `join_bloom_prune` — runtime-filter join: a compact Bloom sketch of
+    * the SELECTIVE dimension keys pre-filters the fact table BEFORE the
+    * join shuffle, the join itself removes the false positives, so the
+    * result is exactly the plain join's. This is the manual spelling of
+    * Spark's InjectRuntimeFilter (same BloomFilterAggregate /
+    * BloomFilterMightContain expressions), written out because the
+    * optimizer only injects it when stats clear its thresholds — at 100 TB
+    * you want the guarantee, not the heuristic. The sketch stays IN-PLAN
+    * as a scalar subquery (no driver materialization): Spark computes the
+    * one-row aggregate once and broadcasts it to every probe task; only
+    * fact rows that might match ever enter the shuffle.
+    *
+    * Reference shape: the tenant→KMS in-memory lookup (`Creator:60-62`)
+    * prunes work before the heavy path the same way. */
+  def joinBloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain,
+      Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val dim = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_orderstatus" === "F")
+      .select($"o_orderkey")
+    // ~0.4% fpp at 10k keys; the sketch is ~12 KiB however big the fact is
+    val bloomAgg = new BloomFilterAggregate(
+      GraftBridge.eagerExpression(xxhash64($"o_orderkey")),
+      Literal(10000L), Literal(64L * 1024 * 8))
+    val bloomPlan = dim
+      .select(GraftBridge.column(bloomAgg.toAggregateExpression()).as("bf"))
+      .queryExecution.analyzed
+    val mightMatch = GraftBridge.column(new BloomFilterMightContain(
+      ScalarSubquery(bloomPlan),
+      GraftBridge.eagerExpression(xxhash64($"l_orderkey"))))
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_returnflag", $"l_extendedprice")
+      .filter(mightMatch)
+      .join(dim, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bloom_prune" -> (joinBloomPrune _),
     "join_full_outer" -> (joinFullOuter _),
     "join_cross" -> (joinCross _),
     "join_inner_hash" -> (joinInnerHash _),
@@ -233,6 +276,14 @@ object Joins {
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "join_bloom_prune" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN (SELECT o_orderkey FROM orders
+         |      WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')
+         |  ON l_orderkey = o_orderkey
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "join_full_outer" ->
       """SELECT COALESCE(c_custkey, user_id) AS id,
         |  COALESCE(c_mktsegment, '(no customer)') AS segment,
