@@ -102,6 +102,27 @@ object Scalars {
       .orderBy($"event_id")
   }
 
+  /** `fn_url_parse` — URL decomposition into scheme/domain/path/query,
+    * the reference's `cs_url → cs_scheme/cs_domain/cs_path/cs_query`
+    * field family (`AIGEventsSchemaValidator.java` url fields; the
+    * generator emits the same split). URLs are synthesized
+    * deterministically from the doc row, then taken apart with the
+    * codegen'd `parse_url` kernel — per-row expressions only. */
+  def fnUrlParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val url = concat(lit("https://"), $"source", lit(".example.com/d/"),
+      $"doc_id", lit("?lang="), $"lang", lit("&v=2"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", url.as("cs_url"))
+      .select($"doc_id", $"cs_url",
+        parse_url($"cs_url", lit("PROTOCOL")).as("cs_scheme"),
+        parse_url($"cs_url", lit("HOST")).as("cs_domain"),
+        parse_url($"cs_url", lit("PATH")).as("cs_path"),
+        parse_url($"cs_url", lit("QUERY")).as("cs_query"),
+        parse_url($"cs_url", lit("QUERY"), lit("lang")).as("q_lang"))
+      .orderBy($"doc_id")
+  }
+
   /** Cyclic round-robin assignment (`Creator:219-243` `i % N` over provider/
     * model arrays) — pmod + element_at. */
   def fnModCycle(spark: SparkSession, dir: String): DataFrame = {
@@ -229,9 +250,21 @@ object Scalars {
     "fn_mod_cycle" -> (fnModCycle _),
     "fn_rand_int" -> (fnRandInt _),
     "fn_math" -> (fnMath _),
+    "fn_url_parse" -> (fnUrlParse _),
     "explode_array" -> (explodeArray _))
 
   val oracles: Map[String, String] = Map(
+    "fn_url_parse" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || source || '.example.com/d/' || doc_id ||
+        |  '?lang=' || lang || '&v=2' AS cs_url FROM documents)
+        |SELECT doc_id, cs_url,
+        |  'https' AS cs_scheme,
+        |  regexp_extract(cs_url, 'https://([^/]+)/', 1) AS cs_domain,
+        |  regexp_extract(cs_url, 'https://[^/]+(/[^?]*)', 1) AS cs_path,
+        |  regexp_extract(cs_url, '\?(.*)$', 1) AS cs_query,
+        |  regexp_extract(cs_url, '[?&]lang=([^&]*)', 1) AS q_lang
+        |FROM u ORDER BY doc_id""".stripMargin,
     "fn_rand_int" ->
       """SELECT CAST(10000 AS BIGINT) AS n, true AS in_range,
         |  true AS mean_centered""".stripMargin,

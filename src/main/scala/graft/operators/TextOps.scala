@@ -165,7 +165,33 @@ object TextOps {
       .limit(20)
   }
 
+  /** `text_html_strip` — web-corpus boilerplate removal: each doc is
+    * wrapped in a deterministic HTML shell (title, script, div chrome —
+    * the shape a crawl dump carries), then stripped back to clean text
+    * with a three-stage regexp chain (script blocks → tags → whitespace
+    * collapse). Per-lang audit of chars in vs chars out. Pure per-row
+    * expressions — streams at scan speed; the only shuffle is the 3-row
+    * final aggregate. */
+  def textHtmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val html = concat(
+      lit("<html><head><title>"), $"source",
+      lit("</title><script>var t=1;</script></head><body><p>"), $"text",
+      lit("</p><br/><div class=\"nav\">menu</div></body></html>"))
+    val stripped = trim(regexp_replace(regexp_replace(regexp_replace(
+      html, "<script>[^<]*</script>", " "), "<[^>]+>", " "), "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select($"lang", length(html).cast("long").as("html_chars"),
+        length(stripped).cast("long").as("clean_chars"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum($"html_chars").cast("bigint").as("html_chars"),
+        sum($"clean_chars").cast("bigint").as("clean_chars"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_html_strip" -> (textHtmlStrip _),
     "text_stats" -> (textStats _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
@@ -178,6 +204,19 @@ object TextOps {
   private val TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
   val oracles: Map[String, String] = Map(
+    "text_html_strip" ->
+      """WITH h AS (SELECT lang,
+        |  '<html><head><title>' || source ||
+        |  '</title><script>var t=1;</script></head><body><p>' || text ||
+        |  '</p><br/><div class="nav">menu</div></body></html>' AS html
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(length(html)) AS BIGINT) AS html_chars,
+        |  CAST(SUM(length(trim(regexp_replace(regexp_replace(regexp_replace(
+        |    html, '<script>[^<]*</script>', ' ', 'g'),
+        |    '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')))) AS BIGINT)
+        |    AS clean_chars
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id, lang, n_chars, length(text) AS n_chars_measured,
          |  len($TOKS) AS n_tokens,
