@@ -25,6 +25,7 @@ object Tables {
       "org.apache.spark.sql.catalyst.util.CollationAwareUTF8String")
     if (spark != null) {
       graft.plans.TimestampPushdownRule.install(spark)
+      graft.plans.RankLimitToTopKRule.install(spark)
       // fork-free local FS (see NioLocalFileSystem); evict any cached
       // default instances so the override takes effect session-wide
       val hc = spark.sparkContext.hadoopConfiguration

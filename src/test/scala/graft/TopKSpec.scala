@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions._
   * upstream partition cross the wire). */
 class TopKSpec extends SparkSpecBase {
 
+  // keeps rn in the output so RankLimitToTopKRule does NOT rewrite it:
+  // this stays a genuine Window plan, independent of the custom operator
   private def windowTop3(dir: String) = {
     import spark.implicits._
     val w = Window.partitionBy($"o_custkey")
@@ -17,7 +19,8 @@ class TopKSpec extends SparkSpecBase {
       .select($"o_orderkey", $"o_custkey",
         graft.operators.dec($"o_totalprice").cast("double").as("totalprice"))
       .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 3).drop("rn")
+      .filter($"rn" <= 3)
+      .select($"o_orderkey", $"o_custkey", $"totalprice", $"rn")
   }
 
   test("matches the window row_number spelling exactly") {
