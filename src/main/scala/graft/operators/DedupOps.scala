@@ -219,7 +219,41 @@ object DedupOps {
       .orderBy($"da", $"db")
   }
 
+  /** `dedup_url` — crawl-frontier URL dedup: the same page arrives as
+    * many surface forms (tracking params, fragments, host case, trailing
+    * slash); canonicalize, then dedup on the canonical form. Three
+    * deterministic variants per doc are synthesized, canonicalization is
+    * a pure per-row expression chain (fragment strip → host lowercase →
+    * trailing-slash trim → drop utm params → sort the rest), and the
+    * audit groups by source: 3n URLs in, n canonical out. No shuffle
+    * except the final per-source aggregate — at 100 TB the frontier
+    * dedup itself would be the same expressions feeding a groupBy on
+    * the canonical key. */
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v1 = concat(lit("https://"), $"source", lit(".Example.COM/d/"),
+      $"doc_id", lit("?utm_source=feed&lang="), $"lang", lit("#top"))
+    val v2 = concat(lit("https://"), $"source", lit(".example.com/d/"),
+      $"doc_id", lit("?lang="), $"lang")
+    val v3 = concat(lit("https://"), $"source", lit(".example.com/d/"),
+      $"doc_id", lit("/?lang="), $"lang", lit("&utm_campaign=x"))
+    val noFrag = regexp_replace($"url", "#.*$", "")
+    val base = regexp_replace(lower(regexp_extract(noFrag, "^([^?]*)", 1)),
+      "/$", "")
+    val params = array_join(array_sort(filter(
+      split(regexp_extract(noFrag, "\\?(.*)$", 1), "&"),
+      p => !p.startsWith("utm"))), "&")
+    Tables.documents(spark, dir)
+      .select($"source", explode(array(v1, v2, v3)).as("url"))
+      .select($"source", concat(base, lit("?"), params).as("canon"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct($"canon").as("n_canonical"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_url" -> (dedupUrl _),
     "dedup_exact" -> (dedupExact _),
     "dedup_near" -> (dedupNear _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -230,6 +264,29 @@ object DedupOps {
     "greatest(len(text) - 1, 2)), i -> substr(text, i::INT, 3)))"
 
   val oracles: Map[String, String] = Map(
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT source, unnest([
+        |    'https://' || source || '.Example.COM/d/' || doc_id ||
+        |      '?utm_source=feed&lang=' || lang || '#top',
+        |    'https://' || source || '.example.com/d/' || doc_id ||
+        |      '?lang=' || lang,
+        |    'https://' || source || '.example.com/d/' || doc_id ||
+        |      '/?lang=' || lang || '&utm_campaign=x']) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    regexp_replace(lower(regexp_extract(
+        |      regexp_replace(url, '#.*$', ''), '^([^?]*)', 1)),
+        |      '/$', '') || '?' ||
+        |    array_to_string(list_sort(list_filter(string_split(
+        |      regexp_extract(regexp_replace(url, '#.*$', ''),
+        |        '\?(.*)$', 1), '&'),
+        |      p -> NOT starts_with(p, 'utm'))), '&') AS canon
+        |  FROM u)
+        |SELECT source, COUNT(*) AS n_urls,
+        |  COUNT(DISTINCT canon) AS n_canonical
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
         |  length(MIN(text)) AS len
