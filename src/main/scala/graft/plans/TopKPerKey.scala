@@ -54,6 +54,17 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
   * `partial = true` runs map-side on whatever partitioning the child has;
   * `partial = false` demands co-location by key (EnsureRequirements adds
   * the hash exchange) and produces the exact answer.
+  *
+  * Memory bound: the partial flushes all heaps to output whenever the
+  * number of live keys exceeds `graft.topk.maxPartialKeys` (default
+  * 65536), capping its footprint at O(maxKeys · k) rows however many
+  * distinct keys a partition holds. The flush is lossless: a row in the
+  * partition's true per-key top-k is beaten by < k rows in the whole
+  * partition, hence by < k rows in its own segment, so it survives its
+  * segment's heap — the final pass reduces the segment winners exactly.
+  * The final never flushes (it must be exact); it holds k rows per key
+  * of ITS hash partition, the same non-spilling contract as streaming
+  * agg state — size the shuffle partition count to the key cardinality.
   */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
@@ -78,8 +89,12 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val sortOrder = order
     val limit = k
     val childOutput = child.output
+    val isPartial = partial
+    val maxKeys = conf.getConfString("graft.topk.maxPartialKeys", "65536")
+      .toInt.max(1)
     val numOutputRows = longMetric("numOutputRows")
     child.execute().mapPartitions({ iter =>
+      import scala.jdk.CollectionConverters._
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // codegen'd composite ordering; "top" = first k under `order`
       val ord: Ordering[InternalRow] =
@@ -87,21 +102,36 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       val worstFirst = ord.reverse // heap head = current worst of the k
       val heaps =
         new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var q = heaps.get(key)
-        if (q == null) {
-          q = new java.util.PriorityQueue[InternalRow](limit + 1, worstFirst)
-          heaps.put(key.copy(), q) // projection reuses its buffer
+      new Iterator[InternalRow] {
+        private var drain: Iterator[InternalRow] = Iterator.empty
+        private def drainHeaps(): Iterator[InternalRow] = {
+          val qs = new java.util.ArrayList(heaps.values)
+          heaps.clear()
+          qs.iterator.asScala.flatMap { q =>
+            numOutputRows += q.size
+            q.iterator.asScala
+          }
         }
-        if (q.size < limit) q.offer(row.copy()) // iterator reuses the row
-        else if (ord.lt(row, q.peek())) { q.poll(); q.offer(row.copy()) }
-      }
-      import scala.jdk.CollectionConverters._
-      heaps.values.iterator.asScala.flatMap { q =>
-        numOutputRows += q.size
-        q.iterator.asScala
+        private def fill(): Unit = {
+          while (!drain.hasNext && iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            var q = heaps.get(key)
+            if (q == null) {
+              q = new java.util.PriorityQueue[InternalRow](limit + 1,
+                worstFirst)
+              heaps.put(key.copy(), q) // projection reuses its buffer
+            }
+            if (q.size < limit) q.offer(row.copy()) // iterator reuses rows
+            else if (ord.lt(row, q.peek())) { q.poll(); q.offer(row.copy()) }
+            // memory cap (partial only; see class doc for the proof)
+            if (isPartial && heaps.size > maxKeys) drain = drainHeaps()
+          }
+          if (!drain.hasNext && !iter.hasNext && !heaps.isEmpty)
+            drain = drainHeaps()
+        }
+        override def hasNext: Boolean = { fill(); drain.hasNext }
+        override def next(): InternalRow = { fill(); drain.next() }
       }
     }, preservesPartitioning = true)
   }

@@ -84,6 +84,25 @@ class TopKSpec extends SparkSpecBase {
       s"partial emitted ${partialOut.head} rows — not bounded")
   }
 
+  test("partial flush-on-pressure keeps results exact under a tiny cap") {
+    import spark.implicits._
+    // 40 keys × 50 rows through 4 partitions with a 2-key cap: the
+    // partial flushes constantly; the final must still be exact
+    spark.conf.set("graft.topk.maxPartialKeys", "2")
+    try {
+      val base = spark.range(2000).repartition(4)
+        .select(($"id" % 40).as("k"), $"id".cast("double").as("v"))
+      val got = graft.plans.TopK
+        .perKey(base, Seq($"k"), Seq($"v".desc), k = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val exp = (0L until 40L).flatMap { key =>
+        val vs = (0L until 2000L).filter(_ % 40 == key).map(_.toDouble)
+        vs.sorted.reverse.take(2).map((key, _))
+      }.toSet
+      assert(got == exp)
+    } finally spark.conf.unset("graft.topk.maxPartialKeys")
+  }
+
   test("ties beyond k are cut deterministically by the tie-break column") {
     import spark.implicits._
     val base = Seq((1L, 5.0, "a"), (1L, 5.0, "b"), (1L, 5.0, "c"))
