@@ -190,8 +190,34 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** `text_rarity` — corpus-frequency rarity scoring (the CCNet-style
+    * LM-quality-filter shape, integer-exact): pass 1 computes each
+    * term's document frequency (one shuffle), pass 2 joins tokens back
+    * to their df and scores each doc by how many rare (df < 5) and
+    * common (df ≥ 100) terms it uses, with a permille rarity ratio in
+    * exact integer arithmetic. At 100 TB both passes shuffle on the
+    * term — the vocabulary join is the same equi-join a real LM-score
+    * pipeline runs; no floating point anywhere, so the oracle hashes
+    * bit-identically. */
+  def textRarity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("t"))
+    val df = toks.distinct()
+      .groupBy($"t").agg(count(lit(1)).as("df"))
+    toks.join(df, "t")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when($"df" < 5, 1)).as("n_rare"),
+        count(when($"df" >= 100, 1)).as("n_common"))
+      .select($"doc_id", $"n_tokens", $"n_rare", $"n_common",
+        expr("n_rare * 1000 DIV n_tokens").as("rarity_permille"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_html_strip" -> (textHtmlStrip _),
+    "text_rarity" -> (textRarity _),
     "text_stats" -> (textStats _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
@@ -217,6 +243,18 @@ object TextOps {
         |    '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')))) AS BIGINT)
         |    AS clean_chars
         |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_rarity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($TOKS) AS t FROM documents),
+         |df AS (
+         |  SELECT t, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY t)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  COUNT(CASE WHEN df < 5 THEN 1 END) AS n_rare,
+         |  COUNT(CASE WHEN df >= 100 THEN 1 END) AS n_common,
+         |  (COUNT(CASE WHEN df < 5 THEN 1 END) * 1000) // COUNT(*)
+         |    AS rarity_permille
+         |FROM toks JOIN df USING (t)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id, lang, n_chars, length(text) AS n_chars_measured,
          |  len($TOKS) AS n_tokens,
