@@ -556,7 +556,26 @@ object IngestOps {
       .option("compression", "zstd").parquet(out)
   }
 
+  /** `meta_files` — the FILES metadata table served by the DSv2
+    * connector ([[GraftMetaSource]]): per-snapshot file/day counts with
+    * the `snapshot_id <= 2` predicate PUSHED into the connector, so
+    * snapshot 3's manifest never even becomes an input partition — the
+    * `table.files()` metadata walk of `Debug:164-196` as a first-class
+    * Spark source. Oracle derives the expected counts from the events
+    * data (snapshot 1 = days 1-5, 2 = days 6-10; one file per day). */
+  def metaFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = snapshotLayout(spark, dir)
+    spark.read.format("graft.sources.GraftMetaSource")
+      .option("root", root).load()
+      .filter($"snapshot_id" <= 2)
+      .groupBy($"snapshot_id".cast("long").as("snapshot_id"))
+      .agg(countDistinct($"day").as("n_days"), count(lit(1)).as("n_files"))
+      .orderBy($"snapshot_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "meta_files" -> (metaFiles _),
     "zorder_cluster_write" -> (zorderClusterWrite _),
     "scan_json" -> (scanJson _),
     "scan_csv" -> (scanCsv _),
@@ -612,6 +631,13 @@ object IngestOps {
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
          |FROM events WHERE user_id BETWEEN 100 AND 119
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "meta_files" ->
+      """SELECT CAST(CASE WHEN d <= 5 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS snapshot_id,
+        |  COUNT(DISTINCT d) AS n_days, COUNT(DISTINCT d) AS n_files
+        |FROM (SELECT day(ts) AS d FROM events)
+        |WHERE d BETWEEN 1 AND 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "snapshot_log" ->
       """WITH b AS (
         |  SELECT CASE WHEN day(ts) <= 5 THEN 1

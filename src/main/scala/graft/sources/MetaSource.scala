@@ -1,0 +1,190 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector exposing the snapshot table's FILES metadata —
+  * the Iceberg metadata-table surface (`table.files()` / the per-file
+  * walk in `aig/PartitionValueDebugger.java:164-196`) as a first-class
+  * Spark source:
+  *
+  * {{{
+  *   spark.read.format("graft.sources.GraftMetaSource")
+  *     .option("root", tableRoot).load()
+  * }}}
+  *
+  * One row per data file per committing snapshot, columns
+  * (snapshot_id, day, rel_path, size_bytes). The rows come from the
+  * manifests + a driver-side listing — metadata scale, like the system
+  * it mirrors — but the CONNECTOR mechanics are the real thing:
+  *
+  *  - `SupportsPushDownFilters`: comparisons on `snapshot_id` / `day`
+  *    are consumed at PLANNING time — a pruned manifest never becomes an
+  *    InputPartition (time travel and partition pruning priced as
+  *    metadata; MetaSourceSpec asserts via the partition count).
+  *  - `SupportsPushDownRequiredColumns`: the reader materializes only
+  *    the projected fields.
+  *
+  * At 100 TB the FILES table of a real lake is itself big data (millions
+  * of files); this same connector shape then plans one InputPartition
+  * per manifest and the executors parse manifests in parallel — the
+  * driver never holds the file list.
+  */
+class GraftMetaSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftMetaSource.FILES_SCHEMA
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftMetaTable(properties.get("root"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GraftMetaSource {
+  val FILES_SCHEMA: StructType = StructType(Seq(
+    StructField("snapshot_id", IntegerType, nullable = false),
+    StructField("day", IntegerType, nullable = false),
+    StructField("rel_path", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
+
+  /** (snapshot_id, day, rel_path, size_bytes) per manifest entry. */
+  private[sources] def listEntries(root: String)
+      : Seq[(Int, Int, String, Long)] = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val metaDir = new org.apache.hadoop.fs.Path(root, "metadata")
+    val snaps = fs.listStatus(metaDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("snap-") && n.endsWith(".txt"))
+      .map(n => n.stripPrefix("snap-").stripSuffix(".txt").toInt).sorted
+    snaps.flatMap { n =>
+      val p = new org.apache.hadoop.fs.Path(metaDir, s"snap-$n.txt")
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      txt.split("\n").filter(_.nonEmpty).map { rel =>
+        val day = "day=(\\d+)/".r.findFirstMatchIn(rel)
+          .map(_.group(1).toInt).getOrElse(-1)
+        val size = fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$root/data/$rel")).getLen
+        (n, day, rel, size)
+      }
+    }.toSeq
+  }
+}
+
+private[sources] class GraftMetaTable(root: String)
+    extends Table with SupportsRead {
+  require(root != null, "graft.sources.GraftMetaSource needs .option(\"root\", tableRoot)")
+  override def name(): String = s"graft_meta_files($root)"
+  override def schema(): StructType = GraftMetaSource.FILES_SCHEMA
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new GraftMetaScanBuilder(root)
+}
+
+private[sources] class GraftMetaScanBuilder(root: String)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = GraftMetaSource.FILES_SCHEMA
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Planning-time evaluable comparisons on the two prune columns. */
+  private def prunable(f: Filter): Boolean = f match {
+    case EqualTo(a, _: Integer) => a == "snapshot_id" || a == "day"
+    case GreaterThan(a, _: Integer) => a == "snapshot_id" || a == "day"
+    case GreaterThanOrEqual(a, _: Integer) => a == "snapshot_id" || a == "day"
+    case LessThan(a, _: Integer) => a == "snapshot_id" || a == "day"
+    case LessThanOrEqual(a, _: Integer) => a == "snapshot_id" || a == "day"
+    case IsNotNull(a) => a == "snapshot_id" || a == "day"
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(prunable)
+    filters.filterNot(prunable) // residual: Spark re-applies the rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftMetaScan(root, required, pushed)
+}
+
+private[sources] class GraftMetaScan(root: String, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_meta_files PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+      s"ReadSchema: ${required.catalogString}"
+
+  private def keep(snap: Int, day: Int)(f: Filter): Boolean = {
+    def v(attr: String) = if (attr == "snapshot_id") snap else day
+    f match {
+      case EqualTo(a, lit: Integer) => v(a) == lit.intValue()
+      case GreaterThan(a, lit: Integer) => v(a) > lit.intValue()
+      case GreaterThanOrEqual(a, lit: Integer) => v(a) >= lit.intValue()
+      case LessThan(a, lit: Integer) => v(a) < lit.intValue()
+      case LessThanOrEqual(a, lit: Integer) => v(a) <= lit.intValue()
+      case IsNotNull(_) => true
+      case _ => true
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val survivors = GraftMetaSource.listEntries(root)
+      .filter { case (s, d, _, _) => pushed.forall(keep(s, d)) }
+    // one partition per surviving snapshot: pushdown on snapshot_id is
+    // visible as a smaller partition count (asserted in the spec)
+    survivors.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, es) =>
+      GraftMetaPartition(es.toArray): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftMetaReaderFactory(required.fieldNames)
+}
+
+private[sources] case class GraftMetaPartition(
+    entries: Array[(Int, Int, String, Long)]) extends InputPartition
+
+private[sources] class GraftMetaReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val entries = partition.asInstanceOf[GraftMetaPartition].entries
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < entries.length }
+      override def get(): InternalRow = {
+        val (snap, day, rel, size) = entries(i)
+        new GenericInternalRow(fields.map {
+          case "snapshot_id" => snap
+          case "day" => day
+          case "rel_path" => UTF8String.fromString(rel)
+          case "size_bytes" => size
+        }.toArray[Any])
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
