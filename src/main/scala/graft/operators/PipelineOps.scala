@@ -400,7 +400,29 @@ object PipelineOps {
       .orderBy($"cid")
   }
 
+  /** `curation_funnel` — the end-to-end curation decision in ONE pass:
+    * how many docs survive each stage (language gate → quality gate →
+    * exact dedup on normalized text). All four funnel counts are
+    * conditional aggregates of a single scan — one shuffle total, no
+    * per-stage materialization — so at 100 TB the funnel costs exactly
+    * one pass over the corpus (the distinct-text count expands to a
+    * two-level aggregate, still one scan). The per-stage breakdown is
+    * what a pipeline operator reports before committing a curation run. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val langOk = $"lang" === "en"
+    val qualityOk = langOk && length($"text") >= 50 &&
+      size(filter(split($"text", " "), t => t =!= "")) >= 10
+    val norm = trim(regexp_replace(lower($"text"), "\\s+", " "))
+    Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_total"),
+        count(when(langOk, 1)).as("n_lang"),
+        count(when(qualityOk, 1)).as("n_quality"),
+        countDistinct(when(qualityOk, norm)).as("n_unique"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_funnel" -> (curationFunnel _),
     "embed_kmeans" -> (embedKmeans _),
     "embed_quantize" -> (embedQuantize _),
     "dedup_cluster" -> (dedupCluster _),
@@ -440,6 +462,18 @@ object PipelineOps {
     "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "curation_funnel" ->
+      """SELECT COUNT(*) AS n_total,
+        |  COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_lang,
+        |  COUNT(CASE WHEN lang = 'en' AND length(text) >= 50
+        |    AND len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      >= 10 THEN 1 END) AS n_quality,
+        |  COUNT(DISTINCT CASE WHEN lang = 'en' AND length(text) >= 50
+        |    AND len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      >= 10
+        |    THEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) END)
+        |    AS n_unique
+        |FROM documents""".stripMargin,
     "embed_kmeans" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
