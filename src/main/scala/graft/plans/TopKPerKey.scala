@@ -44,6 +44,9 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"top-k needs k > 0, got $k")
+  require(keys.nonEmpty,
+    "global top-k has no key to cluster on — use orderBy(...).limit(k), " +
+      "which Spark plans as TakeOrderedAndProject")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan)
