@@ -258,7 +258,35 @@ object Joins {
       .orderBy($"l_returnflag")
   }
 
+  /** `join_dpp` — dynamic partition pruning: the fact side is the
+    * tenant/year/month/day/hour partitioned layout, the dim side a small
+    * filtered table joined on the PARTITION column, so Catalyst inserts a
+    * `dynamicpruning` subquery into the fact scan's PartitionFilters —
+    * the fact directories for non-qualifying days are skipped at RUNTIME
+    * using the dim's broadcast result. This is Iceberg's
+    * manifest-level join pruning (`TimeEx:180-195`) in its Spark form;
+    * at 100 TB it's the difference between scanning the whole fact table
+    * and scanning the few partitions the dim actually references.
+    * JoinsSpec asserts the dynamicpruning expression reaches the scan. */
+  def joinDpp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = graft.sources.IngestOps.partitionedLayout(spark, dir)
+    val fact = spark.read.parquet(root)
+    // scan-backed dim (a literal frame would constant-fold its filter
+    // away and DPP would see no selective predicate): urgent-order days
+    // in a narrow band — the selective scan filter is what DPP keys on
+    val dim = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT" &&
+        dayofmonth($"o_orderdate").between(5, 7))
+      .select(dayofmonth($"o_orderdate").as("day")).distinct()
+    fact.join(dim, "day")
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_dpp" -> (joinDpp _),
     "join_bloom_prune" -> (joinBloomPrune _),
     "join_full_outer" -> (joinFullOuter _),
     "join_cross" -> (joinCross _),
@@ -276,6 +304,15 @@ object Joins {
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "join_dpp" ->
+      s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events
+         |WHERE day(ts) IN (
+         |  SELECT DISTINCT day(o_orderdate) FROM orders
+         |  WHERE o_orderpriority = '1-URGENT'
+         |    AND day(o_orderdate) BETWEEN 5 AND 7)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_bloom_prune" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) AS revenue

@@ -53,4 +53,11 @@ class BloomJoinSpec extends SparkSpecBase {
     assert(plan.contains("might_contain"), s"no bloom filter in:\n$plan")
     assert(plan.contains("Subquery"), s"bloom not a subquery in:\n$plan")
   }
+
+  test("join_dpp: dynamic pruning reaches the fact scan's partition filters") {
+    val df = graft.operators.Joins.joinDpp(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP in:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
 }
