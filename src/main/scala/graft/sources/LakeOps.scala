@@ -183,9 +183,196 @@ object LakeOps {
     (v1, v2)
   }
 
+  /** `update_where` — UPDATE base SET value = value*2 WHERE
+    * event_type='purchase' AND day BETWEEN 3 AND 7, copy-on-write like
+    * [[deleteWhere]]: the touched day-partitions come from a
+    * metadata-scale DISTINCT collect, only they are rewritten (LakeSpec
+    * asserts other files keep their bytes). With [[mergeUpsert]] and
+    * [[deleteWhere]] this completes the row-level DML trio Iceberg
+    * commits as overwrite snapshots (`Bulk:97-101` shape). */
+  def updateWhere(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = IngestOps.tmp("events_update")
+    writeBase(spark, dir, out)
+    val base = spark.read.parquet(out)
+    val hit = $"event_type" === "purchase" && $"day".between(3, 7)
+    val days = base.filter(hit).select($"day").distinct().collect()
+      .map(_.getInt(0)).sorted
+    val rewritten = base.filter($"day".isin(days.map(Int.box): _*))
+      .withColumn("value", when(hit, $"value" * 2).otherwise($"value"))
+    rewritePartitions(spark, rewritten, out)
+    spark.read.parquet(out)
+      .filter($"day".between(1, 10))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        count(when($"event_type" === "purchase", 1)).as("n_purchases"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
+  // ---- versioned-table emulation for the maintenance ops --------------
+  // Delta manifests: metadata/snap-N.txt lists the data files snapshot N
+  // ADDED, metadata/snap-N.removed.txt the files it logically REPLACED.
+  // Live view of snapshot S = union(adds 1..S) − union(removes 1..S) —
+  // the Iceberg metadata tree (`Debug:164-196`) reduced to its delta
+  // essence, so every read below is file-list-driven (metadata cost),
+  // never a directory glob that could see stale bytes.
+
+  private def hfs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def listData(spark: SparkSession, data: String): Set[String] = {
+    val fs = hfs(spark, data)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(data), true)
+    val b = Set.newBuilder[String]
+    while (it.hasNext) {
+      val p = it.next().getPath.toString
+      if (p.endsWith(".parquet"))
+        b += p.substring(p.lastIndexOf("/data/") + 6)
+    }
+    b.result()
+  }
+
+  private def writeManifest(spark: SparkSession, root: String,
+      name: String, files: Iterable[String]): Unit = {
+    val fs = hfs(spark, root)
+    val os = fs.create(
+      new org.apache.hadoop.fs.Path(root, s"metadata/$name"), true)
+    os.write(files.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    os.close()
+  }
+
+  private def readManifest(spark: SparkSession, root: String,
+      name: String): Seq[String] = {
+    val fs = hfs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root, s"metadata/$name")
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      txt.split("\n").toSeq.filter(_.nonEmpty)
+    }
+  }
+
+  /** Live file list (relative to data/) as of snapshot `s`. */
+  private[graft] def liveFiles(spark: SparkSession, root: String,
+      snaps: Seq[Int]): Seq[String] = {
+    val added = snaps.flatMap(n => readManifest(spark, root, s"snap-$n.txt"))
+    val removed = snaps.flatMap(n =>
+      readManifest(spark, root, s"snap-$n.removed.txt")).toSet
+    added.filterNot(removed)
+  }
+
+  /** Fresh 3-snapshot append table at `out` (days 1-5 / 6-10 / 11-15);
+    * snapshot 1 lands fragmented (≈4 files per day) so a later compaction
+    * commit has real work. Rebuilt from scratch every call — the
+    * maintenance ops below are write-path queries like [[mergeUpsert]]. */
+  private def writeVersioned(spark: SparkSession, dir: String,
+      out: String): Unit = {
+    import spark.implicits._
+    hfs(spark, out).delete(new org.apache.hadoop.fs.Path(out), true)
+    val data = s"$out/data"
+    val ev = IngestOps.eventsWithParts(spark, dir)
+      .filter($"day".between(1, 15))
+      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+    var seen = Set.empty[String]
+    Seq((1, 5, 4), (6, 10, 1), (11, 15, 1)).zipWithIndex.foreach {
+      case ((lo, hi, nf), idx) =>
+        val mode = if (idx == 0) SaveMode.Overwrite else SaveMode.Append
+        val slice = ev.filter($"day".between(lo, hi))
+        val shaped = if (nf == 1) slice.repartition($"day")
+          else slice.repartition(nf * (hi - lo + 1),
+            $"day", pmod($"event_id", lit(nf)))
+        shaped.write.mode(mode).option("compression", "zstd")
+          .partitionBy("day").parquet(data)
+        val now = listData(spark, data)
+        writeManifest(spark, out, s"snap-${idx + 1}.txt", now -- seen)
+        seen = now
+    }
+  }
+
+  private def readLive(spark: SparkSession, root: String,
+      snaps: Seq[Int]): DataFrame = {
+    val files = liveFiles(spark, root, snaps).map(rel => s"$root/data/$rel")
+    spark.read.option("basePath", s"$root/data").parquet(files: _*)
+  }
+
+  /** `expire_snapshots` — Iceberg's `expireSnapshots` + orphan cleanup:
+    * snapshot 4 compacts the fragmented day 1-5 region (a replace commit:
+    * adds the packed files, logically removes snapshot 1's ~20), then
+    * expiring snapshots 1-3 physically deletes every file no retained
+    * snapshot references — exactly the superseded originals. The live
+    * answer is unchanged (the oracle is the plain table aggregate: that
+    * IS the contract of expiry — reclaim storage, not data); LakeSpec
+    * asserts the orphan files are gone from disk and the directory equals
+    * the live file list. At 100 TB expiry is the difference between a
+    * lake that grows monotonically with every rewrite and one whose
+    * storage tracks the live data size. */
+  def expireSnapshots(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = IngestOps.tmp("events_expire")
+    writeVersioned(spark, dir, out)
+    val data = s"$out/data"
+    // snapshot 4: compaction replace-commit over the fragmented region
+    val frag = liveFiles(spark, out, Seq(1))
+    val before = listData(spark, data)
+    readLive(spark, out, Seq(1)).repartition($"day")
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .partitionBy("day").parquet(data)
+    writeManifest(spark, out, "snap-4.txt", listData(spark, data) -- before)
+    writeManifest(spark, out, "snap-4.removed.txt", frag)
+    // expire snapshots 1-3: delete files not referenced by the live view
+    val live = liveFiles(spark, out, 1 to 4).toSet
+    val fs = hfs(spark, data)
+    (listData(spark, data) -- live).foreach { rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$data/$rel"), false)
+    }
+    writeManifest(spark, out, "retained.txt", Seq("4"))
+    readLive(spark, out, 1 to 4)
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
+  /** `rollback_snapshot` — time-travel WRITE (`TimeEx:198-230` lists
+    * snapshots precisely so one can be rolled back to): current moves
+    * from snapshot 3 back to 2 (a metadata pointer write — no data IO),
+    * then a divergent snapshot 4 (only day 11-12 purchases) commits on
+    * top of 2. The live timeline is {1,2,4}; snapshot 3's files stay on
+    * disk for its retention window but are never opened (LakeSpec
+    * input_file_name assertion). This is how a bad commit is undone on a
+    * 100 TB table: O(KB) of metadata, zero data rewrite. */
+  def rollbackSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = IngestOps.tmp("events_rollback")
+    writeVersioned(spark, dir, out)
+    writeManifest(spark, out, "current.txt", Seq("2")) // the rollback
+    val data = s"$out/data"
+    val before = listData(spark, data)
+    IngestOps.eventsWithParts(spark, dir)
+      .filter($"day".between(11, 12) && $"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+      .repartition($"day")
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .partitionBy("day").parquet(data)
+    writeManifest(spark, out, "snap-4.txt", listData(spark, data) -- before)
+    writeManifest(spark, out, "current.txt", Seq("4"))
+    readLive(spark, out, Seq(1, 2, 4))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> (mergeUpsert _),
     "delete_where" -> (deleteWhere _),
+    "update_where" -> (updateWhere _),
+    "expire_snapshots" -> (expireSnapshots _),
+    "rollback_snapshot" -> (rollbackSnapshot _),
     "partition_evolve" -> (partitionEvolve _),
     "incremental_read" -> (incrementalRead _))
 
@@ -213,6 +400,29 @@ object LakeOps {
          |FROM events
          |WHERE day(ts) BETWEEN 1 AND 10
          |  AND NOT (event_type = 'click' AND day(ts) BETWEEN 3 AND 7)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "update_where" ->
+      s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+         |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+         |    AS n_purchases,
+         |  CAST(SUM(CAST(
+         |    CASE WHEN event_type = 'purchase' AND day(ts) BETWEEN 3 AND 7
+         |         THEN value * 2 ELSE value END AS $D)) AS DOUBLE)
+         |    AS sum_value
+         |FROM events WHERE day(ts) BETWEEN 1 AND 10
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "expire_snapshots" ->
+      s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events WHERE day(ts) BETWEEN 1 AND 15
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rollback_snapshot" ->
+      s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events
+         |WHERE day(ts) BETWEEN 1 AND 10
+         |   OR (day(ts) BETWEEN 11 AND 12 AND event_type = 'purchase')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "incremental_read" ->
       """SELECT day(ts) AS day, COUNT(*) AS n,

@@ -132,6 +132,67 @@ class LakeSpec extends SparkSpecBase {
     assert(uF < 16, s"user-band touched every z file ($uF)")
   }
 
+  test("update_where rewrites ONLY day partitions 3-7; purchase counts " +
+      "unchanged, purchase values scaled") {
+    val rows = sources.LakeOps.updateWhere(spark, sf).collect()
+    val mt = partMtimes("/root/repo/target/tmp/events_update")
+    val (touched, untouched) = mt.partition(kv => kv._1 >= 3 && kv._1 <= 7)
+    assert(touched.nonEmpty && untouched.nonEmpty)
+    assert(untouched.values.max < touched.values.min,
+      s"untouched partitions were rewritten: $mt")
+    // an UPDATE never changes cardinality — every day keeps its rows
+    rows.foreach { r => assert(r.getLong(1) > 0 && r.getLong(2) > 0) }
+  }
+
+  test("expire_snapshots deletes the superseded fragmented files; the " +
+      "data dir equals the live file list afterwards") {
+    sources.LakeOps.expireSnapshots(spark, sf).collect()
+    val root = "/root/repo/target/tmp/events_expire"
+    val p = new Path(s"$root/data")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = {
+      val it = fs.listFiles(p, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val s = it.next().getPath.toString
+        if (s.endsWith(".parquet"))
+          b += s.substring(s.lastIndexOf("/data/") + 6)
+      }
+      b.result()
+    }
+    val live = sources.LakeOps.liveFiles(spark, root, 1 to 4).toSet
+    assert(onDisk == live,
+      s"orphans remain or live files missing: disk=${onDisk.size} live=${live.size}")
+    // the compaction replaced snapshot 1's fragmented region (≈4 files
+    // per day) with one file per day — expiry must have reclaimed them
+    val day1to5 = onDisk.count(f => "day=([1-5])/".r.findFirstIn(f).isDefined)
+    assert(day1to5 == 5, s"expected 5 compacted files for days 1-5, got $day1to5")
+  }
+
+  test("rollback_snapshot: abandoned snapshot-3 files stay on disk but " +
+      "are never opened by the live read") {
+    import spark.implicits._
+    val df = sources.LakeOps.rollbackSnapshot(spark, sf)
+    val root = "/root/repo/target/tmp/events_rollback"
+    val snap3 = sources.LakeOps.liveFiles(spark, root, Seq(3)).toSet
+    assert(snap3.nonEmpty)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    snap3.foreach { rel =>
+      assert(fs.exists(new Path(s"$root/data/$rel")),
+        s"retention window violated: $rel deleted")
+    }
+    // re-run the live read tagged with file provenance
+    val opened = spark.read.option("basePath", s"$root/data").parquet(
+        sources.LakeOps.liveFiles(spark, root, Seq(1, 2, 4))
+          .map(r => s"$root/data/$r"): _*)
+      .select(regexp_extract(input_file_name(), "/data/(.*)$", 1).as("f"))
+      .distinct().as[String].collect().toSet
+    assert(opened.intersect(snap3).isEmpty,
+      s"rolled-back snapshot files were read: ${opened.intersect(snap3)}")
+    assert(df.collect().map(_.getLong(0)).max == 12L)
+  }
+
   test("join_bucketed: no shuffle exchange anywhere below the " +
       "sort-merge join (bucket layout replaces both exchanges)") {
     val df = operators.Joins.joinBucketed(spark, sf)
