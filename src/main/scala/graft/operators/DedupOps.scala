@@ -74,15 +74,26 @@ object DedupOps {
       threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // The shingle-set subtree feeds FOUR consumers below (the prefix
+    // self-join's two sides and the confirm's two set joins); an eager
+    // lineage cut materializes it once instead of re-shingling per branch.
+    // Bounded: one row per doc with its shingle array, and every caller
+    // restricts docs to a candidate subset first. At full corpus scale the
+    // same cut is a persist(DISK_ONLY) on the shingle table.
     val sets = docs.select($"doc_id", shingles3($"text").as("ss"))
+      .localCheckpoint()
     val sh = sets.select($"doc_id", size($"ss").as("n"), explode($"ss").as("s"))
     val freq = sh.groupBy($"s").agg(count(lit(1)).as("df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"df".asc, $"s".asc)
+    // same cut for the prefix table: it is both sides of the candidate
+    // self-join, and the window+join subtree is the edge build's most
+    // expensive stage
     val prefix = sh.join(freq, "s")
       .withColumn("rk", row_number().over(byRarity))
       .filter($"rk" <= floor((lit(1.0) - threshold) * $"n") + 1)
       .select($"doc_id", $"s")
+      .localCheckpoint()
     val cand = prefix.as("a").join(prefix.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
