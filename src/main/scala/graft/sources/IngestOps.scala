@@ -23,7 +23,7 @@ import graft.operators.{dec, dsum}
   */
 object IngestOps {
 
-  private[sources] def tmp(name: String) = s"/root/repo/target/tmp/$name"
+  private[graft] def tmp(name: String) = s"/root/repo/target/tmp/$name"
 
   /** events + derived partition columns (`Hidden:133-135` identity
     * transforms; values from data, not wall clock). */

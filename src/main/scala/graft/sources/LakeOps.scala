@@ -40,7 +40,7 @@ object LakeOps {
   /** Overwrite only the partitions present in `df` (Iceberg's
     * copy-on-write commit): dynamic partition-overwrite scoped to this
     * one write, session conf restored after the eager action. */
-  private def rewritePartitions(spark: SparkSession, df: DataFrame,
+  private[graft] def rewritePartitions(spark: SparkSession, df: DataFrame,
       out: String): Unit = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)

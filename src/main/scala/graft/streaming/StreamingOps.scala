@@ -208,7 +208,66 @@ object StreamingOps {
       .orderBy($"d")
   }
 
+  /** `stream_upsert_sink` — the streaming→lake bridge: a `foreachBatch`
+    * sink MERGEs each micro-batch into a day-partitioned copy-on-write
+    * table (the CDC-upsert pattern every warehouse-feeding stream runs).
+    * Base = events days 1-10; the stream feeds "late corrections"
+    * (purchases of days 8-12, value+1000) — matched event_ids are
+    * replaced, day-11/12 rows arrive as inserts. Each batch rewrites ONLY
+    * the day partitions its keys touch (LakeSpec asserts days 1-7 files
+    * keep their bytes), so at 100 TB a micro-batch's commit cost is
+    * proportional to the partitions it touches, never the table. Drained
+    * on the finite file stream the final table equals the batch MERGE —
+    * that is the oracle. */
+  def streamUpsertSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = graft.sources.IngestOps.tmp("events_stream_upsert")
+    graft.sources.IngestOps.eventsWithParts(spark, dir)
+      .filter($"day".between(1, 10))
+      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+      .repartition($"day")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").partitionBy("day").parquet(out)
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val updates = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("day", dayofmonth(timestamp_micros(expr("ts div 1000"))))
+      .filter($"day".between(8, 12) && $"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"event_type",
+        ($"value" + 1000.0).as("value"), $"day")
+    withStatePartitions(spark, 8) {
+      val q = updates.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // the touched partition keys are metadata-cardinality; the
+          // rewrite is (base ⟕anti batch) ∪ batch over only those days
+          val days = batch.select($"day").distinct().collect()
+            .map(_.getInt(0)).sorted
+          if (days.nonEmpty) {
+            val base = spark.read.parquet(out)
+            val merged = base.filter($"day".isin(days.map(Int.box): _*))
+              .join(batch.select($"event_id"), Seq("event_id"), "left_anti")
+              .unionByName(batch)
+            graft.sources.LakeOps.rewritePartitions(spark, merged, out)
+          }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(out)
+      .filter($"day".between(6, 12))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        count(when($"event_type" === "purchase", 1)).as("n_purchases"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_upsert_sink" -> (streamUpsertSink _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_custom_state" -> (streamCustomState _),
     "stream_hourly_rollup" -> (streamHourlyRollup _),
@@ -216,6 +275,25 @@ object StreamingOps {
     "agg_session_window" -> (aggSessionWindow _))
 
   val oracles: Map[String, String] = Map(
+    "stream_upsert_sink" ->
+      """WITH upd AS (
+        |  SELECT event_id, user_id, event_type, value + 1000 AS value,
+        |    day(ts) AS day
+        |  FROM events
+        |  WHERE day(ts) BETWEEN 8 AND 12 AND event_type = 'purchase'),
+        |base AS (
+        |  SELECT event_id, user_id, event_type, value, day(ts) AS day
+        |  FROM events WHERE day(ts) BETWEEN 1 AND 10),
+        |merged AS (
+        |  SELECT * FROM base
+        |  WHERE event_id NOT IN (SELECT event_id FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT CAST(day AS BIGINT) AS day, COUNT(*) AS n,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |    AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM merged WHERE day BETWEEN 6 AND 12
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_stream_join" ->
       """WITH e AS (SELECT * FROM events WHERE day(ts) <= 3),
         |v AS (SELECT user_id, ts FROM e WHERE event_type = 'view'),

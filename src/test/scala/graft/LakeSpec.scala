@@ -193,6 +193,22 @@ class LakeSpec extends SparkSpecBase {
     assert(df.collect().map(_.getLong(0)).max == 12L)
   }
 
+  test("stream_upsert_sink: the micro-batch merge rewrites only day " +
+      "partitions 8-12; day-11/12 rows are the inserted corrections") {
+    val rows = streaming.StreamingOps.streamUpsertSink(spark, sf).collect()
+    val mt = partMtimes("/root/repo/target/tmp/events_stream_upsert")
+    val (touched, untouched) = mt.partition(kv => kv._1 >= 8 && kv._1 <= 12)
+    assert(touched.nonEmpty && untouched.nonEmpty)
+    assert(untouched.values.max < touched.values.min,
+      s"micro-batch merge rewrote untouched partitions: $mt")
+    rows.foreach { r =>
+      val (day, n, nPurch) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (day >= 11) assert(n == nPurch,
+        s"day=$day should hold only inserted purchase corrections")
+      else assert(n > nPurch, s"day=$day lost its non-purchase rows")
+    }
+  }
+
   test("join_bucketed: no shuffle exchange anywhere below the " +
       "sort-merge join (bucket layout replaces both exchanges)") {
     val df = operators.Joins.joinBucketed(spark, sf)
