@@ -140,29 +140,32 @@ object DedupOps {
       threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // per-doc distinct shingle set, carried as an array column
+    // per-doc distinct shingle set, carried as an array column. Eager
+    // lineage cut: the set feeds the signature build AND both confirm
+    // joins below. Empty sets carry no similarity evidence and are
+    // dropped (the old explode spelling dropped them implicitly).
     val sets = docs.select($"doc_id", shingles3($"text").as("ss"))
-    // minhash signature by explode→min-aggregate: sig_i = min over
-    // shingles of xxhash64(i, s). The hash runs in whole-stage codegen
-    // (a higher-order transform would drop the hot loop to interpreted
-    // eval — measured 20x slower here), and the map-side partial min
-    // means the exchange carries nHashes longs per doc per partition,
-    // not the shingles. The exchange also makes the band self-join
-    // below reuse ONE signature computation for both sides
-    // (ReuseExchange dedupes identical subtrees) instead of evaluating
-    // it per branch.
-    val sigCols = (0 until nHashes).map(i =>
-      min(xxhash64(lit(i), $"s")).as(s"h$i"))
-    val sig = sets.select($"doc_id", explode($"ss").as("s"))
-      .groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .filter(size($"ss") > 0)
+      .localCheckpoint()
+    // the whole k-lane signature in one fused codegen'd Expression
+    // (functions/MinHashSignature.scala): a map-only narrow stage — no
+    // explode blowup, no k aggregate buffers, no exchange. Lane j is
+    // bit-identical to min(xxhash64(lit(j), s)) (MinHashSpec proves it),
+    // so buckets and candidates match the aggregate spelling exactly.
+    val sig = sets.select($"doc_id",
+      graft.functions.MinHashFunctions
+        .minhashSignature($"ss", nHashes).as("sig"))
     // bands: bucket key = hash of the bandSize signature slice
     val bandCols = (0 until nHashes / bandSize).map { b =>
       struct(lit(b).as("band"),
         xxhash64(lit(b) +: (b * bandSize until (b + 1) * bandSize)
-          .map(i => col(s"h$i")): _*).as("bucket"))
+          .map(i => $"sig".getItem(i)): _*).as("bucket"))
     }
+    // cut before the self-join: both sides read the materialized buckets
+    // (docs × bands rows) instead of re-hashing the corpus per branch
     val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
       .select($"doc_id", $"bb.band", $"bb.bucket")
+      .localCheckpoint()
     val cand = buckets.as("x").join(buckets.as("y"),
         $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
           $"x.doc_id" < $"y.doc_id")

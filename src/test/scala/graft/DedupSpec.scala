@@ -65,6 +65,36 @@ class DedupSpec extends SparkSpecBase {
     assert(nJoins == 3, s"expected 3 joins, got $nJoins:\n$plan")
   }
 
+  test("minhash_signature expression is bit-identical to the " +
+      "k×min(xxhash64) aggregate spelling, with codegen fallback off") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false") // a codegen bug must fail, not fall back
+    try {
+      val sets = plantedDocs
+        .select($"doc_id",
+          split(lower($"text"), " ").as("toks"))
+        .select($"doc_id", array_distinct(expr(
+          "transform(sequence(0, size(toks) - 3), " +
+            "i -> concat_ws(' ', slice(toks, i + 1, 3)))")).as("ss"))
+        .filter(size($"ss") > 0)
+      val fused = sets.select($"doc_id",
+        functions.MinHashFunctions.minhashSignature($"ss", 16).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val agg = sets.select($"doc_id", explode($"ss").as("s"))
+        .groupBy($"doc_id")
+        .agg(array((0 until 16)
+          .map(i => min(xxhash64(lit(i), $"s"))): _*).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(fused.keySet == agg.keySet)
+      fused.foreach { case (id, sig) =>
+        assert(sig == agg(id), s"signature mismatch for doc $id")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("simhash: near-dups within hamming 3, distinct docs far apart") {
     val got = DedupOps.simhashPipeline(plantedDocs, maxHamming = 3)
       .collect()
