@@ -367,7 +367,62 @@ object LakeOps {
       .orderBy($"day")
   }
 
+  /** `wap_publish` — write-audit-publish, the Iceberg staging workflow:
+    * a new commit (days 16-18) is STAGED as snapshot 4 while the current
+    * pointer stays at 3 — readers of the table cannot see it (LakeSpec
+    * asserts the current-pointer read tops out at day 15 while the staged
+    * files sit on disk). An audit pass then validates ONLY the staged
+    * files (null keys, value bounds, non-empty days — a metadata-priced
+    * file-list scan); only when every check passes does the publish step
+    * move the pointer to 4. The returned frame is the post-publish live
+    * view over the staged window. At 100 TB this is how bad data is kept
+    * out of a production table without a quarantine copy: staging costs
+    * the write you were doing anyway, audit reads only the delta, publish
+    * is one metadata write. */
+  def wapPublish(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = IngestOps.tmp("events_wap")
+    writeVersioned(spark, dir, out)
+    writeManifest(spark, out, "current.txt", Seq("3"))
+    val data = s"$out/data"
+    // stage: commit snapshot 4 without moving the pointer
+    val before = listData(spark, data)
+    IngestOps.eventsWithParts(spark, dir)
+      .filter($"day".between(16, 18))
+      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+      .repartition($"day")
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .partitionBy("day").parquet(data)
+    writeManifest(spark, out, "snap-4.txt", listData(spark, data) -- before)
+    // audit: validate ONLY the staged delta (snapshot 4's file list)
+    val staged = readLive(spark, out, Seq(4))
+    val audit = staged.agg(
+      count(lit(1)).as("n"),
+      count(when($"event_id".isNull || $"user_id".isNull, 1)).as("n_null"),
+      countDistinct($"day").as("n_days"),
+      max(abs($"value")).as("max_abs")).head()
+    val passed = audit.getLong(0) > 0 && audit.getLong(1) == 0 &&
+      audit.getLong(2) == 3 && audit.getDouble(3) < 1e9
+    // publish: one metadata write — or, on audit failure, leave the
+    // pointer untouched (the staged snapshot simply never becomes live)
+    if (passed) writeManifest(spark, out, "current.txt", Seq("4"))
+    val current = readManifest(spark, out, "current.txt").head.toInt
+    readLive(spark, out, (1 to current).filter(n =>
+        fsExists(spark, out, s"metadata/snap-$n.txt")))
+      .filter($"day".between(14, 18))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        count(when($"user_id".isNull, 1)).as("n_null_user"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
+  private def fsExists(spark: SparkSession, root: String,
+      rel: String): Boolean =
+    hfs(spark, root).exists(new org.apache.hadoop.fs.Path(root, rel))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wap_publish" -> (wapPublish _),
     "merge_upsert" -> (mergeUpsert _),
     "delete_where" -> (deleteWhere _),
     "update_where" -> (updateWhere _),
@@ -410,6 +465,12 @@ object LakeOps {
          |         THEN value * 2 ELSE value END AS $D)) AS DOUBLE)
          |    AS sum_value
          |FROM events WHERE day(ts) BETWEEN 1 AND 10
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "wap_publish" ->
+      s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+         |  COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS n_null_user,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events WHERE day(ts) BETWEEN 14 AND 18
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "expire_snapshots" ->
       s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,

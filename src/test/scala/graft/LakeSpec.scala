@@ -193,6 +193,29 @@ class LakeSpec extends SparkSpecBase {
     assert(df.collect().map(_.getLong(0)).max == 12L)
   }
 
+  test("wap_publish: the staged snapshot is invisible to the pre-publish " +
+      "pointer; publish moves the pointer after the audit passes") {
+    val df = sources.LakeOps.wapPublish(spark, sf)
+    val root = "/root/repo/target/tmp/events_wap"
+    val cur = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/metadata/current.txt"))).trim
+    assert(cur == "4", s"audit passed but pointer is at $cur")
+    // the pre-publish view (snapshots 1-3) never references staged files
+    val preLive = sources.LakeOps.liveFiles(spark, root, Seq(1, 2, 3))
+    assert(preLive.nonEmpty &&
+      !preLive.exists(_.matches("day=1[678]/.*")), s"staged leak: $preLive")
+    val maxDayPre = spark.read.option("basePath", s"$root/data")
+      .parquet(preLive.map(r => s"$root/data/$r"): _*)
+      .agg(max("day")).head.getInt(0)
+    assert(maxDayPre == 15,
+      s"pre-publish reader saw staged data (max day $maxDayPre)")
+    // the staged snapshot is exactly the day 16-18 delta
+    val staged = sources.LakeOps.liveFiles(spark, root, Seq(4))
+    assert(staged.nonEmpty && staged.forall(_.matches("day=1[678]/.*")),
+      s"unexpected staged files: $staged")
+    assert(df.collect().map(_.getLong(0)).max == 18L)
+  }
+
   test("stream_upsert_sink: the micro-batch merge rewrites only day " +
       "partitions 8-12; day-11/12 rows are the inserted corrections") {
     val rows = streaming.StreamingOps.streamUpsertSink(spark, sf).collect()
