@@ -54,10 +54,40 @@ class BloomJoinSpec extends SparkSpecBase {
     assert(plan.contains("Subquery"), s"bloom not a subquery in:\n$plan")
   }
 
-  test("join_dpp: dynamic pruning reaches the fact scan's partition filters") {
+  test("join_dpp: dynamic pruning reaches the fact scan's partition " +
+      "filters AND measurably skips fact files at runtime") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
     val df = graft.operators.Joins.joinDpp(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"), s"no DPP in:\n$plan")
-    assert(df.collect().nonEmpty)
+    assert(df.collect().nonEmpty) // populates scan metrics
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case other => other +: other.children.flatMap(unwrap)
+    }
+    val factScan = unwrap(df.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec
+        if s.output.exists(_.name == "value") => s }
+      .headOption.getOrElse(fail("no fact FileSourceScanExec found"))
+    val readFiles = factScan.metrics("numFiles").value
+    // total data files of the partitioned layout (the un-pruned universe)
+    val root = graft.sources.IngestOps.partitionedLayout(spark, sf)
+    val all = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.toString.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    // the dim restricts to days 5-7 of a 31-day layout — the runtime
+    // filter must have skipped the overwhelming majority of fact files
+    assert(readFiles > 0 && readFiles * 4 <= all,
+      s"DPP read $readFiles of $all files — no real pruning")
   }
 }
