@@ -156,6 +156,29 @@ object PipelineOps {
     * cluster-size changes can't move a row in or out of the sample). The
     * filter is a narrow codegen'd expression; only the per-stratum audit
     * count shuffles. */
+  /** `shuffle_epoch` — deterministic per-epoch corpus shuffle, the order
+    * a training run reads documents in. A global ORDER BY + row_number
+    * would funnel the corpus through ONE partition; the scale-safe
+    * spelling shards by the first hex digit of a salted md5 (16 shards
+    * here; 4 hex digits = 65k shards at 100 TB) and numbers WITHIN each
+    * shard — each window runs on its own partition, and shard-major
+    * (shard, pos) order is the epoch's read order. Changing the epoch
+    * salt reshuffles everything reproducibly; no RNG, so the order is
+    * identical across re-runs and cluster sizes (the property that makes
+    * a training run resumable). */
+  def shuffleEpoch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = md5(concat(lit("epoch1:"), $"doc_id".cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"skey")
+    Tables.documents(spark, dir)
+      .select($"doc_id", key.as("skey"))
+      .withColumn("shard", ascii(substring($"skey", 1, 1)).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rate = when($"lang" === "en", lit(250L)).otherwise(lit(750L))
@@ -427,6 +450,7 @@ object PipelineOps {
     "embed_quantize" -> (embedQuantize _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_resolve" -> (dedupResolve _),
+    "shuffle_epoch" -> (shuffleEpoch _),
     "sample_stratified" -> (sampleStratified _),
     "split_train_test" -> (splitTrainTest _),
     "domain_mix" -> (domainMix _),
@@ -606,6 +630,17 @@ object PipelineOps {
          |lab AS (SELECT node, MIN(l) AS cluster_id FROM reach GROUP BY node)
          |SELECT cluster_id, COUNT(*) AS n_docs, MAX(node) AS max_doc
          |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "shuffle_epoch" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |sharded AS (
+        |  SELECT doc_id, CAST(ascii(substr(skey, 1, 1)) AS BIGINT) AS shard,
+        |    skey FROM keyed)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey)
+        |    AS BIGINT) AS pos
+        |FROM sharded ORDER BY shard, pos""".stripMargin,
     "sample_stratified" ->
       """SELECT lang, COUNT(*) AS n_total,
         |  CAST(SUM(CASE WHEN (doc_id * 2654435761) % 1000 <

@@ -8,6 +8,41 @@ import graft.operators.PipelineOps
   * weight algebra, and stream-stream-join batch equivalence. */
 class PipelineSpec extends SparkSpecBase {
 
+  test("shuffle_epoch: order is a permutation, stable across partition " +
+      "counts, and a different epoch salt reorders it") {
+    import spark.implicits._
+    val a = graft.operators.PipelineOps.shuffleEpoch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(a.length == nDocs, "shuffle dropped or duplicated docs")
+    assert(a.map(_._1).distinct.length == a.length)
+    // per-shard positions are 1..n with no gaps
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // determinism across a different physical partitioning
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try {
+      val b = graft.operators.PipelineOps.shuffleEpoch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(a.toSeq == b.toSeq, "epoch order depends on partitioning")
+    } finally spark.conf.set(key, prev)
+    // a different salt must produce a different order (reshuffled epoch)
+    val c = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id",
+        md5(concat(lit("epoch2:"), $"doc_id".cast("string"))).as("skey"))
+      .withColumn("shard", ascii(substring($"skey", 1, 1)).cast("long"))
+      .withColumn("pos", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"shard").orderBy($"skey")).cast("long"))
+      .select($"doc_id", $"shard", $"pos").orderBy($"shard", $"pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(c.map(_._1).toSeq != a.map(_._1).toSeq,
+      "epoch salt did not reshuffle")
+  }
+
   test("dedup_cluster matches a union-find reference over the edge list") {
     // edges = the oracle-checked jaccard pairs (same subset + threshold)
     val edges = graft.operators.DedupOps.dedupNgramJaccard(spark, sf)
