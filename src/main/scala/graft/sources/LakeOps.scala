@@ -379,18 +379,28 @@ object LakeOps {
     * out of a production table without a quarantine copy: staging costs
     * the write you were doing anyway, audit reads only the delta, publish
     * is one metadata write. */
-  def wapPublish(spark: SparkSession, dir: String): DataFrame = {
+  def wapPublish(spark: SparkSession, dir: String): DataFrame =
+    wapRun(spark, dir, corrupt = false)
+
+  /** [[wapPublish]] body; `corrupt = true` (LakeSpec only) nulls some
+    * staged keys so the audit-failure path — staged snapshot present,
+    * pointer unmoved, readers unaffected — is actually exercised. */
+  private[graft] def wapRun(spark: SparkSession, dir: String,
+      corrupt: Boolean): DataFrame = {
     import spark.implicits._
-    val out = IngestOps.tmp("events_wap")
+    val out = IngestOps.tmp(if (corrupt) "events_wap_fail" else "events_wap")
     writeVersioned(spark, dir, out)
     writeManifest(spark, out, "current.txt", Seq("3"))
     val data = s"$out/data"
     // stage: commit snapshot 4 without moving the pointer
     val before = listData(spark, data)
-    IngestOps.eventsWithParts(spark, dir)
+    val stagedIn = IngestOps.eventsWithParts(spark, dir)
       .filter($"day".between(16, 18))
       .select($"event_id", $"user_id", $"event_type", $"value", $"day")
-      .repartition($"day")
+    val shaped = if (corrupt) stagedIn.withColumn("user_id",
+      when(pmod($"event_id", lit(10L)) === 0, lit(null)).otherwise($"user_id"))
+    else stagedIn
+    shaped.repartition($"day")
       .write.mode(SaveMode.Append).option("compression", "zstd")
       .partitionBy("day").parquet(data)
     writeManifest(spark, out, "snap-4.txt", listData(spark, data) -- before)

@@ -216,6 +216,20 @@ class LakeSpec extends SparkSpecBase {
     assert(df.collect().map(_.getLong(0)).max == 18L)
   }
 
+  test("wap audit failure: corrupted staged data leaves the pointer at 3 " +
+      "and readers never see the staged days") {
+    val df = sources.LakeOps.wapRun(spark, sf, corrupt = true)
+    val root = "/root/repo/target/tmp/events_wap_fail"
+    val cur = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/metadata/current.txt"))).trim
+    assert(cur == "3", s"corrupt stage was published (pointer $cur)")
+    // the staged snapshot exists on disk, but the live view excludes it
+    assert(sources.LakeOps.liveFiles(spark, root, Seq(4)).nonEmpty)
+    val days = df.collect().map(_.getLong(0))
+    assert(days.nonEmpty && days.max == 15L,
+      s"reader saw staged days: ${days.mkString(",")}")
+  }
+
   test("stream_upsert_sink: the micro-batch merge rewrites only day " +
       "partitions 8-12; day-11/12 rows are the inserted corrections") {
     val rows = streaming.StreamingOps.streamUpsertSink(spark, sf).collect()
