@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
@@ -226,6 +226,47 @@ object Aggregates {
   }
 
   /** Exact interpolated percentiles (median/p90) on cent-exact values. */
+  /** `agg_quantile_sketch` — distributed MERGEABLE quantile sketch: a
+    * fixed-width histogram (bin = floor(price/100)) whose state is exact
+    * integer counts, so partial aggregation, merging across executors,
+    * and re-aggregation across time windows are all plain `+`. The
+    * shuffle carries one (group, bin, count) row per non-empty bin —
+    * ~5k rows per group regardless of input size — where exact
+    * `percentile` must shuffle or sort every value. Quantiles come back
+    * by within-bin linear interpolation over the cumulative counts; the
+    * whole reconstruction is deterministic double arithmetic, so the
+    * DuckDB twin reproduces it bit-exactly (unlike HLL/t-digest sketches,
+    * which are implementation-defined — this one is oracle-checkable).
+    * At 100 TB: the sketch build is one map-side-combined shuffle; exact
+    * p50/p90 of a quadrillion rows costs the same network as of a
+    * thousand. */
+  def aggQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val binW = 100.0
+    val hist = Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus".as("st"),
+        floor($"o_totalprice" / binW).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val byBin = org.apache.spark.sql.expressions.Window
+      .partitionBy($"st").orderBy($"bin")
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy($"st")
+    val cum = hist
+      .withColumn("cum", sum($"c").over(byBin))
+      .withColumn("n", sum($"c").over(whole))
+    // the UNIQUE bin holding rank ceil(q*n): below < k <= cum
+    def est(q: Double): Column = {
+      val k = ceil(lit(q) * $"n").cast("double")
+      val below = ($"cum" - $"c").cast("double")
+      val hit = below < k && $"cum".cast("double") >= k
+      max(when(hit, $"bin".cast("double") * binW +
+        ((k - below) / $"c".cast("double")) * binW))
+    }
+    cum.groupBy($"st".as("o_orderstatus"))
+      .agg(est(0.5).as("p50_est"), est(0.9).as("p90_est"),
+        max($"n").as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
   def aggPercentile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, dir)
@@ -256,6 +297,7 @@ object Aggregates {
     "agg_pivot" -> (aggPivot _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_percentile" -> (aggPercentile _),
+    "agg_quantile_sketch" -> (aggQuantileSketch _),
     "agg_udaf_wavg" -> (aggUdafWavg _),
     "q1_agg" -> (q1Agg _),
     "agg_group_by_partition" -> (aggGroupByPartition _),
@@ -289,6 +331,31 @@ object Aggregates {
          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
          |  (o_orderstatus), ())
          |ORDER BY status, priority""".stripMargin,
+    "agg_quantile_sketch" ->
+      """WITH hist AS (
+        |  SELECT o_orderstatus AS st,
+        |    CAST(FLOOR(o_totalprice / 100.0) AS BIGINT) AS bin,
+        |    COUNT(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT st, bin, c,
+        |    CAST(SUM(c) OVER (PARTITION BY st ORDER BY bin) AS BIGINT)
+        |      AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY st) AS BIGINT) AS n
+        |  FROM hist)
+        |SELECT st AS o_orderstatus,
+        |  MAX(CASE WHEN CAST(cum - c AS DOUBLE) < CEIL(0.5 * n)
+        |        AND CAST(cum AS DOUBLE) >= CEIL(0.5 * n)
+        |      THEN CAST(bin AS DOUBLE) * 100.0 +
+        |        ((CAST(CEIL(0.5 * n) AS DOUBLE) - CAST(cum - c AS DOUBLE))
+        |          / CAST(c AS DOUBLE)) * 100.0 END) AS p50_est,
+        |  MAX(CASE WHEN CAST(cum - c AS DOUBLE) < CEIL(0.9 * n)
+        |        AND CAST(cum AS DOUBLE) >= CEIL(0.9 * n)
+        |      THEN CAST(bin AS DOUBLE) * 100.0 +
+        |        ((CAST(CEIL(0.9 * n) AS DOUBLE) - CAST(cum - c AS DOUBLE))
+        |          / CAST(c AS DOUBLE)) * 100.0 END) AS p90_est,
+        |  MAX(n) AS n
+        |FROM cum GROUP BY st ORDER BY o_orderstatus""".stripMargin,
     "agg_percentile" ->
       s"""SELECT o_orderstatus,
          |  round(quantile_cont(CAST(CAST(o_totalprice AS $D) AS DOUBLE),

@@ -146,6 +146,32 @@ class EngineSpec extends SparkSpecBase {
       "salting demo must not degenerate into a broadcast join")
   }
 
+  test("agg_quantile_sketch: estimates land within one bin width of the " +
+      "k-th order statistic, and the sketch state merges like integers") {
+    import spark.implicits._
+    val sketch = graft.operators.Aggregates.aggQuantileSketch(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    // the sketch's guarantee is rank-level: the estimate lies inside the
+    // bin holding the k-th smallest value (k = ceil(q*n)) — so it is
+    // within one bin width of THAT order statistic (not of the
+    // interpolated percentile, whose neighbour gap can exceed a bin on
+    // sparse data)
+    val byStatus = graft.sources.Tables.orders(spark, sf)
+      .select($"o_orderstatus", $"o_totalprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(sketch.keySet == byStatus.keySet && sketch.nonEmpty)
+    sketch.foreach { case (st, (p50, p90)) =>
+      val vs = byStatus(st)
+      def kth(q: Double) = vs(math.ceil(q * vs.length).toInt - 1)
+      assert(math.abs(p50 - kth(0.5)) <= 100.0,
+        s"$st p50 sketch=$p50 kth=${kth(0.5)}")
+      assert(math.abs(p90 - kth(0.9)) <= 100.0,
+        s"$st p90 sketch=$p90 kth=${kth(0.9)}")
+    }
+  }
+
   test("weighted-avg UDAF merge is order-independent (1 vs 8 partitions)") {
     import spark.implicits._
     val wavg = udaf(functions.WeightedAvgCents,
