@@ -275,9 +275,12 @@ object LakeOps {
     import spark.implicits._
     hfs(spark, out).delete(new org.apache.hadoop.fs.Path(out), true)
     val data = s"$out/data"
+    // one source scan feeds all three commit slices (eager lineage cut);
+    // without it each append re-reads and re-derives the events table
     val ev = IngestOps.eventsWithParts(spark, dir)
       .filter($"day".between(1, 15))
       .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+      .localCheckpoint()
     var seen = Set.empty[String]
     Seq((1, 5, 4), (6, 10, 1), (11, 15, 1)).zipWithIndex.foreach {
       case ((lo, hi, nf), idx) =>
