@@ -95,6 +95,33 @@ class DedupSpec extends SparkSpecBase {
     } finally spark.conf.set(key, prev)
   }
 
+  test("minhash_signature mergeability law: sig(A ∪ B) is the " +
+      "element-wise min of sig(A) and sig(B), over 50 random set pairs") {
+    // this law is what makes the signature distributable: per-shard
+    // signatures of a sharded corpus combine by element-wise min into
+    // the corpus signature, with no re-hash of the raw shingles
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(7)
+    val cases = (0 until 50).map { i =>
+      val a = (0 until rng.nextInt(40) + 1)
+        .map(_ => s"t${rng.nextInt(60)}").distinct
+      val b = (0 until rng.nextInt(40) + 1)
+        .map(_ => s"t${rng.nextInt(60)}").distinct
+      (i.toLong, a, b, (a ++ b).distinct)
+    }
+    val df = cases.toDF("id", "a", "b", "u").select($"id",
+      functions.MinHashFunctions.minhashSignature($"a", 8).as("sa"),
+      functions.MinHashFunctions.minhashSignature($"b", 8).as("sb"),
+      functions.MinHashFunctions.minhashSignature($"u", 8).as("su"))
+    df.collect().foreach { r =>
+      val (sa, sb, su) =
+        (r.getSeq[Long](1), r.getSeq[Long](2), r.getSeq[Long](3))
+      val merged = sa.zip(sb).map { case (x, y) => math.min(x, y) }
+      assert(merged == su, s"merge law broken for id=${r.getLong(0)}")
+    }
+  }
+
   test("simhash: near-dups within hamming 3, distinct docs far apart") {
     val got = DedupOps.simhashPipeline(plantedDocs, maxHamming = 3)
       .collect()
