@@ -25,6 +25,7 @@ object Bench {
     try {
       graft.sources.IngestOps.partitionedLayout(spark, sfDir)
       graft.sources.IngestOps.snapshotLayout(spark, sfDir)
+      graft.operators.SimilarityOps.ivfIndexLayout(spark, sfDir)
     } catch { case _: Throwable => }
     val setupSec = (System.nanoTime() - setup0) / 1e9
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -23,6 +23,74 @@ object SimilarityOps {
   private def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.cosine(a, b)
 
+  /** Write-once IVF index layout: every corpus vector assigned to its
+    * nearest of 8 fixed centroids, persisted as parquet PARTITIONED BY
+    * bucket — the inverted lists are physical directories, so probing a
+    * list is directory pruning, not a scan+filter. Cached per (dir,
+    * source-fingerprint) like the partitioned event layout: an ANN index
+    * is an ingest-time artifact, queries pay only the probed-list read. */
+  private[graft] def ivfIndexLayout(spark: SparkSession,
+      dir: String): String = {
+    import spark.implicits._
+    val out = graft.sources.IngestOps.tmp("ivf_index_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
+      graft.sources.IngestOps.sourceFingerprint(spark, dir))
+    val done = new org.apache.hadoop.fs.Path(out, "_DONE")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+      val centroids = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
+      val wAssign = Window.partitionBy($"vec_id")
+        .orderBy($"c_cos".desc, $"c_id")
+      e.crossJoin(broadcast(centroids))
+        .select($"vec_id", $"embedding", $"c_id",
+          cosine($"embedding", $"c_emb").as("c_cos"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"embedding", $"c_id".as("bucket"))
+        .repartition($"bucket")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .partitionBy("bucket").parquet(s"$out/data")
+      fs.create(done, true).close()
+    }
+    out
+  }
+
+  /** `sim_ivf_index` — kNN against the PERSISTED index: the query vector
+    * ranks the 8 centroids (broadcast-tiny), picks 2 lists to probe, and
+    * the scan reads ONLY those two bucket directories (static partition
+    * pruning — SimilaritySpec asserts ≤ 2 bucket dirs are opened). Same
+    * answer as [[simIvfKnn]], which rebuilds its index in-plan; here the
+    * build is amortized across queries, the way an ANN service runs. At
+    * 100 TB the probed read is (probes/nlist) of the corpus — the other
+    * 6/8ths are never listed, opened, or decoded. */
+  def simIvfIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ivfIndexLayout(spark, dir)
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val centroids = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
+    // probe selection: rank centroids against the query — 8 rows of
+    // metadata, same cardinality Iceberg plans over manifests
+    val probes = e.filter($"vec_id" === 0)
+      .select($"embedding".as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .select($"c_id", $"q_emb", cosine($"q_emb", $"c_emb").as("c_cos"))
+      .orderBy($"c_cos".desc, $"c_id").limit(2)
+      .collect()
+    val probeIds = probes.map(_.getLong(0))
+    val qEmb = typedLit(probes.head.getSeq[Float](1))
+    spark.read.parquet(s"$root/data")
+      .filter($"bucket".isin(probeIds.map(Long.box): _*) &&
+        $"vec_id" =!= 0)
+      .select($"vec_id", $"bucket".cast("long").as("bucket"),
+        round(cosine($"embedding", qEmb), 6).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
   /** `sim_cosine_topk` — top-20 most similar pairs (bounded subset). */
   def simCosineTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -182,6 +250,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_recall" -> (simIvfRecall _),
     "sim_ivf_knn" -> (simIvfKnn _),
+    "sim_ivf_index" -> (simIvfIndex _),
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_knn_query" -> (simKnnQuery _),
     "sim_ann_lsh" -> (simAnnLsh _),
@@ -240,6 +309,30 @@ object SimilarityOps {
          |FROM exact x WHERE EXISTS (
          |  SELECT 1 FROM approx a
          |  WHERE a.q_id = x.q_id AND a.vec_id = x.vec_id)""".stripMargin,
+    // same answer as sim_ivf_knn: the persisted index holds the same
+    // assignment, so the probed read must reproduce the in-plan result
+    "sim_ivf_index" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < 8),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c_id AS bucket FROM (
+         |    SELECT e.vec_id, e.embedding, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id)
+         |        AS rn
+         |    FROM embeddings e CROSS JOIN c)
+         |  WHERE rn = 1),
+         |probe AS (
+         |  SELECT c.c_id, q.embedding AS q_emb FROM c,
+         |    (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |  ORDER BY ${cosSql("q.embedding", "c.c_emb")} DESC, c.c_id
+         |  LIMIT 2)
+         |SELECT a.vec_id, a.bucket,
+         |  round(${cosSql("a.embedding", "p.q_emb")}, 6) AS cos
+         |FROM assigned a JOIN probe p ON a.bucket = p.c_id
+         |WHERE a.vec_id <> 0
+         |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin,
     "sim_ivf_knn" ->
       s"""WITH c AS (
          |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings

@@ -40,7 +40,7 @@ object IngestOps {
     * the cached layouts below so a regenerated dataset under the same path
     * can never be served stale, and sanitization collisions between
     * distinct dirs ('sf-1' vs 'sf_1') can't alias. */
-  private def sourceFingerprint(spark: SparkSession, dir: String): String = {
+  private[graft] def sourceFingerprint(spark: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getFileStatus(p)

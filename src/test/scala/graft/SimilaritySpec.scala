@@ -48,6 +48,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(m(6) >= 0.9, s"probes=6 recall=${m(6)}")
   }
 
+  test("sim_ivf_index: equals the in-plan IVF result, and the probed " +
+      "scan opens at most the 2 probed bucket directories") {
+    import spark.implicits._
+    val persisted = operators.SimilarityOps.simIvfIndex(spark, sf)
+    val inPlan = operators.SimilarityOps.simIvfKnn(spark, sf)
+    assert(persisted.collect().toSeq == inPlan.collect().toSeq,
+      "persisted-index query diverges from the in-plan IVF")
+    // probing = partition pruning: the files actually read come from
+    // <= 2 bucket=N directories of the 8-list index
+    val root = operators.SimilarityOps.ivfIndexLayout(spark, sf)
+    val opened = spark.read.parquet(s"$root/data")
+      .filter($"bucket".isin(
+        persisted.select($"bucket").distinct().as[Long].collect()
+          .map(Long.box): _*))
+      .select(input_file_name().as("f")).distinct().as[String].collect()
+      .flatMap("bucket=(\\d+)/".r.findFirstMatchIn(_).map(_.group(1)))
+      .toSet
+    assert(opened.size <= 2, s"probed more than 2 lists: $opened")
+  }
+
   test("sign-LSH candidates only pair vectors from the same bucket") {
     import spark.implicits._
     val rows = SimilarityOps.simAnnLsh(spark, sf).collect()
