@@ -434,7 +434,44 @@ object LakeOps {
       rel: String): Boolean =
     hfs(spark, root).exists(new org.apache.hadoop.fs.Path(root, rel))
 
+  /** `changelog_diff` — change data feed between two table states: the
+    * row-level +insert/-delete/~update stream a downstream CDC consumer
+    * replays. State A = events days 1-10; state B = A with purchases of
+    * days 3-7 doubled (updates), clicks of day 4 removed (deletes), and
+    * day-11 rows added (inserts). The diff is ONE full-outer shuffle join
+    * on the row key emitting a change_type per differing row — unchanged
+    * rows produce nothing, so the feed's size is ∝ |changes|, not |table|.
+    * At 100 TB this is how a consumer that can't re-read the table stays
+    * in sync: the join shuffles on the same key both states are already
+    * bucketed by in practice. */
+  def changelogDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = IngestOps.eventsWithParts(spark, dir)
+      .select($"event_id", $"event_type", $"value", $"day")
+    val a = base.filter($"day".between(1, 10))
+    val b = a
+      .filter(!($"event_type" === "click" && $"day" === 4))
+      .withColumn("value",
+        when($"event_type" === "purchase" && $"day".between(3, 7),
+          $"value" * 2).otherwise($"value"))
+      .unionByName(base.filter($"day" === 11))
+    val diff = a.select($"event_id", $"value".as("va"), $"day".as("da"))
+      .join(b.select($"event_id", $"value".as("vb"), $"day".as("db")),
+        Seq("event_id"), "full_outer")
+      .withColumn("change_type",
+        when($"va".isNull, lit("insert"))
+          .when($"vb".isNull, lit("delete"))
+          .when($"va" =!= $"vb", lit("update"))
+          .otherwise(lit(null)))
+      .filter($"change_type".isNotNull)
+    diff.groupBy(coalesce($"da", $"db").cast("long").as("day"),
+        $"change_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"day", $"change_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "changelog_diff" -> (changelogDiff _),
     "wap_publish" -> (wapPublish _),
     "merge_upsert" -> (mergeUpsert _),
     "delete_where" -> (deleteWhere _),
@@ -479,6 +516,19 @@ object LakeOps {
          |    AS sum_value
          |FROM events WHERE day(ts) BETWEEN 1 AND 10
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "changelog_diff" ->
+      """WITH changes AS (
+        |  SELECT day(ts) AS day, 'update' AS change_type
+        |  FROM events
+        |  WHERE day(ts) BETWEEN 3 AND 7 AND event_type = 'purchase'
+        |    AND value <> 0
+        |  UNION ALL
+        |  SELECT day(ts), 'delete' FROM events
+        |  WHERE day(ts) = 4 AND event_type = 'click'
+        |  UNION ALL
+        |  SELECT day(ts), 'insert' FROM events WHERE day(ts) = 11)
+        |SELECT CAST(day AS BIGINT) AS day, change_type, COUNT(*) AS n
+        |FROM changes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "wap_publish" ->
       s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
          |  COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS n_null_user,
