@@ -47,15 +47,18 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var e = 0
     while (e < n) {
-      val s = arr.getUTF8String(e)
-      val base = s.getBaseObject
-      val off = s.getBaseOffset
-      val len = s.numBytes
-      var j = 0
-      while (j < numHashes) {
-        val h = XXH64.hashUnsafeBytes(base, off, len, seeds(j))
-        if (h < sig(j)) sig(j) = h
-        j += 1
+      // null elements carry no shingle evidence — skip, don't NPE
+      if (!arr.isNullAt(e)) {
+        val s = arr.getUTF8String(e)
+        val base = s.getBaseObject
+        val off = s.getBaseOffset
+        val len = s.numBytes
+        var j = 0
+        while (j < numHashes) {
+          val h = XXH64.hashUnsafeBytes(base, off, len, seeds(j))
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
       }
       e += 1
     }
@@ -80,6 +83,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |long[] $sig = new long[$numHashes];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $e = 0; $e < $n; $e++) {
+         |  if ($a.isNullAt($e)) continue;
          |  UTF8String $s = $a.getUTF8String($e);
          |  Object $base = $s.getBaseObject();
          |  long $off = $s.getBaseOffset();

@@ -239,7 +239,7 @@ object Joins {
     val dim = Tables.orders(spark, dir)
       .filter($"o_orderpriority" === "1-URGENT" && $"o_orderstatus" === "F")
       .select($"o_orderkey")
-    // ~0.4% fpp at 10k keys; the sketch is ~12 KiB however big the fact is
+    // ~0.4% fpp at 10k keys; the sketch is ~64 KiB however big the fact is
     val bloomAgg = new BloomFilterAggregate(
       GraftBridge.eagerExpression(xxhash64($"o_orderkey")),
       Literal(10000L), Literal(64L * 1024 * 8))

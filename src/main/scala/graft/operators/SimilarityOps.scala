@@ -32,7 +32,7 @@ object SimilarityOps {
   private[graft] def ivfIndexLayout(spark: SparkSession,
       dir: String): String = {
     import spark.implicits._
-    val out = graft.sources.IngestOps.tmp("ivf_index_" +
+    val out = graft.sources.IngestOps.shared("ivf_index_" +
       dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
       graft.sources.IngestOps.sourceFingerprint(spark, dir))
     val done = new org.apache.hadoop.fs.Path(out, "_DONE")

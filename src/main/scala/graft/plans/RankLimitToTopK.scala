@@ -61,14 +61,20 @@ object RankLimitToTopKRule extends Rule[LogicalPlan] {
         Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
           partitionSpec, orderSpec, wChild, _)))
         if partitionSpec.nonEmpty && orderSpec.nonEmpty =>
-      // peel the built-in group-limit mitigation; TopKPerKey subsumes it
-      val child = wChild match {
-        case WindowGroupLimit(_, _, _, _, c) => c
-        case c => c
-      }
       val conjuncts = splitConjuncts(cond)
       val bounds = conjuncts.flatMap(rankBound(_, alias.exprId))
       val residual = conjuncts.filter(rankBound(_, alias.exprId).isEmpty)
+      // peel the built-in group-limit mitigation (TopKPerKey subsumes it) —
+      // but only when it provably serves THIS window: same partition/order
+      // specs and a limit at least as permissive as the derived bound. A
+      // mismatched group-limit (hand-built plan, future optimizer) must
+      // stay, or rows feeding the top-k would silently change.
+      val child = wChild match {
+        case WindowGroupLimit(ps, os, _, limit, c)
+            if ps == partitionSpec && os == orderSpec &&
+              bounds.nonEmpty && limit >= bounds.min => c
+        case c => c
+      }
       val rewriteOk =
         bounds.nonEmpty && bounds.min > 0 &&
           // everything else must be answerable by the window child alone

@@ -23,7 +23,35 @@ import graft.operators.{dec, dsum}
   */
 object IngestOps {
 
-  private[graft] def tmp(name: String) = s"/root/repo/target/tmp/$name"
+  /** Per-JVM scratch root: concurrent engine processes (an `sbt test`
+    * beside a running bench) previously shared fixed per-query scratch
+    * paths and could trash each other's files mid-read. Each JVM now
+    * writes under its own pid-keyed dir; scratch of dead JVMs is reaped
+    * on first use so repeated runs don't accumulate disk. */
+  private[graft] lazy val scratchRoot: String = {
+    val root = new java.io.File("/root/repo/target/tmp")
+    root.mkdirs()
+    val mine = java.lang.ProcessHandle.current().pid()
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      if (f.getName.startsWith("jvm-") && f.getName != s"jvm-$mine") {
+        val alive = f.getName.stripPrefix("jvm-").toLongOption.exists { p =>
+          val h = java.lang.ProcessHandle.of(p)
+          h.isPresent && h.get().isAlive
+        }
+        if (!alive) org.apache.spark.network.util.JavaUtils
+          .deleteRecursively(f)
+      }
+    }
+    s"${root.getAbsolutePath}/jvm-$mine"
+  }
+
+  /** Per-query scratch — isolated per JVM (see [[scratchRoot]]). */
+  private[graft] def tmp(name: String) = s"$scratchRoot/$name"
+
+  /** Cross-process shared location for the write-once layouts: they are
+    * content-fingerprint-keyed and `_SUCCESS`/`_DONE`-guarded, so sharing
+    * is safe and saves every process rebuilding ingest-time artifacts. */
+  private[graft] def shared(name: String) = s"/root/repo/target/tmp/$name"
 
   /** events + derived partition columns (`Hidden:133-135` identity
     * transforms; values from data, not wall clock). */
@@ -241,7 +269,7 @@ object IngestOps {
   private[graft] def partitionedLayout(spark: SparkSession,
       dir: String): String = {
     import spark.implicits._
-    val out = tmp("events_layout_" + dir.replaceAll("[^A-Za-z0-9.]+", "_") +
+    val out = shared("events_layout_" + dir.replaceAll("[^A-Za-z0-9.]+", "_") +
       "_" + sourceFingerprint(spark, dir))
     val success = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -309,7 +337,7 @@ object IngestOps {
     * reads pure metadata operations afterwards. Returns the table root. */
   private[graft] def snapshotLayout(spark: SparkSession,
       dir: String): String = {
-    val out = tmp("events_snapshots_" +
+    val out = shared("events_snapshots_" +
       dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
       sourceFingerprint(spark, dir))
     val outPath = new org.apache.hadoop.fs.Path(out)

@@ -455,13 +455,16 @@ object LakeOps {
         when($"event_type" === "purchase" && $"day".between(3, 7),
           $"value" * 2).otherwise($"value"))
       .unionByName(base.filter($"day" === 11))
-    val diff = a.select($"event_id", $"value".as("va"), $"day".as("da"))
-      .join(b.select($"event_id", $"value".as("vb"), $"day".as("db")),
-        Seq("event_id"), "full_outer")
+    // presence flags, not value-nullity: a NULL value in a present row
+    // must not read as absence, and NULL<=>NULL must not hide an update
+    val diff = a.select($"event_id", $"value".as("va"), $"day".as("da"),
+        lit(true).as("in_a"))
+      .join(b.select($"event_id", $"value".as("vb"), $"day".as("db"),
+        lit(true).as("in_b")), Seq("event_id"), "full_outer")
       .withColumn("change_type",
-        when($"va".isNull, lit("insert"))
-          .when($"vb".isNull, lit("delete"))
-          .when($"va" =!= $"vb", lit("update"))
+        when($"in_a".isNull, lit("insert"))
+          .when($"in_b".isNull, lit("delete"))
+          .when(!($"va" <=> $"vb"), lit("update"))
           .otherwise(lit(null)))
       .filter($"change_type".isNotNull)
     diff.groupBy(coalesce($"da", $"db").cast("long").as("day"),

@@ -60,6 +60,30 @@ object GraftMetaSource {
     StructField("rel_path", StringType, nullable = false),
     StructField("size_bytes", LongType, nullable = false)))
 
+  /** Planning-time evaluation of a filter against one manifest entry's
+    * (snapshot_id, day). None = a shape this source cannot evaluate —
+    * such filters are never pushed (they stay in the residual set Spark
+    * re-applies). ONE function backs both the push decision and the
+    * prune, so the two can never drift apart and silently drop a pushed
+    * filter. */
+  private[sources] def evalFilter(f: Filter, snap: Int,
+      day: Int): Option[Boolean] = {
+    def v(attr: String): Option[Int] = attr match {
+      case "snapshot_id" => Some(snap)
+      case "day" => Some(day)
+      case _ => None
+    }
+    f match {
+      case EqualTo(a, lit: Integer) => v(a).map(_ == lit.intValue())
+      case GreaterThan(a, lit: Integer) => v(a).map(_ > lit.intValue())
+      case GreaterThanOrEqual(a, lit: Integer) => v(a).map(_ >= lit.intValue())
+      case LessThan(a, lit: Integer) => v(a).map(_ < lit.intValue())
+      case LessThanOrEqual(a, lit: Integer) => v(a).map(_ <= lit.intValue())
+      case IsNotNull(a) => v(a).map(_ => true)
+      case _ => None
+    }
+  }
+
   /** (snapshot_id, day, rel_path, size_bytes) per manifest entry. */
   private[sources] def listEntries(root: String)
       : Seq[(Int, Int, String, Long)] = {
@@ -105,16 +129,10 @@ private[sources] class GraftMetaScanBuilder(root: String)
   private var required: StructType = GraftMetaSource.FILES_SCHEMA
   private var pushed: Array[Filter] = Array.empty
 
-  /** Planning-time evaluable comparisons on the two prune columns. */
-  private def prunable(f: Filter): Boolean = f match {
-    case EqualTo(a, _: Integer) => a == "snapshot_id" || a == "day"
-    case GreaterThan(a, _: Integer) => a == "snapshot_id" || a == "day"
-    case GreaterThanOrEqual(a, _: Integer) => a == "snapshot_id" || a == "day"
-    case LessThan(a, _: Integer) => a == "snapshot_id" || a == "day"
-    case LessThanOrEqual(a, _: Integer) => a == "snapshot_id" || a == "day"
-    case IsNotNull(a) => a == "snapshot_id" || a == "day"
-    case _ => false
-  }
+  /** Planning-time evaluable comparisons on the two prune columns —
+    * exactly the filters [[GraftMetaSource.evalFilter]] can evaluate. */
+  private def prunable(f: Filter): Boolean =
+    GraftMetaSource.evalFilter(f, 0, 0).isDefined
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(prunable)
@@ -137,18 +155,13 @@ private[sources] class GraftMetaScan(root: String, required: StructType,
     s"graft_meta_files PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${required.catalogString}"
 
-  private def keep(snap: Int, day: Int)(f: Filter): Boolean = {
-    def v(attr: String) = if (attr == "snapshot_id") snap else day
-    f match {
-      case EqualTo(a, lit: Integer) => v(a) == lit.intValue()
-      case GreaterThan(a, lit: Integer) => v(a) > lit.intValue()
-      case GreaterThanOrEqual(a, lit: Integer) => v(a) >= lit.intValue()
-      case LessThan(a, lit: Integer) => v(a) < lit.intValue()
-      case LessThanOrEqual(a, lit: Integer) => v(a) <= lit.intValue()
-      case IsNotNull(_) => true
-      case _ => true
-    }
-  }
+  private def keep(snap: Int, day: Int)(f: Filter): Boolean =
+    GraftMetaSource.evalFilter(f, snap, day).getOrElse(
+      // a filter this scan holds was accepted by pushFilters, so Spark
+      // dropped it from the residual set — failing to evaluate it here
+      // would return wrong rows; fail loudly instead
+      throw new IllegalStateException(
+        s"graft_meta_files holds pushed filter $f it cannot evaluate"))
 
   override def planInputPartitions(): Array[InputPartition] = {
     val survivors = GraftMetaSource.listEntries(root)

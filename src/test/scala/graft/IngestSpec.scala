@@ -13,7 +13,7 @@ class IngestSpec extends SparkSpecBase {
     "with one file per partition") {
     import spark.implicits._
     graft.sources.IngestOps.writePartitioned(spark, sf).collect()
-    val root = new File("/root/repo/target/tmp/events_partitioned")
+    val root = new File(graft.sources.IngestOps.tmp("events_partitioned"))
     val yearDirs = root.listFiles().filter(_.isDirectory).map(_.getName)
     assert(yearDirs.toSeq == Seq("year=2024"), yearDirs.toSeq)
     val dayDirs = new File(root, "year=2024/month=1").listFiles()
@@ -34,7 +34,7 @@ class IngestSpec extends SparkSpecBase {
       case f: FileSourceScanExec => Seq(f)
       case other => other.children.flatMap(scans)
     }
-    val df = spark.read.parquet("/root/repo/target/tmp/events_partitioned")
+    val df = spark.read.parquet(graft.sources.IngestOps.tmp("events_partitioned"))
     val total = df.inputFiles.length
     val q = df.filter($"day" === 15)
     q.collect()
@@ -121,7 +121,7 @@ class IngestSpec extends SparkSpecBase {
   test("sort_cluster_write yields disjoint per-file user_id ranges") {
     import spark.implicits._
     graft.sources.IngestOps.sortClusterWrite(spark, sf).collect()
-    val ranges = spark.read.parquet("/root/repo/target/tmp/events_clustered")
+    val ranges = spark.read.parquet(graft.sources.IngestOps.tmp("events_clustered"))
       .groupBy(input_file_name().as("f"))
       .agg(min($"user_id").as("lo"), max($"user_id").as("hi"))
       .collect().map(r => (r.getLong(1), r.getLong(2)))

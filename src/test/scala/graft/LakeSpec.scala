@@ -32,7 +32,7 @@ class LakeSpec extends SparkSpecBase {
   test("merge_upsert rewrites ONLY day partitions 8-12; merged rows " +
       "carry doubled values and re-keyed inserts") {
     val rows = sources.LakeOps.mergeUpsert(spark, sf).collect()
-    val mt = partMtimes("/root/repo/target/tmp/events_merge")
+    val mt = partMtimes(graft.sources.IngestOps.tmp("events_merge"))
     val (touched, untouched) = mt.partition(kv => kv._1 >= 8 && kv._1 <= 12)
     assert(touched.nonEmpty && untouched.nonEmpty)
     // copy-on-write: every untouched partition's files predate the rewrite
@@ -51,7 +51,7 @@ class LakeSpec extends SparkSpecBase {
   test("delete_where removes clicks from days 3-7 only, rewriting only " +
       "those partitions") {
     val rows = sources.LakeOps.deleteWhere(spark, sf).collect()
-    val mt = partMtimes("/root/repo/target/tmp/events_delete")
+    val mt = partMtimes(graft.sources.IngestOps.tmp("events_delete"))
     val (touched, untouched) = mt.partition(kv => kv._1 >= 3 && kv._1 <= 7)
     assert(touched.nonEmpty && untouched.nonEmpty)
     assert(untouched.values.max < touched.values.min,
@@ -112,8 +112,8 @@ class LakeSpec extends SparkSpecBase {
       "the files of the z-ordered layout but nearly all of the 1-D sort") {
     import spark.implicits._
     val ev = sources.IngestOps.eventsWithParts(spark, sf)
-    val zOut = "/root/repo/target/tmp/spec_zorder"
-    val sOut = "/root/repo/target/tmp/spec_usersorted"
+    val zOut = graft.sources.IngestOps.tmp("spec_zorder")
+    val sOut = graft.sources.IngestOps.tmp("spec_usersorted")
     sources.IngestOps.zorderWrite(ev, zOut, nFiles = 16)
     ev.repartitionByRange(16, $"user_id")
       .sortWithinPartitions($"user_id", $"ts")
@@ -135,7 +135,7 @@ class LakeSpec extends SparkSpecBase {
   test("update_where rewrites ONLY day partitions 3-7; purchase counts " +
       "unchanged, purchase values scaled") {
     val rows = sources.LakeOps.updateWhere(spark, sf).collect()
-    val mt = partMtimes("/root/repo/target/tmp/events_update")
+    val mt = partMtimes(graft.sources.IngestOps.tmp("events_update"))
     val (touched, untouched) = mt.partition(kv => kv._1 >= 3 && kv._1 <= 7)
     assert(touched.nonEmpty && untouched.nonEmpty)
     assert(untouched.values.max < touched.values.min,
@@ -147,7 +147,7 @@ class LakeSpec extends SparkSpecBase {
   test("expire_snapshots deletes the superseded fragmented files; the " +
       "data dir equals the live file list afterwards") {
     sources.LakeOps.expireSnapshots(spark, sf).collect()
-    val root = "/root/repo/target/tmp/events_expire"
+    val root = graft.sources.IngestOps.tmp("events_expire")
     val p = new Path(s"$root/data")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val onDisk = {
@@ -173,7 +173,7 @@ class LakeSpec extends SparkSpecBase {
       "are never opened by the live read") {
     import spark.implicits._
     val df = sources.LakeOps.rollbackSnapshot(spark, sf)
-    val root = "/root/repo/target/tmp/events_rollback"
+    val root = graft.sources.IngestOps.tmp("events_rollback")
     val snap3 = sources.LakeOps.liveFiles(spark, root, Seq(3)).toSet
     assert(snap3.nonEmpty)
     val fs = new Path(root).getFileSystem(
@@ -196,7 +196,7 @@ class LakeSpec extends SparkSpecBase {
   test("wap_publish: the staged snapshot is invisible to the pre-publish " +
       "pointer; publish moves the pointer after the audit passes") {
     val df = sources.LakeOps.wapPublish(spark, sf)
-    val root = "/root/repo/target/tmp/events_wap"
+    val root = graft.sources.IngestOps.tmp("events_wap")
     val cur = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$root/metadata/current.txt"))).trim
     assert(cur == "4", s"audit passed but pointer is at $cur")
@@ -219,7 +219,7 @@ class LakeSpec extends SparkSpecBase {
   test("wap audit failure: corrupted staged data leaves the pointer at 3 " +
       "and readers never see the staged days") {
     val df = sources.LakeOps.wapRun(spark, sf, corrupt = true)
-    val root = "/root/repo/target/tmp/events_wap_fail"
+    val root = graft.sources.IngestOps.tmp("events_wap_fail")
     val cur = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$root/metadata/current.txt"))).trim
     assert(cur == "3", s"corrupt stage was published (pointer $cur)")
@@ -233,7 +233,7 @@ class LakeSpec extends SparkSpecBase {
   test("stream_upsert_sink: the micro-batch merge rewrites only day " +
       "partitions 8-12; day-11/12 rows are the inserted corrections") {
     val rows = streaming.StreamingOps.streamUpsertSink(spark, sf).collect()
-    val mt = partMtimes("/root/repo/target/tmp/events_stream_upsert")
+    val mt = partMtimes(graft.sources.IngestOps.tmp("events_stream_upsert"))
     val (touched, untouched) = mt.partition(kv => kv._1 >= 8 && kv._1 <= 12)
     assert(touched.nonEmpty && untouched.nonEmpty)
     assert(untouched.values.max < touched.values.min,
