@@ -343,7 +343,10 @@ object IngestOps {
     val outPath = new org.apache.hadoop.fs.Path(out)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val done = new org.apache.hadoop.fs.Path(out, "metadata/_DONE")
-    if (!fs.exists(done)) {
+    // layouts built before stats sidecars existed rebuild once
+    val statsOk = fs.exists(
+      new org.apache.hadoop.fs.Path(out, "metadata/snap-3.stats.txt"))
+    if (!fs.exists(done) || !statsOk) {
       fs.delete(outPath, true)
       val data = s"$out/data"
       val ev = eventsWithParts(spark, dir).filter(col("day").between(1, 15))
@@ -364,17 +367,89 @@ object IngestOps {
           ev.filter(col("day").between(lo, hi)).repartition(col("day"))
             .write.mode(mode).partitionBy("day").parquet(data)
           val now = dataFiles()
+          val delta = now -- seen
           val manifest = new org.apache.hadoop.fs.Path(
             out, s"metadata/snap-${idx + 1}.txt")
           val os = fs.create(manifest, true)
-          os.write((now -- seen).toSeq.sorted.mkString("\n")
+          os.write(delta.toSeq.sorted.mkString("\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           os.close()
+          // per-file stats sidecar (the DataFile metrics Iceberg records
+          // at write time) — priced as one scan of the commit's delta
+          writeStatsManifest(spark, out, s"snap-${idx + 1}.stats.txt", delta)
           seen = now
       }
       fs.create(done, true).close()
     }
     out
+  }
+
+  /** Per-file column statistics carried by a stats manifest — the
+    * reference's DataFile metrics (record count, per-column bounds:
+    * `LocalReadParquetToS3Iceberg.java:126-132`,
+    * `aig/AIGEventsTableCreator.java:424-430`) for the two columns the
+    * engine's scan planning prunes on. */
+  private[graft] case class FileStats(rel: String, nRows: Long,
+      minDay: Int, maxDay: Int, minValue: Double, maxValue: Double)
+
+  /** Relative (to `data/`) paths of all parquet data files under `data`. */
+  private[graft] def listDataFiles(spark: SparkSession,
+      data: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(data)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val b = Set.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next().getPath.toString
+      if (f.endsWith(".parquet"))
+        b += f.substring(f.lastIndexOf("/data/") + 6)
+    }
+    b.result()
+  }
+
+  /** Compute per-file stats for `rels` under `$root/data` with ONE scan of
+    * only those files (the write-side cost Iceberg pays in its writers)
+    * and persist them as `metadata/$name`, pipe-separated one line per
+    * file. Only the per-FILE summary rows reach the driver — metadata
+    * cardinality, like the manifests themselves. */
+  private[graft] def writeStatsManifest(spark: SparkSession, root: String,
+      name: String, rels: Iterable[String]): Unit = {
+    import spark.implicits._
+    val lines =
+      if (rels.isEmpty) Seq.empty[String]
+      else spark.read.option("basePath", s"$root/data")
+        .parquet(rels.map(r => s"$root/data/$r").toSeq: _*)
+        .groupBy(regexp_extract(input_file_name(), "/data/(.*)$", 1)
+          .as("rel"))
+        .agg(count(lit(1)).as("n"), min($"day").as("mind"),
+          max($"day").as("maxd"), min($"value").as("minv"),
+          max($"value").as("maxv"))
+        .collect()
+        .map(r => s"${r.getString(0)}|${r.getLong(1)}|${r.getInt(2)}|" +
+          s"${r.getInt(3)}|${r.getDouble(4)}|${r.getDouble(5)}")
+        .toSeq.sorted
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(
+      new org.apache.hadoop.fs.Path(root, s"metadata/$name"), true)
+    os.write(lines.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    os.close()
+  }
+
+  /** Parse a stats manifest written by [[writeStatsManifest]]. */
+  private[graft] def readStatsManifest(spark: SparkSession, root: String,
+      name: String): Seq[FileStats] = {
+    val p = new org.apache.hadoop.fs.Path(root, s"metadata/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    txt.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val f = line.split('|')
+      FileStats(f(0), f(1).toLong, f(2).toInt, f(3).toInt,
+        f(4).toDouble, f(5).toDouble)
+    }
   }
 
   /** Data-file relative paths recorded by snapshot N's manifest. */
@@ -584,6 +659,88 @@ object IngestOps {
       .option("compression", "zstd").parquet(out)
   }
 
+  /** `manifest_stats` — per-snapshot file/row counts and column bounds
+    * answered ENTIRELY from the stats sidecars ([[writeStatsManifest]]):
+    * the Iceberg `table.files()` stats walk (`Debug:164-196`, DataFile
+    * metrics `Local:126-132`) with zero data IO — where [[datafileStats]]
+    * proves the physical layout by scanning, this serves the same truths
+    * from metadata, which is what makes stats maintenance worth its
+    * write-time cost at 100 TB. Only per-file summary lines are parsed
+    * driver-side (metadata cardinality), then aggregated per snapshot. */
+  def manifestStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = snapshotLayout(spark, dir)
+    (1 to 3).flatMap { n =>
+      readStatsManifest(spark, root, s"snap-$n.stats.txt")
+        .map(s => (n.toLong, s.nRows, s.minDay.toLong, s.maxDay.toLong,
+          s.minValue, s.maxValue))
+    }.toDF("snapshot_id", "rows", "mind", "maxd", "minv", "maxv")
+      .groupBy($"snapshot_id")
+      .agg(count(lit(1)).as("n_files"), sum($"rows").as("n_rows"),
+        min($"mind").as("min_day"), max($"maxd").as("max_day"),
+        min($"minv").as("min_value"), max($"maxv").as("max_value"))
+      .orderBy($"snapshot_id")
+  }
+
+  /** Write-once value-clustered stats table: events range-partitioned and
+    * sorted by `value` into 16 files, per-file bounds recorded in a stats
+    * manifest at write time. The clustering is what gives the stats their
+    * pruning power — each file covers a tight, near-disjoint value band
+    * (Iceberg's sort-order + column-metrics discipline; at 100 TB the
+    * same recipe applies per partition). */
+  private[graft] def statsLayout(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val out = shared("events_valstats_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
+      sourceFingerprint(spark, dir))
+    val done = new org.apache.hadoop.fs.Path(out, "metadata/_DONE")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      eventsWithParts(spark, dir)
+        .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+        .repartitionByRange(16, $"value")
+        .sortWithinPartitions($"value")
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(s"$out/data")
+      writeStatsManifest(spark, out, "files.stats.txt",
+        listDataFiles(spark, s"$out/data"))
+      fs.create(done, true).close()
+    }
+    out
+  }
+
+  /** Stats-qualifying file list for a `value`-range predicate over the
+    * stats layout — planned from the stats manifest ALONE (no directory
+    * listing, no footer reads): exactly Iceberg's metrics-based planFiles
+    * (`aig/TimeBasedPartitioningExamples.java:180-195` one level below
+    * directory pruning). Shared with IngestSpec's never-opened proof. */
+  private[graft] def statsQualifyingFiles(spark: SparkSession, root: String,
+      lo: Double, hi: Double): (Seq[String], Int) = {
+    val stats = readStatsManifest(spark, root, "files.stats.txt")
+    val hits = stats.filter(s => s.maxValue >= lo && s.minValue <= hi)
+      .map(s => s"$root/data/${s.rel}")
+    (hits, stats.size)
+  }
+
+  /** `manifest_prune_scan` — a value-range query whose scan file list is
+    * planned from per-file stats alone: of the 16 value-clustered files,
+    * only the ~2 whose [min,max] band overlaps the predicate are ever
+    * opened (IngestSpec asserts via scan metrics + an excluded-file
+    * input_file_name proof). The residual filter still applies row-level
+    * inside the survivors — stats pruning is sound, not exact. */
+  def manifestPruneScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = statsLayout(spark, dir)
+    val (files, _) = statsQualifyingFiles(spark, root, 180.0, 220.0)
+    spark.read.option("basePath", s"$root/data").parquet(files: _*)
+      .filter($"value".between(180.0, 220.0))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   /** `meta_files` — the FILES metadata table served by the DSv2
     * connector ([[GraftMetaSource]]): per-snapshot file/day counts with
     * the `snapshot_id <= 2` predicate PUSHED into the connector, so
@@ -603,6 +760,8 @@ object IngestOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "manifest_stats" -> (manifestStats _),
+    "manifest_prune_scan" -> (manifestPruneScan _),
     "meta_files" -> (metaFiles _),
     "zorder_cluster_write" -> (zorderClusterWrite _),
     "scan_json" -> (scanJson _),
@@ -635,6 +794,22 @@ object IngestOps {
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "manifest_stats" ->
+      """SELECT CAST(CASE WHEN day(ts) <= 5 THEN 1
+        |            WHEN day(ts) <= 10 THEN 2 ELSE 3 END AS BIGINT)
+        |    AS snapshot_id,
+        |  COUNT(DISTINCT day(ts)) AS n_files, COUNT(*) AS n_rows,
+        |  CAST(MIN(day(ts)) AS BIGINT) AS min_day,
+        |  CAST(MAX(day(ts)) AS BIGINT) AS max_day,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events WHERE day(ts) BETWEEN 1 AND 15
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "manifest_prune_scan" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events WHERE value BETWEEN 180.0 AND 220.0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "zorder_cluster_write" ->
       s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
          |  COUNT(DISTINCT user_id) AS n_users,

@@ -92,9 +92,11 @@ object GraftMetaSource {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
     val metaDir = new org.apache.hadoop.fs.Path(root, "metadata")
+    // match ONLY plain add-manifests (snap-<n>.txt) — sidecars like
+    // snap-<n>.stats.txt and snap-<n>.removed.txt are different surfaces
+    val snapName = "snap-(\\d+)\\.txt".r
     val snaps = fs.listStatus(metaDir).map(_.getPath.getName)
-      .filter(n => n.startsWith("snap-") && n.endsWith(".txt"))
-      .map(n => n.stripPrefix("snap-").stripSuffix(".txt").toInt).sorted
+      .collect { case snapName(n) => n.toInt }.sorted
     snaps.flatMap { n =>
       val p = new org.apache.hadoop.fs.Path(metaDir, s"snap-$n.txt")
       val in = fs.open(p)

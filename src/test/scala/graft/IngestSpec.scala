@@ -134,4 +134,79 @@ class IngestSpec extends SparkSpecBase {
       case _ =>
     }
   }
+
+  test("manifest_prune_scan plans its file list from stats alone: files " +
+      "whose bounds exclude the value range are never opened") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val root = graft.sources.IngestOps.statsLayout(spark, sf)
+    val (hits, total) = graft.sources.IngestOps
+      .statsQualifyingFiles(spark, root, 180.0, 220.0)
+    // 16 value-clustered files over ~[0,500): a 40-unit band overlaps ~2
+    assert(hits.nonEmpty && hits.size <= 3,
+      s"stats pruning ineffective: ${hits.size} of $total files qualify")
+    assert(total == 16, s"expected 16 clustered files, got $total")
+    // the query's scan reads exactly the qualifying files...
+    val q = graft.sources.IngestOps.manifestPruneScan(spark, sf)
+    q.collect()
+    val scanned = scans(q.queryExecution.executedPlan)
+      .head.metrics("numFiles").value
+    assert(scanned == hits.size, s"scanned=$scanned, planned=${hits.size}")
+    // ...and a stats-excluded file never appears in input_file_name
+    val excluded = graft.sources.IngestOps
+      .readStatsManifest(spark, root, "files.stats.txt")
+      .filter(s => s.maxValue < 180.0 || s.minValue > 220.0)
+      .map(_.rel).toSet
+    assert(excluded.nonEmpty)
+    val opened = spark.read.option("basePath", s"$root/data")
+      .parquet(hits: _*)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+      .map(f => f.substring(f.lastIndexOf("/data/") + 6)).toSet
+    assert(opened.intersect(excluded).isEmpty,
+      s"stats-excluded files were opened: ${opened.intersect(excluded)}")
+    // stats are sound: survivors' bounds genuinely overlap the predicate,
+    // and re-running the same aggregate over ALL files gives the same rows
+    val full = spark.read.parquet(s"$root/data")
+      .filter($"value".between(180.0, 220.0))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"),
+        graft.operators.dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+    assert(q.collect().toSeq == full.collect().toSeq)
+  }
+
+  test("manifest_stats answers from metadata only — its plan reads no " +
+      "data files") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    // layout is built (a write-time cost); the QUERY plan itself must be
+    // a local-relation aggregate — zero parquet scans
+    graft.sources.IngestOps.snapshotLayout(spark, sf)
+    val q = graft.sources.IngestOps.manifestStats(spark, sf)
+    assert(scans(q.queryExecution.executedPlan).isEmpty,
+      "manifest_stats read data files")
+    val rows = q.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // stats agree with a direct scan of the table
+    val direct = spark.read
+      .parquet(s"${graft.sources.IngestOps.snapshotLayout(spark, sf)}/data")
+      .count()
+    assert(rows.map(_.getLong(2)).sum == direct)
+  }
 }
