@@ -257,6 +257,27 @@ object LakeOps {
     }
   }
 
+  /** Named refs — Iceberg's branch/tag map (`metadata/refs.txt`, one
+    * `name=snapshot` line each): `main` is the pointer table readers
+    * follow, other branches stage commits invisibly (WAP's audit
+    * branch), tags pin a snapshot under a stable name. Moving a ref is
+    * one metadata write — how the reference's snapshot list
+    * (`TimeEx:198-230`) is consumed in production WAP. */
+  private[graft] def readRefs(spark: SparkSession,
+      root: String): Map[String, Int] =
+    readManifest(spark, root, "refs.txt").map { l =>
+      val Array(n, s) = l.split("=", 2)
+      n -> s.toInt
+    }.toMap
+
+  /** Create or move a ref: one metadata write, zero data IO. */
+  private[graft] def setRef(spark: SparkSession, root: String,
+      name: String, snap: Int): Unit = {
+    val refs = readRefs(spark, root) + (name -> snap)
+    writeManifest(spark, root, "refs.txt",
+      refs.toSeq.map { case (n, s) => s"$n=$s" })
+  }
+
   /** Live file list (relative to data/) as of snapshot `s`. */
   private[graft] def liveFiles(spark: SparkSession, root: String,
       snaps: Seq[Int]): Seq[String] = {
@@ -352,7 +373,7 @@ object LakeOps {
     import spark.implicits._
     val out = IngestOps.tmp("events_rollback")
     writeVersioned(spark, dir, out)
-    writeManifest(spark, out, "current.txt", Seq("2")) // the rollback
+    setRef(spark, out, "main", 2) // the rollback: one ref move
     val data = s"$out/data"
     val before = listData(spark, data)
     IngestOps.eventsWithParts(spark, dir)
@@ -362,7 +383,7 @@ object LakeOps {
       .write.mode(SaveMode.Append).option("compression", "zstd")
       .partitionBy("day").parquet(data)
     writeManifest(spark, out, "snap-4.txt", listData(spark, data) -- before)
-    writeManifest(spark, out, "current.txt", Seq("4"))
+    setRef(spark, out, "main", 4)
     readLive(spark, out, Seq(1, 2, 4))
       .groupBy($"day".cast("long").as("day"))
       .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"),
@@ -393,9 +414,9 @@ object LakeOps {
     import spark.implicits._
     val out = IngestOps.tmp(if (corrupt) "events_wap_fail" else "events_wap")
     writeVersioned(spark, dir, out)
-    writeManifest(spark, out, "current.txt", Seq("3"))
+    setRef(spark, out, "main", 3)
     val data = s"$out/data"
-    // stage: commit snapshot 4 without moving the pointer
+    // stage: commit snapshot 4 on the AUDIT branch — main doesn't move
     val before = listData(spark, data)
     val stagedIn = IngestOps.eventsWithParts(spark, dir)
       .filter($"day".between(16, 18))
@@ -407,6 +428,7 @@ object LakeOps {
       .write.mode(SaveMode.Append).option("compression", "zstd")
       .partitionBy("day").parquet(data)
     writeManifest(spark, out, "snap-4.txt", listData(spark, data) -- before)
+    setRef(spark, out, "audit", 4)
     // audit: validate ONLY the staged delta (snapshot 4's file list)
     val staged = readLive(spark, out, Seq(4))
     val audit = staged.agg(
@@ -416,10 +438,10 @@ object LakeOps {
       max(abs($"value")).as("max_abs")).head()
     val passed = audit.getLong(0) > 0 && audit.getLong(1) == 0 &&
       audit.getLong(2) == 3 && audit.getDouble(3) < 1e9
-    // publish: one metadata write — or, on audit failure, leave the
-    // pointer untouched (the staged snapshot simply never becomes live)
-    if (passed) writeManifest(spark, out, "current.txt", Seq("4"))
-    val current = readManifest(spark, out, "current.txt").head.toInt
+    // publish: fast-forward main to the audit branch — or, on audit
+    // failure, leave main untouched (the staged branch never goes live)
+    if (passed) setRef(spark, out, "main", readRefs(spark, out)("audit"))
+    val current = readRefs(spark, out)("main")
     readLive(spark, out, (1 to current).filter(n =>
         fsExists(spark, out, s"metadata/snap-$n.txt")))
       .filter($"day".between(14, 18))
@@ -433,6 +455,41 @@ object LakeOps {
   private def fsExists(spark: SparkSession, root: String,
       rel: String): Boolean =
     hfs(spark, root).exists(new org.apache.hadoop.fs.Path(root, rel))
+
+  /** `branch_read` — read a table BY REF NAME: `main` (a branch at
+    * snapshot 3), `audit` (a branch carrying a staged snapshot 4 main
+    * readers can't see), and `v1` (a tag pinning snapshot 2). Resolving
+    * a name costs one metadata read; each ref's scan then plans only its
+    * own snapshots' files (ancestry is linear here, as in the emulation
+    * throughout). This is the consumption side of the refs surface
+    * [[wapRun]] stages on — at 100 TB, `main` vs `audit` is the
+    * difference between production dashboards and the data team's
+    * pre-publish validation, on one physical table. */
+  def branchRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = IngestOps.tmp("events_branches")
+    writeVersioned(spark, dir, out)
+    setRef(spark, out, "main", 3)
+    setRef(spark, out, "v1", 2) // a TAG: an immutable snapshot name
+    // commit snapshot 4 on the audit branch; main stays at 3
+    val data = s"$out/data"
+    val before = listData(spark, data)
+    IngestOps.eventsWithParts(spark, dir)
+      .filter($"day".between(16, 18))
+      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+      .repartition($"day")
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .partitionBy("day").parquet(data)
+    writeManifest(spark, out, "snap-4.txt", listData(spark, data) -- before)
+    setRef(spark, out, "audit", 4)
+    val refs = readRefs(spark, out)
+    Seq("audit", "main", "v1").map { name =>
+      readLive(spark, out, 1 to refs(name))
+        .agg(count(lit(1)).as("n"), countDistinct($"day").as("n_days"),
+          dsum($"value").as("sum_value"))
+        .select(lit(name).as("ref"), $"n", $"n_days", $"sum_value")
+    }.reduce(_ unionByName _).orderBy($"ref")
+  }
 
   /** `changelog_diff` — change data feed between two table states: the
     * row-level +insert/-delete/~update stream a downstream CDC consumer
@@ -474,6 +531,7 @@ object LakeOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "branch_read" -> (branchRead _),
     "changelog_diff" -> (changelogDiff _),
     "wap_publish" -> (wapPublish _),
     "merge_upsert" -> (mergeUpsert _),
@@ -487,6 +545,21 @@ object LakeOps {
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "branch_read" ->
+      s"""SELECT * FROM (
+         |  SELECT 'audit' AS ref, COUNT(*) AS n,
+         |    COUNT(DISTINCT day(ts)) AS n_days,
+         |    CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |  FROM events WHERE day(ts) BETWEEN 1 AND 18
+         |  UNION ALL
+         |  SELECT 'main', COUNT(*), COUNT(DISTINCT day(ts)),
+         |    CAST(SUM(CAST(value AS $D)) AS DOUBLE)
+         |  FROM events WHERE day(ts) BETWEEN 1 AND 15
+         |  UNION ALL
+         |  SELECT 'v1', COUNT(*), COUNT(DISTINCT day(ts)),
+         |    CAST(SUM(CAST(value AS $D)) AS DOUBLE)
+         |  FROM events WHERE day(ts) BETWEEN 1 AND 10
+         |) ORDER BY ref""".stripMargin,
     "merge_upsert" ->
       s"""WITH merged AS (
          |  SELECT day(ts) AS day, event_type,

@@ -197,9 +197,9 @@ class LakeSpec extends SparkSpecBase {
       "pointer; publish moves the pointer after the audit passes") {
     val df = sources.LakeOps.wapPublish(spark, sf)
     val root = graft.sources.IngestOps.tmp("events_wap")
-    val cur = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$root/metadata/current.txt"))).trim
-    assert(cur == "4", s"audit passed but pointer is at $cur")
+    val refs = sources.LakeOps.readRefs(spark, root)
+    assert(refs("main") == 4, s"audit passed but main is at ${refs("main")}")
+    assert(refs("audit") == 4)
     // the pre-publish view (snapshots 1-3) never references staged files
     val preLive = sources.LakeOps.liveFiles(spark, root, Seq(1, 2, 3))
     assert(preLive.nonEmpty &&
@@ -220,14 +220,44 @@ class LakeSpec extends SparkSpecBase {
       "and readers never see the staged days") {
     val df = sources.LakeOps.wapRun(spark, sf, corrupt = true)
     val root = graft.sources.IngestOps.tmp("events_wap_fail")
-    val cur = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$root/metadata/current.txt"))).trim
-    assert(cur == "3", s"corrupt stage was published (pointer $cur)")
-    // the staged snapshot exists on disk, but the live view excludes it
+    val refs = sources.LakeOps.readRefs(spark, root)
+    assert(refs("main") == 3,
+      s"corrupt stage was published (main at ${refs("main")})")
+    // the staged branch exists — on disk and as a ref — but main's live
+    // view excludes it
+    assert(refs("audit") == 4)
     assert(sources.LakeOps.liveFiles(spark, root, Seq(4)).nonEmpty)
     val days = df.collect().map(_.getLong(0))
     assert(days.nonEmpty && days.max == 15L,
       s"reader saw staged days: ${days.mkString(",")}")
+  }
+
+  test("branch_read: the audit branch carries the staged commit while " +
+      "main readers never open its files until the ref moves") {
+    import org.apache.spark.sql.functions._
+    val rows = sources.LakeOps.branchRead(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rows == Map("audit" -> 18L, "main" -> 15L, "v1" -> 10L), rows)
+    val root = graft.sources.IngestOps.tmp("events_branches")
+    val refs = sources.LakeOps.readRefs(spark, root)
+    assert(refs == Map("main" -> 3, "audit" -> 4, "v1" -> 2), refs)
+    // main's plan never opens the audit branch's staged files
+    val staged = sources.LakeOps.liveFiles(spark, root, Seq(4)).toSet
+    assert(staged.nonEmpty)
+    val mainRels = sources.LakeOps
+      .liveFiles(spark, root, 1 to refs("main"))
+    val opened = spark.read.option("basePath", s"$root/data")
+      .parquet(mainRels.map(r => s"$root/data/$r"): _*)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+      .map(f => f.substring(f.lastIndexOf("/data/") + 6)).toSet
+    assert(opened.nonEmpty && opened.intersect(staged).isEmpty,
+      s"main read touched staged files: ${opened.intersect(staged)}")
+    // moving the ref is all it takes to publish: fast-forward main and
+    // the same by-name read now serves the staged days
+    sources.LakeOps.setRef(spark, root, "main", 4)
+    val after = sources.LakeOps.readRefs(spark, root)("main")
+    assert(after == 4)
   }
 
   test("stream_upsert_sink: the micro-batch merge rewrites only day " +
