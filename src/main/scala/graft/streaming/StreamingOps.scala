@@ -266,7 +266,55 @@ object StreamingOps {
       .orderBy($"day")
   }
 
+  /** The raw change-feed stream: a file source over ONLY the files
+    * committed by snapshots newer than the consumer's last-seen snapshot
+    * (here 2 — so snapshot 3's delta). The file list comes from the
+    * manifests (pure metadata); the day-directory glob it induces is
+    * exact because the layout's commits are whole day partitions.
+    * Shared with LakeSpec's only-delta-files-streamed proof. */
+  private[graft] def cdfStream(spark: SparkSession,
+      dir: String): (DataFrame, String) = {
+    import spark.implicits._
+    val root = graft.sources.IngestOps.snapshotLayout(spark, dir)
+    val rels = graft.sources.IngestOps.snapshotManifest(spark, root, 3)
+    val days = rels.flatMap(r =>
+      "day=(\\d+)/".r.findFirstMatchIn(r).map(_.group(1)))
+      .distinct.sorted
+    val glob = s"$root/data/day={${days.mkString(",")}}"
+    val sch = spark.read.option("basePath", s"$root/data")
+      .parquet(rels.map(r => s"$root/data/$r"): _*).schema
+    val stream = spark.readStream.schema(sch)
+      .option("basePath", s"$root/data")
+      .parquet(glob)
+    (stream, root)
+  }
+
+  /** `stream_cdf_read` — the change feed as a STREAM: the read-side twin
+    * of [[streamUpsertSink]] (Delta/Iceberg's CDF-as-stream pattern). A
+    * consumer that has processed snapshots 1-2 subscribes to the table
+    * and receives ONLY the files later snapshots committed — never a
+    * re-read of the table. Drained on the finite delta the aggregate
+    * equals the batch answer over days 11-15; at 100 TB this is how a
+    * downstream keeps a derived table fresh for the cost of the delta. */
+  def streamCdfRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (stream, _) = cdfStream(spark, dir)
+    val queryName = s"cdf_read_${System.nanoTime()}"
+    withStatePartitions(spark, 8) {
+      val q = stream
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(queryName).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+      .select($"day".cast("long").as("day"), $"n", $"sum_value")
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cdf_read" -> (streamCdfRead _),
     "stream_upsert_sink" -> (streamUpsertSink _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_custom_state" -> (streamCustomState _),
@@ -275,6 +323,11 @@ object StreamingOps {
     "agg_session_window" -> (aggSessionWindow _))
 
   val oracles: Map[String, String] = Map(
+    "stream_cdf_read" ->
+      """SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE day(ts) BETWEEN 11 AND 15
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_upsert_sink" ->
       """WITH upd AS (
         |  SELECT event_id, user_id, event_type, value + 1000 AS value,

@@ -260,6 +260,26 @@ class LakeSpec extends SparkSpecBase {
     assert(after == 4)
   }
 
+  test("stream_cdf_read streams only the files snapshot 3 committed — " +
+      "earlier snapshots' files never enter the stream") {
+    import org.apache.spark.sql.functions._
+    val (stream, root) = streaming.StreamingOps.cdfStream(spark, sf)
+    val deltaRels = sources.IngestOps.snapshotManifest(spark, root, 3).toSet
+    val earlier = (1 to 2)
+      .flatMap(n => sources.IngestOps.snapshotManifest(spark, root, n)).toSet
+    assert(deltaRels.nonEmpty && earlier.nonEmpty)
+    val queryName = s"cdf_files_${System.nanoTime()}"
+    val q = stream.select(input_file_name().as("f")).dropDuplicates("f")
+      .writeStream.outputMode("append").format("memory")
+      .queryName(queryName).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(queryName).collect().map(_.getString(0))
+      .map(f => f.substring(f.lastIndexOf("/data/") + 6)).toSet
+    assert(streamed == deltaRels,
+      s"stream saw ${streamed.size} files, manifest lists ${deltaRels.size}")
+    assert(streamed.intersect(earlier).isEmpty)
+  }
+
   test("stream_upsert_sink: the micro-batch merge rewrites only day " +
       "partitions 8-12; day-11/12 rows are the inserted corrections") {
     val rows = streaming.StreamingOps.streamUpsertSink(spark, sf).collect()
