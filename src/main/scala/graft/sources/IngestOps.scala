@@ -328,6 +328,40 @@ object IngestOps {
       .orderBy($"batch")
   }
 
+  /** `alter_nested_evolve` — schema evolution INSIDE a nested struct
+    * (the reference's whole nested machinery is the `policy` struct
+    * recursion of `HiddenPartitionLoaderDemNested.java:230-282`; this is
+    * its post-hoc evolution counterpart): v1 rows land with
+    * `policy = struct(class, score)`, the struct is then widened and v2
+    * rows carry an extra nested `region` field. A `mergeSchema` read
+    * unifies the struct footers RECURSIVELY — v1 files are never
+    * rewritten and their rows surface NULL in the added nested field,
+    * exactly Iceberg's add-column contract applied one level down. */
+  def alterNestedEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("events_nested_evolved")
+    val ev = eventsWithParts(spark, dir)
+    ev.filter($"day" <= 15)
+      .select($"event_id", struct($"event_type".as("class"),
+        $"value".as("score")).as("policy"))
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    ev.filter($"day" > 15)
+      .select($"event_id", struct($"event_type".as("class"),
+        $"value".as("score"),
+        concat(lit("r"), pmod($"user_id", lit(4L))).as("region"))
+        .as("policy"))
+      .write.mode(SaveMode.Append).parquet(out)
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(when($"policy.region".isNull, lit("v1")).otherwise(lit("v2"))
+        .as("batch"))
+      .agg(count(lit(1)).as("n"),
+        count($"policy.region").as("n_region"),
+        countDistinct($"policy.region").as("n_regions"),
+        countDistinct($"policy.class").as("n_classes"),
+        dsum($"policy.score").as("sum_score"))
+      .orderBy($"batch")
+  }
+
   /** Snapshot-versioned table emulation, written once per (dir,
     * fingerprint): three batch appends land like `Bulk:97-101` commits
     * (days 1-5, 6-10, 11-15, one file per day partition), and after each
@@ -772,6 +806,7 @@ object IngestOps {
     "snapshot_log" -> (snapshotLog _),
     "snapshot_read_asof" -> (snapshotReadAsof _),
     "alter_add_cols" -> (alterAddCols _),
+    "alter_nested_evolve" -> (alterNestedEvolve _),
     "partition_prune_scan" -> (partitionPruneScan _),
     "table_props" -> (tableProps _),
     "scan_parquet" -> (scanParquet _),
@@ -867,6 +902,15 @@ object IngestOps {
          |  COUNT(DISTINCT CASE WHEN day(ts) > 15 THEN event_type END)
          |    AS n_types,
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "alter_nested_evolve" ->
+      s"""SELECT CASE WHEN day(ts) <= 15 THEN 'v1' ELSE 'v2' END AS batch,
+         |  COUNT(*) AS n,
+         |  COUNT(CASE WHEN day(ts) > 15 THEN 1 END) AS n_region,
+         |  COUNT(DISTINCT CASE WHEN day(ts) > 15
+         |    THEN 'r' || CAST(user_id % 4 AS VARCHAR) END) AS n_regions,
+         |  COUNT(DISTINCT event_type) AS n_classes,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_score
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "partition_prune_scan" ->
       """SELECT hour(ts) AS hour, COUNT(*) AS n,

@@ -135,6 +135,25 @@ class IngestSpec extends SparkSpecBase {
     }
   }
 
+  test("alter_nested_evolve merges struct footers recursively: the " +
+      "unified policy struct gains region and v1 rows surface NULL in it") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    graft.sources.IngestOps.alterNestedEvolve(spark, sf).collect()
+    val out = graft.sources.IngestOps.tmp("events_nested_evolved")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    val policy = merged.schema("policy").dataType.asInstanceOf[StructType]
+    assert(policy.fieldNames.toSeq == Seq("class", "score", "region"),
+      policy.fieldNames.toSeq)
+    assert(policy("region").nullable)
+    // v1 rows (written before the struct widened) read NULL in the new
+    // nested field; v2 rows carry real values — no v1 file was rewritten
+    val counts = merged
+      .groupBy($"policy.region".isNull.as("isV1")).count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(true, false), counts)
+  }
+
   test("manifest_prune_scan plans its file list from stats alone: files " +
       "whose bounds exclude the value range are never opened") {
     import spark.implicits._
