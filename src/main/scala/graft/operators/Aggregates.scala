@@ -267,6 +267,31 @@ object Aggregates {
       .orderBy($"o_orderstatus")
   }
 
+  /** `agg_tdigest` — quantiles via the custom t-digest
+    * TypedImperativeAggregate ([[graft.functions.TDigestQuantiles]]):
+    * map-side partials build per-partition digests, the shuffle carries
+    * one bounded centroid buffer per group per partition, merge is
+    * concatenate+recompress. On l_quantity (≤ 50 distinct values, under
+    * the δ=200 cardinality gate) no lossy compression ever runs, so the
+    * quantiles are EXACT type-7 — which is what lets a sketch be
+    * oracle-checked against quantile_cont; the lossy high-cardinality
+    * regime is property-tested in TDigestSpec. */
+  def aggTdigest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TDigestFunctions.tdigestQuantiles
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(tdigestQuantiles($"l_quantity", Seq(0.25, 0.5, 0.75, 0.95), 200)
+        .as("qs"), count(lit(1)).as("n"))
+      .select($"l_returnflag",
+        round(element_at($"qs", 1), 4).as("p25"),
+        round(element_at($"qs", 2), 4).as("p50"),
+        round(element_at($"qs", 3), 4).as("p75"),
+        round(element_at($"qs", 4), 4).as("p95"),
+        $"n")
+      .orderBy($"l_returnflag")
+  }
+
   def aggPercentile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, dir)
@@ -297,6 +322,7 @@ object Aggregates {
     "agg_pivot" -> (aggPivot _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_percentile" -> (aggPercentile _),
+    "agg_tdigest" -> (aggTdigest _),
     "agg_quantile_sketch" -> (aggQuantileSketch _),
     "agg_udaf_wavg" -> (aggUdafWavg _),
     "q1_agg" -> (q1Agg _),
@@ -356,6 +382,14 @@ object Aggregates {
         |          / CAST(c AS DOUBLE)) * 100.0 END) AS p90_est,
         |  MAX(n) AS n
         |FROM cum GROUP BY st ORDER BY o_orderstatus""".stripMargin,
+    "agg_tdigest" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.50), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_quantity, 0.95), 4) AS p95,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_percentile" ->
       s"""SELECT o_orderstatus,
          |  round(quantile_cont(CAST(CAST(o_totalprice AS $D) AS DOUBLE),
