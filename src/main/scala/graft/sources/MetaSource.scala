@@ -54,11 +54,21 @@ class GraftMetaSource extends TableProvider {
 }
 
 object GraftMetaSource {
+  /** One row per data file per committing snapshot — the Iceberg
+    * `files` metadata-table shape: identity, size, and the per-file
+    * stats the writer recorded (record count + column bounds,
+    * `Local:126-132`), served from the commit's stats sidecar. */
   val FILES_SCHEMA: StructType = StructType(Seq(
     StructField("snapshot_id", IntegerType, nullable = false),
     StructField("day", IntegerType, nullable = false),
     StructField("rel_path", StringType, nullable = false),
-    StructField("size_bytes", LongType, nullable = false)))
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("min_value", DoubleType, nullable = false),
+    StructField("max_value", DoubleType, nullable = false)))
+
+  private[sources] case class MetaEntry(snap: Int, day: Int, rel: String,
+      size: Long, nRows: Long, minValue: Double, maxValue: Double)
 
   /** Planning-time evaluation of a filter against one manifest entry's
     * (snapshot_id, day). None = a shape this source cannot evaluate —
@@ -84,9 +94,10 @@ object GraftMetaSource {
     }
   }
 
-  /** (snapshot_id, day, rel_path, size_bytes) per manifest entry. */
-  private[sources] def listEntries(root: String)
-      : Seq[(Int, Int, String, Long)] = {
+  /** One [[MetaEntry]] per manifest line, stats joined from the
+    * commit's stats sidecar (absent sidecar → zero/NaN stats, so a
+    * pre-stats table still lists). */
+  private[sources] def listEntries(root: String): Seq[MetaEntry] = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -102,12 +113,21 @@ object GraftMetaSource {
       val in = fs.open(p)
       val txt = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val stats: Map[String, IngestOps.FileStats] =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(metaDir,
+          s"snap-$n.stats.txt"))) Map.empty
+        else IngestOps.readStatsManifest(spark, root, s"snap-$n.stats.txt")
+          .map(s => s.rel -> s).toMap
       txt.split("\n").filter(_.nonEmpty).map { rel =>
         val day = "day=(\\d+)/".r.findFirstMatchIn(rel)
           .map(_.group(1).toInt).getOrElse(-1)
         val size = fs.getFileStatus(
           new org.apache.hadoop.fs.Path(s"$root/data/$rel")).getLen
-        (n, day, rel, size)
+        val st = stats.get(rel)
+        MetaEntry(n, day, rel, size,
+          st.map(_.nRows).getOrElse(0L),
+          st.map(_.minValue).getOrElse(Double.NaN),
+          st.map(_.maxValue).getOrElse(Double.NaN))
       }
     }.toSeq
   }
@@ -167,10 +187,10 @@ private[sources] class GraftMetaScan(root: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val survivors = GraftMetaSource.listEntries(root)
-      .filter { case (s, d, _, _) => pushed.forall(keep(s, d)) }
+      .filter(e => pushed.forall(keep(e.snap, e.day)))
     // one partition per surviving snapshot: pushdown on snapshot_id is
     // visible as a smaller partition count (asserted in the spec)
-    survivors.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, es) =>
+    survivors.groupBy(_.snap).toSeq.sortBy(_._1).map { case (_, es) =>
       GraftMetaPartition(es.toArray): InputPartition
     }.toArray
   }
@@ -180,7 +200,7 @@ private[sources] class GraftMetaScan(root: String, required: StructType,
 }
 
 private[sources] case class GraftMetaPartition(
-    entries: Array[(Int, Int, String, Long)]) extends InputPartition
+    entries: Array[GraftMetaSource.MetaEntry]) extends InputPartition
 
 private[sources] class GraftMetaReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
@@ -191,12 +211,15 @@ private[sources] class GraftMetaReaderFactory(fields: Array[String])
       private var i = -1
       override def next(): Boolean = { i += 1; i < entries.length }
       override def get(): InternalRow = {
-        val (snap, day, rel, size) = entries(i)
+        val e = entries(i)
         new GenericInternalRow(fields.map {
-          case "snapshot_id" => snap
-          case "day" => day
-          case "rel_path" => UTF8String.fromString(rel)
-          case "size_bytes" => size
+          case "snapshot_id" => e.snap
+          case "day" => e.day
+          case "rel_path" => UTF8String.fromString(e.rel)
+          case "size_bytes" => e.size
+          case "n_rows" => e.nRows
+          case "min_value" => e.minValue
+          case "max_value" => e.maxValue
         }.toArray[Any])
       }
       override def close(): Unit = ()

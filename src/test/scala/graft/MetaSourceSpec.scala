@@ -46,6 +46,18 @@ class MetaSourceSpec extends SparkSpecBase {
     assert(one.count() == 1)
   }
 
+  test("per-file stats columns agree with the data they describe") {
+    import spark.implicits._
+    // n_rows summed over the files table == rows in the table itself
+    val fromMeta = filesDf.agg(org.apache.spark.sql.functions.sum($"n_rows"))
+      .head.getLong(0)
+    val direct = spark.read.parquet(s"$root/data").count()
+    assert(fromMeta == direct, s"meta says $fromMeta, table has $direct")
+    // bounds are real bounds: no file claims an empty or inverted range
+    assert(filesDf.filter($"min_value" > $"max_value" || $"n_rows" <= 0)
+      .count() == 0)
+  }
+
   test("column pruning reaches the reader") {
     import spark.implicits._
     val df = filesDf.select($"rel_path")
