@@ -39,7 +39,12 @@ object Bench {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val t = try math.min(once(), once()) catch {
+      val t = try {
+        val first = once()
+        // a transient failure on the RETRY must not discard a valid
+        // measurement — degrade to the single sample instead
+        try math.min(first, once()) catch { case _: Throwable => first }
+      } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)

@@ -48,6 +48,10 @@ final class TDigest(val compression: Int) extends Serializable {
   def totalWeight: Long = weights.sum + bufN
 
   def add(x: Double): Unit = {
+    // NaN carries no order information (it never coalesces — NaN != NaN —
+    // and would poison every weighted mean it merges into); skip it like
+    // the aggregate skips SQL NULL
+    if (x.isNaN) return
     buf(bufN) = x
     bufN += 1
     if (bufN == bufCap) flush()

@@ -35,9 +35,8 @@ object SimilarityOps {
     val out = graft.sources.IngestOps.shared("ivf_index_" +
       dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
       graft.sources.IngestOps.sourceFingerprint(spark, dir))
-    val done = new org.apache.hadoop.fs.Path(out, "_DONE")
-    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
+    graft.sources.IngestOps.buildShared(spark, out, root =>
+      graft.sources.IngestOps.fsExists(spark, s"$root/_DONE")) { tmpRoot =>
       val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
       val centroids = e.filter($"vec_id" < 8)
         .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
@@ -52,10 +51,11 @@ object SimilarityOps {
         .repartition($"bucket")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("compression", "zstd")
-        .partitionBy("bucket").parquet(s"$out/data")
-      fs.create(done, true).close()
+        .partitionBy("bucket").parquet(s"$tmpRoot/data")
+      val done = new org.apache.hadoop.fs.Path(tmpRoot, "_DONE")
+      done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(done, true).close()
     }
-    out
   }
 
   /** `sim_ivf_index` — kNN against the PERSISTED index: the query vector

@@ -38,8 +38,10 @@ object IngestOps {
           val h = java.lang.ProcessHandle.of(p)
           h.isPresent && h.get().isAlive
         }
-        if (!alive) org.apache.spark.network.util.JavaUtils
-          .deleteRecursively(f)
+        // best-effort: two starting JVMs may race to reap the same dir —
+        // the loser's IOException must not fail this initializer
+        if (!alive) try org.apache.spark.network.util.JavaUtils
+          .deleteRecursively(f) catch { case _: java.io.IOException => }
       }
     }
     s"${root.getAbsolutePath}/jvm-$mine"
@@ -49,9 +51,45 @@ object IngestOps {
   private[graft] def tmp(name: String) = s"$scratchRoot/$name"
 
   /** Cross-process shared location for the write-once layouts: they are
-    * content-fingerprint-keyed and `_SUCCESS`/`_DONE`-guarded, so sharing
-    * is safe and saves every process rebuilding ingest-time artifacts. */
+    * content-fingerprint-keyed and published atomically by
+    * [[buildShared]], so sharing is safe and saves every process
+    * rebuilding ingest-time artifacts. */
   private[graft] def shared(name: String) = s"/root/repo/target/tmp/$name"
+
+  private[graft] def fsExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Cross-process-safe write-once build: `build` constructs the layout
+    * under a pid-suffixed private dir, which is then RENAMED into place —
+    * one atomic publish, so a concurrent process can never observe (or
+    * delete) a half-built shared layout. The loser of a build race
+    * discards its copy and reads the winner's; a stale incomplete
+    * artifact (crashed build, pre-upgrade format) is replaced, never
+    * served. */
+  private[graft] def buildShared(spark: SparkSession, out: String,
+      complete: String => Boolean)(build: String => Unit): String = {
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (complete(out)) return out
+    val tmpPath = new org.apache.hadoop.fs.Path(
+      out + ".build-" + java.lang.ProcessHandle.current().pid())
+    fs.delete(tmpPath, true)
+    build(tmpPath.toString)
+    if (!fs.rename(tmpPath, outPath)) {
+      // the slot is occupied: either a racer published first (use
+      // theirs) or a stale/incomplete artifact blocks it (replace it)
+      if (!complete(out)) {
+        fs.delete(outPath, true)
+        if (!fs.rename(tmpPath, outPath) && !complete(out))
+          throw new IllegalStateException(
+            s"cannot publish shared layout $out")
+      }
+      fs.delete(tmpPath, true)
+    }
+    out
+  }
 
   /** events + derived partition columns (`Hidden:133-135` identity
     * transforms; values from data, not wall clock). */
@@ -271,20 +309,18 @@ object IngestOps {
     import spark.implicits._
     val out = shared("events_layout_" + dir.replaceAll("[^A-Za-z0-9.]+", "_") +
       "_" + sourceFingerprint(spark, dir))
-    val success = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
-    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(success)) {
-      eventsWithParts(spark, dir)
-        .withColumn("tenant_bucket", pmod($"user_id", lit(4L)))
-        .withColumn("hour", hour($"ts"))
-        .repartition(col("tenant_bucket"), col("year"), col("month"),
-          col("day"), col("hour"))
-        .write.mode(SaveMode.Overwrite)
-        .option("compression", "zstd")
-        .partitionBy("tenant_bucket", "year", "month", "day", "hour")
-        .parquet(out)
+    buildShared(spark, out, root => fsExists(spark, s"$root/_SUCCESS")) {
+      tmpRoot =>
+        eventsWithParts(spark, dir)
+          .withColumn("tenant_bucket", pmod($"user_id", lit(4L)))
+          .withColumn("hour", hour($"ts"))
+          .repartition(col("tenant_bucket"), col("year"), col("month"),
+            col("day"), col("hour"))
+          .write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd")
+          .partitionBy("tenant_bucket", "year", "month", "day", "hour")
+          .parquet(tmpRoot)
     }
-    out
   }
 
   /** `partition_prune_scan` — metadata-pruned read of the partitioned
@@ -374,48 +410,38 @@ object IngestOps {
     val out = shared("events_snapshots_" +
       dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
       sourceFingerprint(spark, dir))
-    val outPath = new org.apache.hadoop.fs.Path(out)
-    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val done = new org.apache.hadoop.fs.Path(out, "metadata/_DONE")
-    // layouts built before stats sidecars existed rebuild once
-    val statsOk = fs.exists(
-      new org.apache.hadoop.fs.Path(out, "metadata/snap-3.stats.txt"))
-    if (!fs.exists(done) || !statsOk) {
-      fs.delete(outPath, true)
-      val data = s"$out/data"
+    // completeness includes a stats sidecar: a layout built before stats
+    // existed reads as stale and is rebuilt (atomically, by buildShared)
+    buildShared(spark, out, root =>
+      fsExists(spark, s"$root/metadata/_DONE") &&
+        fsExists(spark, s"$root/metadata/snap-3.stats.txt")) { tmpRoot =>
+      val fs = new org.apache.hadoop.fs.Path(tmpRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val data = s"$tmpRoot/data"
       val ev = eventsWithParts(spark, dir).filter(col("day").between(1, 15))
-      def dataFiles(): Set[String] = {
-        val it = fs.listFiles(new org.apache.hadoop.fs.Path(data), true)
-        val b = Set.newBuilder[String]
-        while (it.hasNext) {
-          val p = it.next().getPath.toString
-          if (p.endsWith(".parquet"))
-            b += p.substring(p.lastIndexOf("/data/") + 6)
-        }
-        b.result()
-      }
       var seen = Set.empty[String]
       Seq((1, 5), (6, 10), (11, 15)).zipWithIndex.foreach {
         case ((lo, hi), idx) =>
           val mode = if (idx == 0) SaveMode.Overwrite else SaveMode.Append
           ev.filter(col("day").between(lo, hi)).repartition(col("day"))
             .write.mode(mode).partitionBy("day").parquet(data)
-          val now = dataFiles()
+          val now = listDataFiles(spark, data)
           val delta = now -- seen
           val manifest = new org.apache.hadoop.fs.Path(
-            out, s"metadata/snap-${idx + 1}.txt")
+            tmpRoot, s"metadata/snap-${idx + 1}.txt")
           val os = fs.create(manifest, true)
           os.write(delta.toSeq.sorted.mkString("\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           os.close()
           // per-file stats sidecar (the DataFile metrics Iceberg records
           // at write time) — priced as one scan of the commit's delta
-          writeStatsManifest(spark, out, s"snap-${idx + 1}.stats.txt", delta)
+          writeStatsManifest(spark, tmpRoot,
+            s"snap-${idx + 1}.stats.txt", delta)
           seen = now
       }
-      fs.create(done, true).close()
+      fs.create(new org.apache.hadoop.fs.Path(tmpRoot, "metadata/_DONE"),
+        true).close()
     }
-    out
   }
 
   /** Per-file column statistics carried by a stats manifest — the
@@ -727,21 +753,20 @@ object IngestOps {
     val out = shared("events_valstats_" +
       dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
       sourceFingerprint(spark, dir))
-    val done = new org.apache.hadoop.fs.Path(out, "metadata/_DONE")
-    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
-      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    buildShared(spark, out,
+      root => fsExists(spark, s"$root/metadata/_DONE")) { tmpRoot =>
       eventsWithParts(spark, dir)
         .select($"event_id", $"user_id", $"event_type", $"value", $"day")
         .repartitionByRange(16, $"value")
         .sortWithinPartitions($"value")
         .write.mode(SaveMode.Overwrite)
-        .option("compression", "zstd").parquet(s"$out/data")
-      writeStatsManifest(spark, out, "files.stats.txt",
-        listDataFiles(spark, s"$out/data"))
-      fs.create(done, true).close()
+        .option("compression", "zstd").parquet(s"$tmpRoot/data")
+      writeStatsManifest(spark, tmpRoot, "files.stats.txt",
+        listDataFiles(spark, s"$tmpRoot/data"))
+      val done = new org.apache.hadoop.fs.Path(tmpRoot, "metadata/_DONE")
+      done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(done, true).close()
     }
-    out
   }
 
   /** Stats-qualifying file list for a `value`-range predicate over the

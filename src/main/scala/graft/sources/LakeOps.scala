@@ -222,17 +222,8 @@ object LakeOps {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def listData(spark: SparkSession, data: String): Set[String] = {
-    val fs = hfs(spark, data)
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(data), true)
-    val b = Set.newBuilder[String]
-    while (it.hasNext) {
-      val p = it.next().getPath.toString
-      if (p.endsWith(".parquet"))
-        b += p.substring(p.lastIndexOf("/data/") + 6)
-    }
-    b.result()
-  }
+  private def listData(spark: SparkSession, data: String): Set[String] =
+    IngestOps.listDataFiles(spark, data)
 
   private def writeManifest(spark: SparkSession, root: String,
       name: String, files: Iterable[String]): Unit = {

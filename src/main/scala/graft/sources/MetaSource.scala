@@ -63,12 +63,15 @@ object GraftMetaSource {
     StructField("day", IntegerType, nullable = false),
     StructField("rel_path", StringType, nullable = false),
     StructField("size_bytes", LongType, nullable = false),
-    StructField("n_rows", LongType, nullable = false),
-    StructField("min_value", DoubleType, nullable = false),
-    StructField("max_value", DoubleType, nullable = false)))
+    // stats are NULLABLE: a commit written before stats sidecars existed
+    // has UNKNOWN stats, which must stay distinguishable from real data
+    // (a 0 row count would silently read as an empty file)
+    StructField("n_rows", LongType, nullable = true),
+    StructField("min_value", DoubleType, nullable = true),
+    StructField("max_value", DoubleType, nullable = true)))
 
   private[sources] case class MetaEntry(snap: Int, day: Int, rel: String,
-      size: Long, nRows: Long, minValue: Double, maxValue: Double)
+      size: Long, stats: Option[IngestOps.FileStats])
 
   /** Planning-time evaluation of a filter against one manifest entry's
     * (snapshot_id, day). None = a shape this source cannot evaluate —
@@ -95,8 +98,8 @@ object GraftMetaSource {
   }
 
   /** One [[MetaEntry]] per manifest line, stats joined from the
-    * commit's stats sidecar (absent sidecar → zero/NaN stats, so a
-    * pre-stats table still lists). */
+    * commit's stats sidecar (absent sidecar → NULL stats, so a
+    * pre-stats table still lists with its unknowns visible). */
   private[sources] def listEntries(root: String): Seq[MetaEntry] = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
@@ -123,11 +126,7 @@ object GraftMetaSource {
           .map(_.group(1).toInt).getOrElse(-1)
         val size = fs.getFileStatus(
           new org.apache.hadoop.fs.Path(s"$root/data/$rel")).getLen
-        val st = stats.get(rel)
-        MetaEntry(n, day, rel, size,
-          st.map(_.nRows).getOrElse(0L),
-          st.map(_.minValue).getOrElse(Double.NaN),
-          st.map(_.maxValue).getOrElse(Double.NaN))
+        MetaEntry(n, day, rel, size, stats.get(rel))
       }
     }.toSeq
   }
@@ -217,9 +216,9 @@ private[sources] class GraftMetaReaderFactory(fields: Array[String])
           case "day" => e.day
           case "rel_path" => UTF8String.fromString(e.rel)
           case "size_bytes" => e.size
-          case "n_rows" => e.nRows
-          case "min_value" => e.minValue
-          case "max_value" => e.maxValue
+          case "n_rows" => e.stats.map(s => Long.box(s.nRows)).orNull
+          case "min_value" => e.stats.map(s => Double.box(s.minValue)).orNull
+          case "max_value" => e.stats.map(s => Double.box(s.maxValue)).orNull
         }.toArray[Any])
       }
       override def close(): Unit = ()

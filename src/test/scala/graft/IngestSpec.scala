@@ -27,18 +27,11 @@ class IngestSpec extends SparkSpecBase {
 
   test("partition filter prunes files on read-back") {
     import spark.implicits._
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
     val df = spark.read.parquet(graft.sources.IngestOps.tmp("events_partitioned"))
     val total = df.inputFiles.length
     val q = df.filter($"day" === 15)
     q.collect()
-    val scanned = scans(q.queryExecution.executedPlan)
+    val scanned = fileScans(q.queryExecution.executedPlan)
       .head.metrics("numFiles").value
     assert(scanned < total, s"scanned=$scanned should be < total=$total")
     assert(scanned == 1, s"day=15 should scan exactly 1 file, got $scanned")
@@ -66,20 +59,13 @@ class IngestSpec extends SparkSpecBase {
   test("compound tenant+hour predicate prunes the 6-field layout to " +
       "matching cells only") {
     import spark.implicits._
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
     val root = graft.sources.IngestOps.partitionedLayout(spark, sf)
     val df = spark.read.parquet(root)
     val total = df.inputFiles.length
     val q = df.filter($"tenant_bucket" === 2 && $"day" === 15 &&
       $"hour".between(6, 12))
     q.collect()
-    val scanned = scans(q.queryExecution.executedPlan)
+    val scanned = fileScans(q.queryExecution.executedPlan)
       .head.metrics("numFiles").value
     // one bucket of 4, one day of the month, 7 hours of 24: directory
     // metadata alone must cut the file list to at most 7 cells
@@ -157,15 +143,6 @@ class IngestSpec extends SparkSpecBase {
   test("manifest_prune_scan plans its file list from stats alone: files " +
       "whose bounds exclude the value range are never opened") {
     import spark.implicits._
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
-      QueryStageExec}
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case s: QueryStageExec => scans(s.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
     val root = graft.sources.IngestOps.statsLayout(spark, sf)
     val (hits, total) = graft.sources.IngestOps
       .statsQualifyingFiles(spark, root, 180.0, 220.0)
@@ -176,7 +153,7 @@ class IngestSpec extends SparkSpecBase {
     // the query's scan reads exactly the qualifying files...
     val q = graft.sources.IngestOps.manifestPruneScan(spark, sf)
     q.collect()
-    val scanned = scans(q.queryExecution.executedPlan)
+    val scanned = fileScans(q.queryExecution.executedPlan)
       .head.metrics("numFiles").value
     assert(scanned == hits.size, s"scanned=$scanned, planned=${hits.size}")
     // ...and a stats-excluded file never appears in input_file_name
@@ -205,20 +182,11 @@ class IngestSpec extends SparkSpecBase {
 
   test("manifest_stats answers from metadata only — its plan reads no " +
       "data files") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
-      QueryStageExec}
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case s: QueryStageExec => scans(s.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
     // layout is built (a write-time cost); the QUERY plan itself must be
     // a local-relation aggregate — zero parquet scans
     graft.sources.IngestOps.snapshotLayout(spark, sf)
     val q = graft.sources.IngestOps.manifestStats(spark, sf)
-    assert(scans(q.queryExecution.executedPlan).isEmpty,
+    assert(fileScans(q.queryExecution.executedPlan).isEmpty,
       "manifest_stats read data files")
     val rows = q.collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))

@@ -7,6 +7,20 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpecBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpecBase.session
   val sf: String = "/root/testdata/sf0.001"
+
+  /** All FileSourceScanExec nodes of an executed plan, descending
+    * through the AQE wrappers (AdaptiveSparkPlanExec holds the live
+    * plan; QueryStageExec is a LEAF whose real subtree hangs off
+    * `.plan` — plain children traversal misses it). */
+  def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fileScans(s.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(fileScans)
+  }
 }
 
 object SparkSpecBase {
