@@ -73,23 +73,35 @@ object IngestOps {
     val outPath = new org.apache.hadoop.fs.Path(out)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (complete(out)) return out
-    val tmpPath = new org.apache.hadoop.fs.Path(
-      out + ".build-" + java.lang.ProcessHandle.current().pid())
-    fs.delete(tmpPath, true)
-    build(tmpPath.toString)
-    if (!fs.rename(tmpPath, outPath)) {
+    val tmp = out + ".build-" + java.lang.ProcessHandle.current().pid()
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    build(tmp)
+    if (!publishDir(tmp, out)) {
       // the slot is occupied: either a racer published first (use
       // theirs) or a stale/incomplete artifact blocks it (replace it)
       if (!complete(out)) {
         fs.delete(outPath, true)
-        if (!fs.rename(tmpPath, outPath) && !complete(out))
+        if (!publishDir(tmp, out) && !complete(out))
           throw new IllegalStateException(
             s"cannot publish shared layout $out")
       }
-      fs.delete(tmpPath, true)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
     out
   }
+
+  /** POSIX rename(2) via nio ATOMIC_MOVE — unlike Hadoop's local
+    * `rename`, this FAILS on a non-empty destination instead of moving
+    * the source INSIDE it, which is the semantics an atomic publish
+    * needs (the loser of a race must learn it lost, not nest its build
+    * into the winner's layout). */
+  private def publishDir(src: String, dst: String): Boolean =
+    try {
+      java.nio.file.Files.move(java.nio.file.Paths.get(src),
+        java.nio.file.Paths.get(dst),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch { case _: java.nio.file.FileSystemException => false }
 
   /** events + derived partition columns (`Hidden:133-135` identity
     * transforms; values from data, not wall clock). */
@@ -410,11 +422,13 @@ object IngestOps {
     val out = shared("events_snapshots_" +
       dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
       sourceFingerprint(spark, dir))
-    // completeness includes a stats sidecar: a layout built before stats
-    // existed reads as stale and is rebuilt (atomically, by buildShared)
+    // completeness includes the stats sidecars and the commit log: a
+    // layout built before either existed reads as stale and is rebuilt
+    // (atomically, by buildShared)
     buildShared(spark, out, root =>
       fsExists(spark, s"$root/metadata/_DONE") &&
-        fsExists(spark, s"$root/metadata/snap-3.stats.txt")) { tmpRoot =>
+        fsExists(spark, s"$root/metadata/snap-3.stats.txt") &&
+        fsExists(spark, s"$root/metadata/commits.txt")) { tmpRoot =>
       val fs = new org.apache.hadoop.fs.Path(tmpRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val data = s"$tmpRoot/data"
@@ -439,9 +453,33 @@ object IngestOps {
             s"snap-${idx + 1}.stats.txt", delta)
           seen = now
       }
+      // commit log: snapshot -> committed-at millis (the reference stamps
+      // wall clock; deterministic literals per SURVEY §7.3 so the oracle
+      // can reproduce them). The log is what AS-OF-TIMESTAMP reads
+      // resolve against — one metadata file, like Iceberg's
+      // snapshot-log entries in table metadata.
+      val commits = fs.create(
+        new org.apache.hadoop.fs.Path(tmpRoot, "metadata/commits.txt"), true)
+      commits.write((1 to 3).map(n => s"$n=${1705276800000L + n * 1000L}")
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      commits.close()
       fs.create(new org.apache.hadoop.fs.Path(tmpRoot, "metadata/_DONE"),
         true).close()
     }
+  }
+
+  /** Commit log (snapshot → committed-at ms), ascending by snapshot. */
+  private[graft] def commitLog(spark: SparkSession,
+      root: String): Seq[(Int, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(root, "metadata/commits.txt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    txt.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+      val Array(n, ms) = l.split("=", 2)
+      (n.toInt, ms.toLong)
+    }.sortBy(_._1)
   }
 
   /** Per-file column statistics carried by a stats manifest — the
@@ -540,6 +578,9 @@ object IngestOps {
     val fileSnap = (1 to 3).flatMap(n =>
       snapshotManifest(spark, root, n).map(f => (f, n)))
       .toDF("rel_path", "snapshot_id")
+    // committed-at stamps come from the PERSISTED commit log — the same
+    // metadata snapshot_read_attime resolves against
+    val commits = commitLog(spark, root).toDF("snapshot_id", "committed_ms")
     val w = org.apache.spark.sql.expressions.Window.orderBy($"snapshot_id")
     spark.read.parquet(s"$root/data")
       .select(regexp_extract(input_file_name(), "/data/(.*)$", 1)
@@ -549,9 +590,9 @@ object IngestOps {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(regexp_extract($"rel_path", "day=(\\d+)/", 1))
           .as("n_files"))
+      .join(broadcast(commits), "snapshot_id")
       .select($"snapshot_id".cast("long").as("snapshot_id"),
-        (lit(1705276800000L) + $"snapshot_id" * 1000L).cast("long")
-          .as("committed_ms"),
+        $"committed_ms",
         lit("append").as("operation"), $"n_files", $"n_rows",
         sum($"n_rows").over(w).as("total_rows"))
       .orderBy($"snapshot_id")
@@ -572,6 +613,25 @@ object IngestOps {
     spark.read.option("basePath", s"$root/data").parquet(files: _*)
       .groupBy($"day".cast("long").as("day"))
       .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"day")
+  }
+
+  /** `snapshot_read_attime` — time-travel READ by TIMESTAMP (Iceberg's
+    * `asOfTimestamp`, the twin of [[snapshotReadAsof]]'s by-id travel):
+    * the cutoff resolves against the persisted commit log to the last
+    * snapshot committed at-or-before it, then the scan plans that
+    * snapshot's manifest union. Resolution is one metadata read; a
+    * cutoff between commits 2 and 3 serves exactly snapshot 2's state. */
+  def snapshotReadAttime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = snapshotLayout(spark, dir)
+    val cutoffMs = 1705276800000L + 2500L // between commits 2 and 3
+    val snaps = commitLog(spark, root).filter(_._2 <= cutoffMs).map(_._1)
+    val files = snaps.flatMap(n => snapshotManifest(spark, root, n))
+      .map(rel => s"$root/data/$rel")
+    spark.read.option("basePath", s"$root/data").parquet(files: _*)
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
       .orderBy($"day")
   }
 
@@ -830,6 +890,7 @@ object IngestOps {
     "sort_cluster_write" -> (sortClusterWrite _),
     "snapshot_log" -> (snapshotLog _),
     "snapshot_read_asof" -> (snapshotReadAsof _),
+    "snapshot_read_attime" -> (snapshotReadAttime _),
     "alter_add_cols" -> (alterAddCols _),
     "alter_nested_evolve" -> (alterNestedEvolve _),
     "partition_prune_scan" -> (partitionPruneScan _),
@@ -920,6 +981,11 @@ object IngestOps {
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events WHERE day(ts) BETWEEN 1 AND 10
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "snapshot_read_attime" ->
+      s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events WHERE day(ts) BETWEEN 1 AND 10
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "alter_add_cols" ->
       s"""SELECT CASE WHEN day(ts) <= 15 THEN 'v1' ELSE 'v2' END AS batch,
          |  COUNT(*) AS n,

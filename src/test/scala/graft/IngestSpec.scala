@@ -96,6 +96,22 @@ class IngestSpec extends SparkSpecBase {
     assert(opened.subsetOf(asofRels))
   }
 
+  test("snapshot_read_attime resolves its cutoff against the persisted " +
+      "commit log; at-commit boundaries are inclusive") {
+    import spark.implicits._
+    val root = graft.sources.IngestOps.snapshotLayout(spark, sf)
+    val log = graft.sources.IngestOps.commitLog(spark, root)
+    assert(log.map(_._1) == Seq(1, 2, 3))
+    assert(log.map(_._2) == log.map(_._2).sorted)
+    // exactly-at-commit includes that commit; just-before excludes it
+    assert(log.filter(_._2 <= log(1)._2).map(_._1).max == 2)
+    assert(log.filter(_._2 <= log(1)._2 - 1).map(_._1).max == 1)
+    // the by-time read serves exactly snapshot 2's state (days 1-10)
+    val days = graft.sources.IngestOps.snapshotReadAttime(spark, sf)
+      .select($"day").collect().map(_.getLong(0))
+    assert(days.min == 1 && days.max == 10)
+  }
+
   test("compact_files rewrites 64 fragments into 4 files, zero row loss") {
     val rows = graft.sources.IngestOps.compactFiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
