@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // per-JVM warehouse: the catalog queries DROP/recreate managed
+      // tables, which must never race a concurrent engine process
+      .config("spark.sql.warehouse.dir",
+        graft.sources.IngestOps.tmp("warehouse"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -12,6 +12,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // per-JVM warehouse: the catalog queries DROP/recreate managed
+      // tables, which must never race a concurrent engine process
+      .config("spark.sql.warehouse.dir",
+        graft.sources.IngestOps.tmp("warehouse"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -29,6 +29,10 @@ object SparkSpecBase {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // per-JVM warehouse: the catalog queries DROP/recreate managed
+      // tables, which must never race a concurrent engine process
+      .config("spark.sql.warehouse.dir",
+        graft.sources.IngestOps.tmp("warehouse"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
