@@ -118,6 +118,97 @@ object LakeOps {
       .orderBy($"day")
   }
 
+  /** `delete_mor` — merge-on-read DELETE (Iceberg v2 delete files), the
+    * other half of the DML story beside [[deleteWhere]]'s copy-on-write:
+    * the delete commits ONLY a tiny delete file listing the doomed row
+    * keys — every data file keeps its bytes (LakeSpec asserts no
+    * partition is rewritten). Readers fold the delete file in as a
+    * broadcast anti-join at scan time; the answer is identical to the
+    * copy-on-write spelling (same oracle). At 100 TB this is the
+    * write-amplification trade: a delete touching 5 % of rows across
+    * every partition costs KBs of delete file now + one broadcast per
+    * read, until a compaction (the [[expireSnapshots]] replace-commit
+    * shape) folds it into the data files. */
+  def deleteMor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = IngestOps.tmp("events_mor")
+    val del = IngestOps.tmp("events_mor_deletes")
+    writeBase(spark, dir, out)
+    val base = spark.read.parquet(out)
+    // the delete commit: doomed KEYS only, one tiny file
+    base.filter($"event_type" === "click" && $"day".between(3, 7))
+      .select($"event_id")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(del)
+    // the read path: data files unchanged, delete file anti-joined in
+    val deletes = spark.read.parquet(del)
+    spark.read.parquet(out)
+      .join(broadcast(deletes), Seq("event_id"), "left_anti")
+      .filter($"day".between(1, 10))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        count(when($"event_type" === "click", 1)).as("n_clicks"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
+  /** One optimistic-concurrency commit attempt: CAS the manifest slot
+    * for snapshot `n` via create-exclusive. Returns false when another
+    * writer already owns that snapshot number — the caller re-reads the
+    * table state and retries on the next slot, exactly Iceberg's
+    * commit-retry loop against the catalog pointer. */
+  private[graft] def tryCommit(spark: SparkSession, root: String, n: Int,
+      files: Iterable[String]): Boolean = {
+    val fs = hfs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root, s"metadata/snap-$n.txt")
+    try {
+      val os = fs.create(p, false) // exclusive: fails if the slot is taken
+      os.write(files.toSeq.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      os.close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** `commit_conflict_retry` — the optimistic-concurrency commit
+    * protocol (the serializable-snapshot contract behind the
+    * reference's atomic commit, `Bulk:97-101`): writers A and B both
+    * observe snapshot 3 as current and prepare appends targeting
+    * slot 4. A's compare-and-swap wins; B's CAS on 4 FAILS (the
+    * create-exclusive sees the slot taken), so B re-reads and retries
+    * on slot 5 — nothing is lost, nothing double-commits, and no
+    * writer ever blocks another's data write (only the metadata CAS
+    * serializes). The returned frame proves both appends landed
+    * exactly once. */
+  def commitConflictRetry(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = IngestOps.tmp("events_occ")
+    writeVersioned(spark, dir, out)
+    val data = s"$out/data"
+    val ev = IngestOps.eventsWithParts(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+    // both writers' data files land first (data writes never conflict)
+    val before = listData(spark, data)
+    ev.filter($"day" === 16).repartition($"day")
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .partitionBy("day").parquet(data)
+    val deltaA = listData(spark, data) -- before
+    ev.filter($"day" === 17).repartition($"day")
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .partitionBy("day").parquet(data)
+    val deltaB = listData(spark, data) -- before -- deltaA
+    // the metadata race: both target slot 4; A wins, B retries on 5
+    val aWon = tryCommit(spark, out, 4, deltaA)
+    val bFirst = tryCommit(spark, out, 4, deltaB)
+    val bRetry = !bFirst && tryCommit(spark, out, 5, deltaB)
+    require(aWon && !bFirst && bRetry, "optimistic commit protocol broke")
+    readLive(spark, out, 1 to 5)
+      .filter($"day".between(14, 17))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
   /** `incremental_read` — changelog scan of ONLY the files snapshot 3
     * added (Iceberg's incremental append scan between snapshots 2 and 3:
     * the consumer that already processed snapshots 1-2 reads just the
@@ -527,6 +618,8 @@ object LakeOps {
     "wap_publish" -> (wapPublish _),
     "merge_upsert" -> (mergeUpsert _),
     "delete_where" -> (deleteWhere _),
+    "delete_mor" -> (deleteMor _),
+    "commit_conflict_retry" -> (commitConflictRetry _),
     "update_where" -> (updateWhere _),
     "expire_snapshots" -> (expireSnapshots _),
     "rollback_snapshot" -> (rollbackSnapshot _),
@@ -572,6 +665,19 @@ object LakeOps {
          |FROM events
          |WHERE day(ts) BETWEEN 1 AND 10
          |  AND NOT (event_type = 'click' AND day(ts) BETWEEN 3 AND 7)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "delete_mor" ->
+      s"""SELECT day(ts) AS day, COUNT(*) AS n,
+         |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events
+         |WHERE day(ts) BETWEEN 1 AND 10
+         |  AND NOT (event_type = 'click' AND day(ts) BETWEEN 3 AND 7)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "commit_conflict_retry" ->
+      s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events WHERE day(ts) BETWEEN 14 AND 17
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "update_where" ->
       s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,

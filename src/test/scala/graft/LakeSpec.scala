@@ -232,6 +232,54 @@ class LakeSpec extends SparkSpecBase {
       s"reader saw staged days: ${days.mkString(",")}")
   }
 
+  test("delete_mor rewrites NO data files: the delete commit is one " +
+      "tiny key file, and the read equals the copy-on-write answer") {
+    import spark.implicits._
+    val morRows = sources.LakeOps.deleteMor(spark, sf).collect()
+    val root = graft.sources.IngestOps.tmp("events_mor")
+    val del = graft.sources.IngestOps.tmp("events_mor_deletes")
+    // every data file predates the delete file: nothing was rewritten
+    val dataMts = partMtimes(root)
+    val fs = new Path(del).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val delFiles = {
+      val it = fs.listFiles(new Path(del), true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.toString.endsWith(".parquet")) b += f
+      }
+      b.result()
+    }
+    assert(delFiles.size == 1, s"expected 1 delete file, ${delFiles.size}")
+    assert(dataMts.values.max <= delFiles.head.getModificationTime,
+      "a data file was rewritten by the merge-on-read delete")
+    // the delete file holds exactly the doomed keys, nothing more
+    val doomed = spark.read.parquet(root)
+      .filter($"event_type" === "click" && $"day".between(3, 7)).count()
+    assert(spark.read.parquet(del).count() == doomed && doomed > 0)
+    // same answer as the copy-on-write spelling
+    val cowRows = sources.LakeOps.deleteWhere(spark, sf).collect()
+    assert(morRows.toSeq == cowRows.toSeq)
+  }
+
+  test("commit_conflict_retry: the losing writer's CAS fails on the " +
+      "taken slot and its retry lands on the next snapshot") {
+    val rows = sources.LakeOps.commitConflictRetry(spark, sf).collect()
+    val root = graft.sources.IngestOps.tmp("events_occ")
+    val snap4 = sources.LakeOps.liveFiles(spark, root, Seq(4)).toSet
+    val snap5 = sources.LakeOps.liveFiles(spark, root, Seq(5)).toSet
+    assert(snap4.nonEmpty && snap5.nonEmpty)
+    assert(snap4.intersect(snap5).isEmpty, "a file double-committed")
+    assert(snap4.forall(_.startsWith("day=16/")) &&
+      snap5.forall(_.startsWith("day=17/")), (snap4, snap5))
+    // a CAS on an occupied slot must fail without disturbing it
+    val before = sources.LakeOps.liveFiles(spark, root, Seq(5))
+    assert(!sources.LakeOps.tryCommit(spark, root, 5, Seq("bogus")))
+    assert(sources.LakeOps.liveFiles(spark, root, Seq(5)) == before)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(14L, 15L, 16L, 17L))
+  }
+
   test("branch_read: the audit branch carries the staged commit while " +
       "main readers never open its files until the ref moves") {
     import org.apache.spark.sql.functions._
