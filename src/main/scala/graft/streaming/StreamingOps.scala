@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{dec, dsum}
 import graft.sources.Tables
@@ -313,7 +313,59 @@ object StreamingOps {
       .orderBy($"day")
   }
 
+  /** Drain the resume-test stream once: file source over `src`, parquet
+    * sink at `sink`, offsets/seen-files under `cp`. Each call is a fresh
+    * STREAM START against the same checkpoint — a restart, not a
+    * continuation. Shared with LakeSpec's exactly-once assertions. */
+  private[graft] def drainResumeOnce(spark: SparkSession, src: String,
+      sink: String, cp: String,
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    withStatePartitions(spark, 8) {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+  /** `stream_resume_checkpoint` — restartable exactly-once pipeline:
+    * the stream drains a first batch of files, STOPS, more files land,
+    * and a NEW stream started against the same checkpoint processes
+    * only the unseen files (the offset log + file-source seen-files
+    * ledger). If the restart re-read old input the sink would
+    * double-count and the batch oracle would catch it — exactly-once
+    * across restarts is the whole contract of a production pipeline
+    * that deploys, crashes, and resumes without reprocessing 100 TB. */
+  def streamResumeCheckpoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = graft.sources.IngestOps.tmp("stream_resume_src")
+    val sink = graft.sources.IngestOps.tmp("stream_resume_sink")
+    val cp = graft.sources.IngestOps.tmp("stream_resume_cp")
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(src, sink, cp).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
+    val ev = graft.sources.IngestOps.eventsWithParts(spark, dir)
+      .select($"event_id", $"event_type", $"value", $"day")
+    ev.filter($"day".between(1, 5))
+      .write.mode(SaveMode.Overwrite).parquet(src)
+    val schema = spark.read.parquet(src).schema
+    drainResumeOnce(spark, src, sink, cp, schema) // processes days 1-5
+    ev.filter($"day".between(6, 8))
+      .write.mode(SaveMode.Append).parquet(src)
+    drainResumeOnce(spark, src, sink, cp, schema) // restart: days 6-8 only
+    spark.read.parquet(sink)
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_resume_checkpoint" -> (streamResumeCheckpoint _),
     "stream_cdf_read" -> (streamCdfRead _),
     "stream_upsert_sink" -> (streamUpsertSink _),
     "stream_stream_join" -> (streamStreamJoin _),
@@ -323,6 +375,11 @@ object StreamingOps {
     "agg_session_window" -> (aggSessionWindow _))
 
   val oracles: Map[String, String] = Map(
+    "stream_resume_checkpoint" ->
+      """SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE day(ts) BETWEEN 1 AND 8
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_cdf_read" ->
       """SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -328,6 +328,28 @@ class LakeSpec extends SparkSpecBase {
     assert(streamed.intersect(earlier).isEmpty)
   }
 
+  test("stream_resume_checkpoint is exactly-once across restarts: the " +
+      "resumed stream processes only unseen files; an idle restart adds " +
+      "zero rows") {
+    import org.apache.spark.sql.functions._
+    streaming.StreamingOps.streamResumeCheckpoint(spark, sf).collect()
+    val src = graft.sources.IngestOps.tmp("stream_resume_src")
+    val sink = graft.sources.IngestOps.tmp("stream_resume_sink")
+    val cp = graft.sources.IngestOps.tmp("stream_resume_cp")
+    val ev = sources.IngestOps.eventsWithParts(spark, sf)
+    val exp15 = ev.filter(col("day").between(1, 5)).count()
+    val exp18 = ev.filter(col("day").between(1, 8)).count()
+    // after both drains the sink holds each input row exactly once
+    assert(spark.read.parquet(sink).count() == exp18)
+    assert(spark.read.parquet(sink)
+      .filter(col("day") <= 5).count() == exp15)
+    // a third restart with NO new input must add nothing
+    val schema = spark.read.parquet(src).schema
+    streaming.StreamingOps.drainResumeOnce(spark, src, sink, cp, schema)
+    assert(spark.read.parquet(sink).count() == exp18,
+      "an idle restart reprocessed seen files")
+  }
+
   test("stream_upsert_sink: the micro-batch merge rewrites only day " +
       "partitions 8-12; day-11/12 rows are the inserted corrections") {
     val rows = streaming.StreamingOps.streamUpsertSink(spark, sf).collect()
