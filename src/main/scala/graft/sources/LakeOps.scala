@@ -152,6 +152,41 @@ object LakeOps {
       .orderBy($"day")
   }
 
+  /** `delete_mor_pos` — POSITION deletes, Iceberg v2's other delete-file
+    * flavor beside [[deleteMor]]'s equality deletes: the delete file
+    * records (file_path, row_position) pairs — Spark's parquet
+    * `_metadata` columns supply both without any table key, which is
+    * how a DELETE commits against a KEYLESS table. Readers anti-join on
+    * the same metadata columns, so a row is addressed by physical
+    * position, never by content. Data files keep their bytes (LakeSpec
+    * asserts), and the delete file stays ∝ |doomed rows|. */
+  def deleteMorPos(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = IngestOps.tmp("events_mor_pos")
+    val del = IngestOps.tmp("events_mor_pos_deletes")
+    writeBase(spark, dir, out)
+    // the delete commit: physical row addresses of the doomed rows
+    spark.read.parquet(out)
+      .filter($"event_type" === "view" && $"day".between(4, 6))
+      .select($"_metadata.file_path".as("d_file"),
+        $"_metadata.row_index".as("d_pos"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(del)
+    // the read path: anti-join on (file, position)
+    val deletes = spark.read.parquet(del)
+    spark.read.parquet(out)
+      .select($"*", $"_metadata.file_path".as("f"),
+        $"_metadata.row_index".as("p"))
+      .join(broadcast(deletes),
+        $"f" === $"d_file" && $"p" === $"d_pos", "left_anti")
+      .filter($"day".between(1, 10))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        count(when($"event_type" === "view", 1)).as("n_views"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
   /** One optimistic-concurrency commit attempt: CAS the manifest slot
     * for snapshot `n` via create-exclusive. Returns false when another
     * writer already owns that snapshot number — the caller re-reads the
@@ -619,6 +654,7 @@ object LakeOps {
     "merge_upsert" -> (mergeUpsert _),
     "delete_where" -> (deleteWhere _),
     "delete_mor" -> (deleteMor _),
+    "delete_mor_pos" -> (deleteMorPos _),
     "commit_conflict_retry" -> (commitConflictRetry _),
     "update_where" -> (updateWhere _),
     "expire_snapshots" -> (expireSnapshots _),
@@ -673,6 +709,14 @@ object LakeOps {
          |FROM events
          |WHERE day(ts) BETWEEN 1 AND 10
          |  AND NOT (event_type = 'click' AND day(ts) BETWEEN 3 AND 7)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "delete_mor_pos" ->
+      s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+         |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events
+         |WHERE day(ts) BETWEEN 1 AND 10
+         |  AND NOT (event_type = 'view' AND day(ts) BETWEEN 4 AND 6)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "commit_conflict_retry" ->
       s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,

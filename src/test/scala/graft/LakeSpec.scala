@@ -263,6 +263,33 @@ class LakeSpec extends SparkSpecBase {
     assert(morRows.toSeq == cowRows.toSeq)
   }
 
+  test("delete_mor_pos addresses rows by physical position: the delete " +
+      "file is (file_path, row_index) pairs and no data file is rewritten") {
+    import org.apache.spark.sql.functions._
+    val rows = sources.LakeOps.deleteMorPos(spark, sf).collect()
+    val root = graft.sources.IngestOps.tmp("events_mor_pos")
+    val del = graft.sources.IngestOps.tmp("events_mor_pos_deletes")
+    val delDf = spark.read.parquet(del)
+    assert(delDf.columns.toSeq == Seq("d_file", "d_pos"))
+    val doomed = spark.read.parquet(root)
+      .filter(col("event_type") === "view" && col("day").between(4, 6))
+      .count()
+    assert(delDf.count() == doomed && doomed > 0)
+    // positions are per-file unique — a delete file never addresses the
+    // same physical row twice
+    assert(delDf.distinct().count() == doomed)
+    // the position-delete read equals the plain filtered aggregate
+    val direct = spark.read.parquet(root)
+      .filter(!(col("event_type") === "view" && col("day").between(4, 6)))
+      .filter(col("day").between(1, 10))
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "view", 1)).as("n_views"),
+        graft.operators.dsum(col("value")).as("sum_value"))
+      .orderBy(col("day")).collect()
+    assert(rows.toSeq == direct.toSeq)
+  }
+
   test("commit_conflict_retry: the losing writer's CAS fails on the " +
       "taken slot and its retry lands on the next snapshot") {
     val rows = sources.LakeOps.commitConflictRetry(spark, sf).collect()
