@@ -616,6 +616,34 @@ object IngestOps {
       .orderBy($"day")
   }
 
+  /** `alter_rename_col` — column RENAME on an existing table, the third
+    * leg of schema evolution beside [[alterAddCols]] (add, top-level)
+    * and [[alterNestedEvolve]] (add, nested). Parquet resolves columns
+    * by NAME, so a rename can never touch old footers — Iceberg solves
+    * this with field-ids; the engine's equivalent is a NAME MAPPING
+    * applied at scan time (v1 files project `val AS value`). Old files
+    * keep their bytes and both eras serve the new name; the cost is one
+    * alias in the v1 scan's projection, not a table rewrite. */
+  def alterRenameCol(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("events_renamed")
+    val ev = eventsWithParts(spark, dir)
+    ev.filter($"day" <= 15)
+      .select($"event_id", $"event_type", $"value".as("val"), $"day")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/v1")
+    ev.filter($"day" > 15)
+      .select($"event_id", $"event_type", $"value", $"day")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/v2")
+    // the name mapping: pre-rename files resolve the old physical name
+    val v1 = spark.read.parquet(s"$out/v1").withColumnRenamed("val", "value")
+    val v2 = spark.read.parquet(s"$out/v2")
+    v1.unionByName(v2)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), countDistinct($"day").as("n_days"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   /** `snapshot_read_attime` — time-travel READ by TIMESTAMP (Iceberg's
     * `asOfTimestamp`, the twin of [[snapshotReadAsof]]'s by-id travel):
     * the cutoff resolves against the persisted commit log to the last
@@ -893,6 +921,7 @@ object IngestOps {
     "snapshot_read_attime" -> (snapshotReadAttime _),
     "alter_add_cols" -> (alterAddCols _),
     "alter_nested_evolve" -> (alterNestedEvolve _),
+    "alter_rename_col" -> (alterRenameCol _),
     "partition_prune_scan" -> (partitionPruneScan _),
     "table_props" -> (tableProps _),
     "scan_parquet" -> (scanParquet _),
@@ -1002,6 +1031,11 @@ object IngestOps {
          |    THEN 'r' || CAST(user_id % 4 AS VARCHAR) END) AS n_regions,
          |  COUNT(DISTINCT event_type) AS n_classes,
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_score
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "alter_rename_col" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  COUNT(DISTINCT day(ts)) AS n_days,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "partition_prune_scan" ->
       """SELECT hour(ts) AS hour, COUNT(*) AS n,
