@@ -94,14 +94,20 @@ object IngestOps {
     * `rename`, this FAILS on a non-empty destination instead of moving
     * the source INSIDE it, which is the semantics an atomic publish
     * needs (the loser of a race must learn it lost, not nest its build
-    * into the winner's layout). */
+    * into the winner's layout). Only the two genuine loss conditions
+    * read as "lost the race"; environmental failures (permissions,
+    * missing parent, non-local FS) propagate with their real cause.
+    * Scratch layouts are driver-local by design, so nio paths apply. */
   private def publishDir(src: String, dst: String): Boolean =
     try {
       java.nio.file.Files.move(java.nio.file.Paths.get(src),
         java.nio.file.Paths.get(dst),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       true
-    } catch { case _: java.nio.file.FileSystemException => false }
+    } catch {
+      case _: java.nio.file.DirectoryNotEmptyException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
 
   /** events + derived partition columns (`Hidden:133-135` identity
     * transforms; values from data, not wall clock). */
@@ -441,12 +447,8 @@ object IngestOps {
             .write.mode(mode).partitionBy("day").parquet(data)
           val now = listDataFiles(spark, data)
           val delta = now -- seen
-          val manifest = new org.apache.hadoop.fs.Path(
-            tmpRoot, s"metadata/snap-${idx + 1}.txt")
-          val os = fs.create(manifest, true)
-          os.write(delta.toSeq.sorted.mkString("\n")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          os.close()
+          writeMetaLines(spark, tmpRoot,
+            s"metadata/snap-${idx + 1}.txt", delta)
           // per-file stats sidecar (the DataFile metrics Iceberg records
           // at write time) — priced as one scan of the commit's delta
           writeStatsManifest(spark, tmpRoot,
@@ -458,11 +460,8 @@ object IngestOps {
       // can reproduce them). The log is what AS-OF-TIMESTAMP reads
       // resolve against — one metadata file, like Iceberg's
       // snapshot-log entries in table metadata.
-      val commits = fs.create(
-        new org.apache.hadoop.fs.Path(tmpRoot, "metadata/commits.txt"), true)
-      commits.write((1 to 3).map(n => s"$n=${1705276800000L + n * 1000L}")
-        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      commits.close()
+      writeMetaLines(spark, tmpRoot, "metadata/commits.txt",
+        (1 to 3).map(n => s"$n=${1705276800000L + n * 1000L}"))
       fs.create(new org.apache.hadoop.fs.Path(tmpRoot, "metadata/_DONE"),
         true).close()
     }
@@ -471,15 +470,38 @@ object IngestOps {
   /** Commit log (snapshot → committed-at ms), ascending by snapshot. */
   private[graft] def commitLog(spark: SparkSession,
       root: String): Seq[(Int, Long)] = {
-    val p = new org.apache.hadoop.fs.Path(root, "metadata/commits.txt")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val txt = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    txt.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+    readMetaLines(spark, root, "metadata/commits.txt").map { l =>
       val Array(n, ms) = l.split("=", 2)
       (n.toInt, ms.toLong)
     }.sortBy(_._1)
+  }
+
+  /** Read the newline-delimited metadata file `root/rel`; empty when
+    * absent. ONE reader behind every manifest/sidecar/ref/log surface so
+    * the encoding can never diverge between them. */
+  private[graft] def readMetaLines(spark: SparkSession, root: String,
+      rel: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root, rel)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      txt.split("\n").toSeq.filter(_.nonEmpty)
+    }
+  }
+
+  /** Overwrite `root/rel` with the sorted newline-delimited lines —
+    * [[readMetaLines]]' write-side twin. */
+  private[graft] def writeMetaLines(spark: SparkSession, root: String,
+      rel: String, lines: Iterable[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root, rel)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    os.write(lines.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    os.close()
   }
 
   /** Per-file column statistics carried by a stats manifest — the
@@ -526,24 +548,13 @@ object IngestOps {
         .map(r => s"${r.getString(0)}|${r.getLong(1)}|${r.getInt(2)}|" +
           s"${r.getInt(3)}|${r.getDouble(4)}|${r.getDouble(5)}")
         .toSeq.sorted
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val os = fs.create(
-      new org.apache.hadoop.fs.Path(root, s"metadata/$name"), true)
-    os.write(lines.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    os.close()
+    writeMetaLines(spark, root, s"metadata/$name", lines)
   }
 
   /** Parse a stats manifest written by [[writeStatsManifest]]. */
   private[graft] def readStatsManifest(spark: SparkSession, root: String,
       name: String): Seq[FileStats] = {
-    val p = new org.apache.hadoop.fs.Path(root, s"metadata/$name")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val txt = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    txt.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+    readMetaLines(spark, root, s"metadata/$name").map { line =>
       val f = line.split('|')
       FileStats(f(0), f(1).toLong, f(2).toInt, f(3).toInt,
         f(4).toDouble, f(5).toDouble)
@@ -552,14 +563,8 @@ object IngestOps {
 
   /** Data-file relative paths recorded by snapshot N's manifest. */
   private[graft] def snapshotManifest(spark: SparkSession, root: String,
-      n: Int): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(root, s"metadata/snap-$n.txt")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val txt = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    txt.split("\n").toSeq.filter(_.nonEmpty)
-  }
+      n: Int): Seq[String] =
+    readMetaLines(spark, root, s"metadata/snap-$n.txt")
 
   /** `snapshot_log` — the Iceberg snapshot-history walk (`Debug:164-196`:
     * per-snapshot id, timestamp, operation, added file/record counts,
@@ -627,7 +632,11 @@ object IngestOps {
   def alterRenameCol(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val out = tmp("events_renamed")
+    // one source scan feeds both era writes (eager lineage cut, the
+    // writeVersioned discipline)
     val ev = eventsWithParts(spark, dir)
+      .select($"event_id", $"event_type", $"value", $"day")
+      .localCheckpoint()
     ev.filter($"day" <= 15)
       .select($"event_id", $"event_type", $"value".as("val"), $"day")
       .write.mode(SaveMode.Overwrite).parquet(s"$out/v1")

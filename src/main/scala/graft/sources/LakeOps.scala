@@ -188,21 +188,28 @@ object LakeOps {
   }
 
   /** One optimistic-concurrency commit attempt: CAS the manifest slot
-    * for snapshot `n` via create-exclusive. Returns false when another
-    * writer already owns that snapshot number — the caller re-reads the
-    * table state and retries on the next slot, exactly Iceberg's
-    * commit-retry loop against the catalog pointer. */
+    * for snapshot `n`. The manifest is written COMPLETE to a private
+    * attempt file first, then the slot is claimed with an atomic hard
+    * link (link(2) fails with EEXIST) — so the slot can never hold a
+    * partial manifest, a failed write never occupies it, and two
+    * writers can never both win. Returns false when another writer owns
+    * the slot — the caller re-reads the table state and retries on the
+    * next one, exactly Iceberg's commit-retry loop against the catalog
+    * pointer. */
   private[graft] def tryCommit(spark: SparkSession, root: String, n: Int,
       files: Iterable[String]): Boolean = {
-    val fs = hfs(spark, root)
-    val p = new org.apache.hadoop.fs.Path(root, s"metadata/snap-$n.txt")
+    val dir = java.nio.file.Paths.get(root, "metadata")
+    java.nio.file.Files.createDirectories(dir)
+    val attempt = dir.resolve(
+      s"snap-$n.txt.attempt-${java.lang.ProcessHandle.current().pid()}")
+    java.nio.file.Files.write(attempt, files.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     try {
-      val os = fs.create(p, false) // exclusive: fails if the slot is taken
-      os.write(files.toSeq.sorted.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      os.close()
+      java.nio.file.Files.createLink(dir.resolve(s"snap-$n.txt"), attempt)
       true
-    } catch { case _: java.io.IOException => false }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally java.nio.file.Files.deleteIfExists(attempt)
   }
 
   /** `commit_conflict_retry` — the optimistic-concurrency commit
@@ -220,8 +227,11 @@ object LakeOps {
     val out = IngestOps.tmp("events_occ")
     writeVersioned(spark, dir, out)
     val data = s"$out/data"
+    // one source scan feeds both writers' appends (eager lineage cut)
     val ev = IngestOps.eventsWithParts(spark, dir)
       .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+      .filter($"day".between(16, 17))
+      .localCheckpoint()
     // both writers' data files land first (data writes never conflict)
     val before = listData(spark, data)
     ev.filter($"day" === 16).repartition($"day")
@@ -352,27 +362,12 @@ object LakeOps {
     IngestOps.listDataFiles(spark, data)
 
   private def writeManifest(spark: SparkSession, root: String,
-      name: String, files: Iterable[String]): Unit = {
-    val fs = hfs(spark, root)
-    val os = fs.create(
-      new org.apache.hadoop.fs.Path(root, s"metadata/$name"), true)
-    os.write(files.toSeq.sorted.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    os.close()
-  }
+      name: String, files: Iterable[String]): Unit =
+    IngestOps.writeMetaLines(spark, root, s"metadata/$name", files)
 
   private def readManifest(spark: SparkSession, root: String,
-      name: String): Seq[String] = {
-    val fs = hfs(spark, root)
-    val p = new org.apache.hadoop.fs.Path(root, s"metadata/$name")
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val in = fs.open(p)
-      val txt = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      txt.split("\n").toSeq.filter(_.nonEmpty)
-    }
-  }
+      name: String): Seq[String] =
+    IngestOps.readMetaLines(spark, root, s"metadata/$name")
 
   /** Named refs — Iceberg's branch/tag map (`metadata/refs.txt`, one
     * `name=snapshot` line each): `main` is the pointer table readers

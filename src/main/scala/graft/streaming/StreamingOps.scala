@@ -349,8 +349,11 @@ object StreamingOps {
       val p = new org.apache.hadoop.fs.Path(d)
       p.getFileSystem(conf).delete(p, true)
     }
+    // one source scan feeds both landing batches (eager lineage cut)
     val ev = graft.sources.IngestOps.eventsWithParts(spark, dir)
       .select($"event_id", $"event_type", $"value", $"day")
+      .filter($"day".between(1, 8))
+      .localCheckpoint()
     ev.filter($"day".between(1, 5))
       .write.mode(SaveMode.Overwrite).parquet(src)
     val schema = spark.read.parquet(src).schema
