@@ -54,14 +54,17 @@ object Bench {
             .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
           Double.NaN
       }
-      name -> (if (t.isNaN) 0.0 else t)
+      name -> t
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // failed queries live ONLY in the errors map — a 0.0 timing would
+    // read as the suite's fastest query in a round-over-round diff
+    val timed = results.filterNot { case (_, v) => v.isNaN }
+    val qs = timed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) => s"\"$k\":\"$m\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (timed.nonEmpty) timed.values.sum else 0.0
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     // short machine-readable summary LAST: the driver captures a bounded
     // stdout tail, and the 100+-entry line above overflows it (r1 had

@@ -27,7 +27,10 @@ object IngestOps {
     * beside a running bench) previously shared fixed per-query scratch
     * paths and could trash each other's files mid-read. Each JVM now
     * writes under its own pid-keyed dir; scratch of dead JVMs is reaped
-    * on first use so repeated runs don't accumulate disk. */
+    * on first use so repeated runs don't accumulate disk. Pid reuse can
+    * delay a reap by one cycle or hand a new JVM a stale dir — benign
+    * here because every per-query write is Overwrite-mode and stream
+    * checkpoints are cleared at query start. */
   private[graft] lazy val scratchRoot: String = {
     val root = new java.io.File("/root/repo/target/tmp")
     root.mkdirs()
@@ -61,53 +64,63 @@ object IngestOps {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Cross-process-safe write-once build: `build` constructs the layout
-    * under a pid-suffixed private dir, which is then RENAMED into place —
-    * one atomic publish, so a concurrent process can never observe (or
-    * delete) a half-built shared layout. The loser of a build race
-    * discards its copy and reads the winner's; a stale incomplete
-    * artifact (crashed build, pre-upgrade format) is replaced, never
-    * served. */
+  /** Cross-process-safe write-once build. All writers of a layout
+    * serialize on [[withLayoutLock]]; under the lock the builder clears
+    * any INCOMPLETE artifact (a crashed build, a pre-upgrade format) and
+    * builds in place, writing the completeness marker LAST — that final
+    * write is the publish. Invariant: a layout that ever read as
+    * complete is never deleted or mutated again (the under-lock delete
+    * re-checks completeness first), so a process scanning a complete
+    * layout can never have it swapped out from under it; late writers
+    * re-check under the lock and simply reuse the winner's build. */
   private[graft] def buildShared(spark: SparkSession, out: String,
       complete: String => Boolean)(build: String => Unit): String = {
-    val outPath = new org.apache.hadoop.fs.Path(out)
-    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (complete(out)) return out
-    val tmp = out + ".build-" + java.lang.ProcessHandle.current().pid()
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    build(tmp)
-    if (!publishDir(tmp, out)) {
-      // the slot is occupied: either a racer published first (use
-      // theirs) or a stale/incomplete artifact blocks it (replace it)
-      if (!complete(out)) {
-        fs.delete(outPath, true)
-        if (!publishDir(tmp, out) && !complete(out))
-          throw new IllegalStateException(
-            s"cannot publish shared layout $out")
+    withLayoutLock(out) {
+      if (!complete(out)) { // re-check under the lock: a racer may have won
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(outPath, true) // only ever deletes an INCOMPLETE layout
+        build(out)
+        if (!complete(out)) throw new IllegalStateException(
+          s"builder for $out did not produce its completeness marker")
       }
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
     out
   }
 
-  /** POSIX rename(2) via nio ATOMIC_MOVE — unlike Hadoop's local
-    * `rename`, this FAILS on a non-empty destination instead of moving
-    * the source INSIDE it, which is the semantics an atomic publish
-    * needs (the loser of a race must learn it lost, not nest its build
-    * into the winner's layout). Only the two genuine loss conditions
-    * read as "lost the race"; environmental failures (permissions,
-    * missing parent, non-local FS) propagate with their real cause.
-    * Scratch layouts are driver-local by design, so nio paths apply. */
-  private def publishDir(src: String, dst: String): Boolean =
-    try {
-      java.nio.file.Files.move(java.nio.file.Paths.get(src),
-        java.nio.file.Paths.get(dst),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      true
-    } catch {
-      case _: java.nio.file.DirectoryNotEmptyException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
+  /** Hold `out`'s writer lock (an O_EXCL-created pid file) around `body`.
+    * A lock whose owning pid is dead is broken and re-contended, so a
+    * crashed build never wedges the layout. Pid-reuse can mis-read a
+    * dead owner as alive for one reap cycle — acceptable for scratch
+    * coordination (the lock is retried, never abandoned). */
+  private def withLayoutLock[T](out: String)(body: => T): T = {
+    val lock = java.nio.file.Paths.get(out + ".lock")
+    java.nio.file.Files.createDirectories(lock.getParent)
+    val me = java.lang.ProcessHandle.current().pid().toString
+    var held = false
+    while (!held) {
+      try {
+        java.nio.file.Files.write(lock, me.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        held = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val ownerAlive = try {
+            new String(java.nio.file.Files.readAllBytes(lock),
+              java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+              .exists { p =>
+                val h = java.lang.ProcessHandle.of(p)
+                h.isPresent && h.get().isAlive
+              }
+          } catch { case _: java.io.IOException => true } // racing: retry
+          if (ownerAlive) Thread.sleep(100)
+          else java.nio.file.Files.deleteIfExists(lock) // break a dead lock
+      }
     }
+    try body finally java.nio.file.Files.deleteIfExists(lock)
+  }
 
   /** events + derived partition columns (`Hidden:133-135` identity
     * transforms; values from data, not wall clock). */
@@ -889,8 +902,13 @@ object IngestOps {
     import spark.implicits._
     val root = statsLayout(spark, dir)
     val (files, _) = statsQualifyingFiles(spark, root, 180.0, 220.0)
-    spark.read.option("basePath", s"$root/data").parquet(files: _*)
-      .filter($"value".between(180.0, 220.0))
+    // zero qualifying files is a valid plan (empty answer), not an error —
+    // parquet with an empty path list can't infer a schema, so fall back
+    // to a scan the optimizer folds to nothing
+    val src = if (files.nonEmpty)
+      spark.read.option("basePath", s"$root/data").parquet(files: _*)
+    else spark.read.parquet(s"$root/data").filter(lit(false))
+    src.filter($"value".between(180.0, 220.0))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"),
         dsum($"value").as("sum_value"))

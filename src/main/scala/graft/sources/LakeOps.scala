@@ -200,8 +200,12 @@ object LakeOps {
       files: Iterable[String]): Boolean = {
     val dir = java.nio.file.Paths.get(root, "metadata")
     java.nio.file.Files.createDirectories(dir)
-    val attempt = dir.resolve(
-      s"snap-$n.txt.attempt-${java.lang.ProcessHandle.current().pid()}")
+    // attempt name unique per process AND thread AND call — two threads
+    // of one writer contending the same slot must not clobber each
+    // other's attempt content before the link resolves the race
+    val attempt = dir.resolve(s"snap-$n.txt.attempt-" +
+      s"${java.lang.ProcessHandle.current().pid()}-" +
+      s"${Thread.currentThread().getId}-${System.nanoTime()}")
     java.nio.file.Files.write(attempt, files.toSeq.sorted.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     try {
@@ -566,7 +570,7 @@ object LakeOps {
 
   private def fsExists(spark: SparkSession, root: String,
       rel: String): Boolean =
-    hfs(spark, root).exists(new org.apache.hadoop.fs.Path(root, rel))
+    IngestOps.fsExists(spark, s"$root/$rel")
 
   /** `branch_read` — read a table BY REF NAME: `main` (a branch at
     * snapshot 3), `audit` (a branch carrying a staged snapshot 4 main

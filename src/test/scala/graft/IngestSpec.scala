@@ -166,25 +166,23 @@ class IngestSpec extends SparkSpecBase {
     assert(hits.nonEmpty && hits.size <= 3,
       s"stats pruning ineffective: ${hits.size} of $total files qualify")
     assert(total == 16, s"expected 16 clustered files, got $total")
-    // the query's scan reads exactly the qualifying files...
+    // the query's OWN executed scan reads exactly the qualifying files
+    // and never a stats-excluded one — taken from the plan's file index,
+    // not from a re-read of the planned list (which would be circular)
     val q = graft.sources.IngestOps.manifestPruneScan(spark, sf)
     q.collect()
-    val scanned = fileScans(q.queryExecution.executedPlan)
-      .head.metrics("numFiles").value
-    assert(scanned == hits.size, s"scanned=$scanned, planned=${hits.size}")
-    // ...and a stats-excluded file never appears in input_file_name
+    val scan = fileScans(q.queryExecution.executedPlan).head
+    assert(scan.metrics("numFiles").value == hits.size,
+      s"scanned=${scan.metrics("numFiles").value}, planned=${hits.size}")
+    val scanRels = scan.relation.location.inputFiles
+      .map(f => f.substring(f.lastIndexOf("/data/") + 6)).toSet
     val excluded = graft.sources.IngestOps
       .readStatsManifest(spark, root, "files.stats.txt")
       .filter(s => s.maxValue < 180.0 || s.minValue > 220.0)
       .map(_.rel).toSet
-    assert(excluded.nonEmpty)
-    val opened = spark.read.option("basePath", s"$root/data")
-      .parquet(hits: _*)
-      .select(input_file_name().as("f")).distinct()
-      .collect().map(_.getString(0))
-      .map(f => f.substring(f.lastIndexOf("/data/") + 6)).toSet
-    assert(opened.intersect(excluded).isEmpty,
-      s"stats-excluded files were opened: ${opened.intersect(excluded)}")
+    assert(excluded.nonEmpty && scanRels.nonEmpty)
+    assert(scanRels.intersect(excluded).isEmpty,
+      s"query scan lists excluded files: ${scanRels.intersect(excluded)}")
     // stats are sound: survivors' bounds genuinely overlap the predicate,
     // and re-running the same aggregate over ALL files gives the same rows
     val full = spark.read.parquet(s"$root/data")
