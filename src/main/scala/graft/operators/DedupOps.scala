@@ -266,7 +266,54 @@ object DedupOps {
       .orderBy($"source")
   }
 
+  /** `dedup_substring` — EXACT-SUBSTRING duplication audit (the Lee et
+    * al. '22 "Deduplicating Training Data" shape, suffix-array dedup
+    * re-expressed relationally): a duplicate span is a run of K=8
+    * consecutive whitespace tokens appearing verbatim in ≥ 2 distinct
+    * documents — the cross-document boilerplate (licenses, headers,
+    * templated sentences) that exact- and near-dedup both miss because
+    * the CONTAINING docs differ. Per language: total docs, docs carrying
+    * at least one shared span, and distinct shared spans.
+    *
+    * Scale shape: one explode to (doc, span) — rows ∝ total corpus
+    * tokens, the same cost the suffix-array build pays — then a
+    * shuffle-on-span count to find spans with ≥ 2 distinct docs, and a
+    * semi-join back. No pairwise comparison anywhere, so hot spans
+    * (million-doc boilerplate) cost their row count, never a quadratic
+    * pair list. At 100 TB the span column rides the shuffle as a 64-bit
+    * hash (xxhash64(span)) instead of the string; here it stays a string
+    * so DuckDB reproduces the values bit-for-bit. */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 8
+    val docs = Tables.documents(spark, dir)
+    val toks = filter(split($"text", " "), t => t =!= "")
+    // all K-token spans of a doc, distinct per doc (a doc repeating its
+    // own boilerplate is not cross-doc duplication)
+    val spans = docs.select($"doc_id", $"lang",
+        explode(when(size(toks) >= k,
+            transform(sequence(lit(1), size(toks) - (k - 1)),
+              i => array_join(slice(toks, i, lit(k)), " ")))
+          .otherwise(array().cast("array<string>"))).as("span"))
+      .distinct()
+    val dup = spans.groupBy($"span")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"span")
+    val perLang = spans.join(dup, "span")
+      .groupBy($"lang")
+      .agg(countDistinct($"doc_id").as("n_dup_docs"),
+        countDistinct($"span").as("n_dup_spans"))
+    docs.groupBy($"lang").agg(countDistinct($"doc_id").as("n_docs"))
+      .join(perLang, Seq("lang"), "left")
+      .select($"lang", $"n_docs",
+        coalesce($"n_dup_docs", lit(0L)).as("n_dup_docs"),
+        coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_url" -> (dedupUrl _),
     "dedup_exact" -> (dedupExact _),
     "dedup_near" -> (dedupNear _),
@@ -278,6 +325,31 @@ object DedupOps {
     "greatest(len(text) - 1, 2)), i -> substr(text, i::INT, 3)))"
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |spans AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    array_to_string(t[i:i+7], ' ') AS span
+        |  FROM (SELECT doc_id, lang, t,
+        |          unnest(range(1, len(t) - 6)) AS i
+        |        FROM toks WHERE len(t) >= 8)),
+        |dup AS (
+        |  SELECT span FROM spans
+        |  GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+        |per AS (
+        |  SELECT lang, COUNT(DISTINCT doc_id) AS n_dup_docs,
+        |    COUNT(DISTINCT span) AS n_dup_spans
+        |  FROM spans JOIN dup USING (span) GROUP BY lang)
+        |SELECT d.lang, COUNT(DISTINCT d.doc_id) AS n_docs,
+        |  COALESCE(ANY_VALUE(p.n_dup_docs), CAST(0 AS BIGINT))
+        |    AS n_dup_docs,
+        |  COALESCE(ANY_VALUE(p.n_dup_spans), CAST(0 AS BIGINT))
+        |    AS n_dup_spans
+        |FROM documents d LEFT JOIN per p USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "dedup_url" ->
       """WITH u AS (
         |  SELECT source, unnest([

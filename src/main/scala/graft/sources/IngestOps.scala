@@ -527,14 +527,19 @@ object IngestOps {
 
   /** Relative (to `data/`) paths of all parquet data files under `data`. */
   private[graft] def listDataFiles(spark: SparkSession,
-      data: String): Set[String] = {
+      data: String): Set[String] = listDataFiles(spark, data, Set(".parquet"))
+
+  /** Like [[listDataFiles]] but matching any of `exts` — a snapshot
+    * table's data files need not all be one format. */
+  private[graft] def listDataFiles(spark: SparkSession, data: String,
+      exts: Set[String]): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(data)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)
     val b = Set.newBuilder[String]
     while (it.hasNext) {
       val f = it.next().getPath.toString
-      if (f.endsWith(".parquet"))
+      if (exts.exists(f.endsWith))
         b += f.substring(f.lastIndexOf("/data/") + 6)
     }
     b.result()
@@ -631,6 +636,57 @@ object IngestOps {
     spark.read.option("basePath", s"$root/data").parquet(files: _*)
       .groupBy($"day".cast("long").as("day"))
       .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"day")
+  }
+
+  /** `snapshot_mixed_format` — a versioned table whose snapshots carry
+    * DIFFERENT file formats: snapshot 1 commits parquet files, snapshot 2
+    * commits ORC into the same table — Iceberg's per-DataFile
+    * `file_format` field (every manifest entry names its own format), the
+    * migration path a real lake walks when a table changes formats
+    * without rewriting history. The manifests stay format-agnostic (rel
+    * paths; format read off the extension, as Iceberg reads it off the
+    * DataFile), and the live read plans each era through its native
+    * vectorized reader and unions — era 1's files are never rewritten
+    * (IngestSpec asserts), so the migration costs zero bytes of history.
+    * At 100 TB this is how a decade-old table adopts a new format:
+    * per-snapshot, incrementally, invisible to readers. */
+  def snapshotMixedFormat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("events_mixed_format")
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(outPath, true)
+    val data = s"$out/data"
+    val ev = eventsWithParts(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+    // snapshot 1: the parquet era
+    ev.filter($"day".between(1, 5)).repartition($"day")
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .partitionBy("day").parquet(data)
+    val exts = Set(".parquet", ".orc")
+    val snap1 = listDataFiles(spark, data, exts)
+    writeMetaLines(spark, out, "metadata/snap-1.txt", snap1)
+    // snapshot 2: the ORC era — appended, era 1 untouched
+    ev.filter($"day".between(6, 10)).repartition($"day")
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .partitionBy("day").orc(data)
+    writeMetaLines(spark, out, "metadata/snap-2.txt",
+      listDataFiles(spark, data, exts) -- snap1)
+    // live read: manifest-driven, each era through its native reader
+    val rels = (1 to 2).flatMap(n => snapshotManifest(spark, out, n))
+    def era(ext: String, rd: Seq[String] => DataFrame) = {
+      val fs = rels.filter(_.endsWith(ext)).map(r => s"$data/$r")
+      require(fs.nonEmpty, s"mixed-format table lost its $ext era")
+      rd(fs)
+    }
+    era(".parquet", fs => spark.read.option("basePath", data)
+        .parquet(fs: _*))
+      .unionByName(era(".orc", fs => spark.read.option("basePath", data)
+        .orc(fs: _*)))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"),
+        dsum($"value").as("sum_value"))
       .orderBy($"day")
   }
 
@@ -933,10 +989,46 @@ object IngestOps {
       .orderBy($"snapshot_id")
   }
 
+  /** `meta_snapshots` — the SNAPSHOTS metadata table served by the DSv2
+    * connector ([[GraftMetaSource]]): one row per commit with its
+    * file/row deltas and commit-log timestamp — Iceberg's `snapshots`
+    * table, the list `aig/TimeBasedPartitioningExamples.java:198-230`
+    * walks. `snapshot_id <= 2` is PUSHED into the connector, so
+    * snapshot 3 never becomes an input partition (MetaSourceSpec
+    * asserts). Metadata-only: no data file is opened to answer it. */
+  def metaSnapshots(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = snapshotLayout(spark, dir)
+    spark.read.format("graft.sources.GraftMetaSource")
+      .option("root", root).option("table", "snapshots").load()
+      .filter($"snapshot_id" <= 2)
+      .select($"snapshot_id".cast("long").as("snapshot_id"),
+        $"committed_ms", $"n_files_added", $"n_files_removed",
+        $"n_rows_added")
+      .orderBy($"snapshot_id")
+  }
+
+  /** `meta_partitions` — the PARTITIONS metadata table: one row per
+    * LIVE partition with file/row totals (adds minus removes — the view
+    * a planner prices partitions from without scanning them). The `day`
+    * range predicate is PUSHED, so out-of-range partitions never become
+    * input partitions. */
+  def metaPartitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = snapshotLayout(spark, dir)
+    spark.read.format("graft.sources.GraftMetaSource")
+      .option("root", root).option("table", "partitions").load()
+      .filter($"day".between(4, 12))
+      .select($"day".cast("long").as("day"), $"n_files", $"n_rows")
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "manifest_stats" -> (manifestStats _),
     "manifest_prune_scan" -> (manifestPruneScan _),
     "meta_files" -> (metaFiles _),
+    "meta_snapshots" -> (metaSnapshots _),
+    "meta_partitions" -> (metaPartitions _),
     "zorder_cluster_write" -> (zorderClusterWrite _),
     "scan_json" -> (scanJson _),
     "scan_csv" -> (scanCsv _),
@@ -946,6 +1038,7 @@ object IngestOps {
     "snapshot_log" -> (snapshotLog _),
     "snapshot_read_asof" -> (snapshotReadAsof _),
     "snapshot_read_attime" -> (snapshotReadAttime _),
+    "snapshot_mixed_format" -> (snapshotMixedFormat _),
     "alter_add_cols" -> (alterAddCols _),
     "alter_nested_evolve" -> (alterNestedEvolve _),
     "alter_rename_col" -> (alterRenameCol _),
@@ -1018,6 +1111,21 @@ object IngestOps {
         |FROM (SELECT day(ts) AS d FROM events)
         |WHERE d BETWEEN 1 AND 10
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "meta_snapshots" ->
+      """SELECT CAST(s AS BIGINT) AS snapshot_id,
+        |  CAST(1705276800000 + s * 1000 AS BIGINT) AS committed_ms,
+        |  CAST(COUNT(DISTINCT d) AS BIGINT) AS n_files_added,
+        |  CAST(0 AS BIGINT) AS n_files_removed,
+        |  COUNT(*) AS n_rows_added
+        |FROM (SELECT day(ts) AS d,
+        |        CASE WHEN day(ts) <= 5 THEN 1 ELSE 2 END AS s
+        |      FROM events WHERE day(ts) BETWEEN 1 AND 10)
+        |GROUP BY s ORDER BY s""".stripMargin,
+    "meta_partitions" ->
+      """SELECT CAST(day(ts) AS BIGINT) AS day,
+        |  CAST(1 AS BIGINT) AS n_files, COUNT(*) AS n_rows
+        |FROM events WHERE day(ts) BETWEEN 4 AND 12
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "snapshot_log" ->
       """WITH b AS (
         |  SELECT CASE WHEN day(ts) <= 5 THEN 1
@@ -1039,6 +1147,12 @@ object IngestOps {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "snapshot_read_attime" ->
       s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events WHERE day(ts) BETWEEN 1 AND 10
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "snapshot_mixed_format" ->
+      s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+         |  COUNT(DISTINCT user_id) AS n_users,
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
          |FROM events WHERE day(ts) BETWEEN 1 AND 10
          |GROUP BY 1 ORDER BY 1""".stripMargin,

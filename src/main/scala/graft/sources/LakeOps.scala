@@ -187,6 +187,55 @@ object LakeOps {
       .orderBy($"day")
   }
 
+  /** `compact_mor` — delete-file compaction, the maintenance op that
+    * closes the merge-on-read lifecycle opened by [[deleteMor]]: fold the
+    * equality delete file back into the data files and drop it (Iceberg's
+    * rewrite_data_files + rewrite_position_delete_files pairing). The
+    * rewrite set is planned from the deletes themselves: a broadcast
+    * semi-join of doomed keys against the table yields the DISTINCT
+    * partitions that actually hold doomed rows (metadata cardinality —
+    * the same plan Iceberg derives from delete-file partition scoping),
+    * so a delete confined to 5 of 10 000 partitions rewrites 0.05 % of
+    * the table. Only those partitions are rewritten with the anti-join
+    * applied; every other data file keeps its bytes (LakeSpec asserts),
+    * and the delete file is removed. After compaction the same query is
+    * answered by a PLAIN scan — no per-read anti-join — which is the
+    * point of the op: pay the rewrite once, stop paying the merge on
+    * every subsequent read. */
+  def compactMor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = IngestOps.tmp("events_mor_compact")
+    val del = IngestOps.tmp("events_mor_compact_deletes")
+    writeBase(spark, dir, out)
+    val base = spark.read.parquet(out)
+    // the MoR delete commit ([[deleteMor]]'s shape): doomed KEYS only
+    base.filter($"event_type" === "purchase" && $"day".between(5, 9))
+      .select($"event_id")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(del)
+    val deletes = spark.read.parquet(del)
+    // compaction planning: partitions holding doomed rows — metadata
+    // cardinality, never row data
+    val days = base.join(broadcast(deletes), Seq("event_id"), "left_semi")
+      .select($"day").distinct().collect().map(_.getInt(0)).sorted
+    // fold the deletes into ONLY those partitions' data files
+    val survivors = base.filter($"day".isin(days.map(Int.box): _*))
+      .join(broadcast(deletes), Seq("event_id"), "left_anti")
+    rewritePartitions(spark, survivors, out)
+    // the delete file is now redundant — remove it; the table is pure
+    // data files again
+    org.apache.spark.network.util.JavaUtils
+      .deleteRecursively(new java.io.File(del))
+    // post-compaction read: a plain scan, no merge at read time
+    spark.read.parquet(out)
+      .filter($"day".between(1, 12))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        count(when($"event_type" === "purchase", 1)).as("n_purchases"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
   /** One optimistic-concurrency commit attempt: CAS the manifest slot
     * for snapshot `n`. The manifest is written COMPLETE to a private
     * attempt file first, then the slot is claimed with an atomic hard
@@ -654,6 +703,7 @@ object LakeOps {
     "delete_where" -> (deleteWhere _),
     "delete_mor" -> (deleteMor _),
     "delete_mor_pos" -> (deleteMorPos _),
+    "compact_mor" -> (compactMor _),
     "commit_conflict_retry" -> (commitConflictRetry _),
     "update_where" -> (updateWhere _),
     "expire_snapshots" -> (expireSnapshots _),
@@ -716,6 +766,15 @@ object LakeOps {
          |FROM events
          |WHERE day(ts) BETWEEN 1 AND 10
          |  AND NOT (event_type = 'view' AND day(ts) BETWEEN 4 AND 6)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "compact_mor" ->
+      s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+         |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+         |    AS n_purchases,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events
+         |WHERE day(ts) BETWEEN 1 AND 12
+         |  AND NOT (event_type = 'purchase' AND day(ts) BETWEEN 5 AND 9)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "commit_conflict_retry" ->
       s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,

@@ -17,39 +17,52 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** DataSource V2 connector exposing the snapshot table's FILES metadata —
-  * the Iceberg metadata-table surface (`table.files()` / the per-file
-  * walk in `aig/PartitionValueDebugger.java:164-196`) as a first-class
-  * Spark source:
+/** DataSource V2 connector exposing the snapshot table's metadata as
+  * first-class Spark sources — the Iceberg metadata-table surface
+  * (`table.files()` / the per-file walk in
+  * `aig/PartitionValueDebugger.java:164-196`, the snapshot list of
+  * `aig/TimeBasedPartitioningExamples.java:198-230`):
   *
   * {{{
   *   spark.read.format("graft.sources.GraftMetaSource")
-  *     .option("root", tableRoot).load()
+  *     .option("root", tableRoot)
+  *     .option("table", "files" | "snapshots" | "partitions").load()
   * }}}
   *
-  * One row per data file per committing snapshot, columns
-  * (snapshot_id, day, rel_path, size_bytes). The rows come from the
-  * manifests + a driver-side listing — metadata scale, like the system
-  * it mirrors — but the CONNECTOR mechanics are the real thing:
+  *  - `files` (default): one row per data file per committing snapshot —
+  *    (snapshot_id, day, rel_path, size_bytes, n_rows, min/max_value).
+  *  - `snapshots`: one row per commit — file/byte/row deltas plus the
+  *    commit-log timestamp (Iceberg's `snapshots` table).
+  *  - `partitions`: one row per live partition — file/byte/row totals of
+  *    the CURRENT view, adds minus removes (Iceberg's `partitions`
+  *    table); a logically-replaced file is excluded even though its
+  *    bytes still exist for time travel.
   *
-  *  - `SupportsPushDownFilters`: comparisons on `snapshot_id` / `day`
-  *    are consumed at PLANNING time — a pruned manifest never becomes an
-  *    InputPartition (time travel and partition pruning priced as
-  *    metadata; MetaSourceSpec asserts via the partition count).
+  * The rows come from the manifests + a driver-side listing — metadata
+  * scale, like the system it mirrors — but the CONNECTOR mechanics are
+  * the real thing:
+  *
+  *  - `SupportsPushDownFilters`: comparisons on each table's prune
+  *    column (`snapshot_id` / `day`) are consumed at PLANNING time — a
+  *    pruned manifest never becomes an InputPartition (time travel and
+  *    partition pruning priced as metadata; MetaSourceSpec asserts via
+  *    the partition count).
   *  - `SupportsPushDownRequiredColumns`: the reader materializes only
   *    the projected fields.
   *
   * At 100 TB the FILES table of a real lake is itself big data (millions
   * of files); this same connector shape then plans one InputPartition
   * per manifest and the executors parse manifests in parallel — the
-  * driver never holds the file list.
+  * driver never holds the file list. The `snapshots`/`partitions` rows
+  * stay metadata-small at any scale (one per commit / per partition).
   */
 class GraftMetaSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftMetaSource.FILES_SCHEMA
+    GraftMetaSource.schemaFor(options.getOrDefault("table", "files"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GraftMetaTable(properties.get("root"))
+    new GraftMetaTable(properties.get("root"),
+      Option(properties.get("table")).getOrElse("files"))
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -70,22 +83,53 @@ object GraftMetaSource {
     StructField("min_value", DoubleType, nullable = true),
     StructField("max_value", DoubleType, nullable = true)))
 
+  /** One row per commit — Iceberg's `snapshots` metadata table. The
+    * commit timestamp is NULLABLE: a table without a commit log (one
+    * built before `commits.txt` existed) must stay readable. */
+  val SNAPSHOTS_SCHEMA: StructType = StructType(Seq(
+    StructField("snapshot_id", IntegerType, nullable = false),
+    StructField("committed_ms", LongType, nullable = true),
+    StructField("n_files_added", LongType, nullable = false),
+    StructField("n_files_removed", LongType, nullable = false),
+    StructField("bytes_added", LongType, nullable = false),
+    StructField("n_rows_added", LongType, nullable = true)))
+
+  /** One row per LIVE partition — Iceberg's `partitions` metadata
+    * table: totals of the current view (adds minus removes). */
+  val PARTITIONS_SCHEMA: StructType = StructType(Seq(
+    StructField("day", IntegerType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = true)))
+
+  private[sources] def schemaFor(table: String): StructType = table match {
+    case "files" => FILES_SCHEMA
+    case "snapshots" => SNAPSHOTS_SCHEMA
+    case "partitions" => PARTITIONS_SCHEMA
+    case other => throw new IllegalArgumentException(
+      s"graft.sources.GraftMetaSource: unknown table '$other' " +
+        "(expected files | snapshots | partitions)")
+  }
+
   private[sources] case class MetaEntry(snap: Int, day: Int, rel: String,
       size: Long, stats: Option[IngestOps.FileStats])
 
-  /** Planning-time evaluation of a filter against one manifest entry's
-    * (snapshot_id, day). None = a shape this source cannot evaluate —
+  private[sources] case class SnapshotRow(snap: Int,
+      committedMs: Option[Long], nAdded: Long, nRemoved: Long,
+      bytesAdded: Long, rowsAdded: Option[Long])
+
+  private[sources] case class PartitionRow(day: Int, nFiles: Long,
+      totalBytes: Long, nRows: Option[Long])
+
+  /** Planning-time evaluation of a filter against one row's prune
+    * columns, supplied by `v` (attr → value; None = not a prune column
+    * of this table). None result = a shape this source cannot evaluate —
     * such filters are never pushed (they stay in the residual set Spark
     * re-applies). ONE function backs both the push decision and the
     * prune, so the two can never drift apart and silently drop a pushed
     * filter. */
-  private[sources] def evalFilter(f: Filter, snap: Int,
-      day: Int): Option[Boolean] = {
-    def v(attr: String): Option[Int] = attr match {
-      case "snapshot_id" => Some(snap)
-      case "day" => Some(day)
-      case _ => None
-    }
+  private[sources] def evalFilterOn(f: Filter,
+      v: String => Option[Int]): Option[Boolean] = {
     f match {
       case EqualTo(a, lit: Integer) => v(a).map(_ == lit.intValue())
       case GreaterThan(a, lit: Integer) => v(a).map(_ > lit.intValue())
@@ -96,6 +140,30 @@ object GraftMetaSource {
       case _ => None
     }
   }
+
+  /** Prune-column lookup per metadata table: which attributes planning
+    * can evaluate against a candidate row. */
+  private[sources] def lookupFor(table: String, snap: Int,
+      day: Int): String => Option[Int] = table match {
+    case "files" => {
+      case "snapshot_id" => Some(snap)
+      case "day" => Some(day)
+      case _ => None
+    }
+    case "snapshots" => {
+      case "snapshot_id" => Some(snap)
+      case _ => None
+    }
+    case "partitions" => {
+      case "day" => Some(day)
+      case _ => None
+    }
+  }
+
+  /** Files-table planning eval (see [[evalFilterOn]]). */
+  private[sources] def evalFilter(f: Filter, snap: Int,
+      day: Int): Option[Boolean] =
+    evalFilterOn(f, lookupFor("files", snap, day))
 
   /** One [[MetaEntry]] per manifest line, stats joined from the
     * commit's stats sidecar (absent sidecar → NULL stats, so a
@@ -130,30 +198,77 @@ object GraftMetaSource {
       }
     }.toSeq
   }
+
+  /** Per-snapshot logically-removed file sets (`snap-<n>.removed.txt`). */
+  private[sources] def listRemoved(root: String): Map[Int, Set[String]] = {
+    val spark = SparkSession.active
+    val metaDir = new org.apache.hadoop.fs.Path(root, "metadata")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val name = "snap-(\\d+)\\.removed\\.txt".r
+    fs.listStatus(metaDir).map(_.getPath.getName)
+      .collect { case name(n) => n.toInt ->
+        IngestOps.readMetaLines(spark, root,
+          s"metadata/snap-$n.removed.txt").toSet }
+      .toMap
+  }
+
+  /** One [[SnapshotRow]] per commit: add/remove deltas from the
+    * manifests, row deltas from the stats sidecars (None when ANY added
+    * file lacks stats — a partial sum would read as a real total),
+    * timestamps from the commit log. A pure-delete commit (removes, no
+    * adds) still gets its row. */
+  private[sources] def snapshotRows(root: String): Seq[SnapshotRow] = {
+    val bySnap = listEntries(root).groupBy(_.snap)
+    val removed = listRemoved(root)
+    val commits = IngestOps.commitLog(SparkSession.active, root).toMap
+    (bySnap.keySet ++ removed.keySet).toSeq.sorted.map { n =>
+      val es = bySnap.getOrElse(n, Seq.empty)
+      val rows = if (es.nonEmpty && es.forall(_.stats.isDefined))
+        Some(es.map(_.stats.get.nRows).sum) else None
+      SnapshotRow(n, commits.get(n), es.size.toLong,
+        removed.getOrElse(n, Set.empty).size.toLong,
+        es.map(_.size).sum, rows)
+    }
+  }
+
+  /** One [[PartitionRow]] per LIVE partition: every added file not
+    * logically replaced by a later remove, grouped by partition value.
+    * Row totals are None when any live file lacks stats. */
+  private[sources] def partitionRows(root: String): Seq[PartitionRow] = {
+    val dead = listRemoved(root).values.flatten.toSet
+    listEntries(root).filterNot(e => dead(e.rel))
+      .groupBy(_.day).toSeq.sortBy(_._1).map { case (day, es) =>
+        val rows = if (es.forall(_.stats.isDefined))
+          Some(es.map(_.stats.get.nRows).sum) else None
+        PartitionRow(day, es.size.toLong, es.map(_.size).sum, rows)
+      }
+  }
 }
 
-private[sources] class GraftMetaTable(root: String)
+private[sources] class GraftMetaTable(root: String, table: String)
     extends Table with SupportsRead {
   require(root != null, "graft.sources.GraftMetaSource needs .option(\"root\", tableRoot)")
-  override def name(): String = s"graft_meta_files($root)"
-  override def schema(): StructType = GraftMetaSource.FILES_SCHEMA
+  override def name(): String = s"graft_meta_$table($root)"
+  override def schema(): StructType = GraftMetaSource.schemaFor(table)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new GraftMetaScanBuilder(root)
+      : ScanBuilder = new GraftMetaScanBuilder(root, table)
 }
 
-private[sources] class GraftMetaScanBuilder(root: String)
+private[sources] class GraftMetaScanBuilder(root: String, table: String)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private var required: StructType = GraftMetaSource.FILES_SCHEMA
+  private var required: StructType = GraftMetaSource.schemaFor(table)
   private var pushed: Array[Filter] = Array.empty
 
-  /** Planning-time evaluable comparisons on the two prune columns —
-    * exactly the filters [[GraftMetaSource.evalFilter]] can evaluate. */
+  /** Planning-time evaluable comparisons on this table's prune columns —
+    * exactly the filters [[GraftMetaSource.evalFilterOn]] can evaluate
+    * with this table's lookup, so push and prune can never drift. */
   private def prunable(f: Filter): Boolean =
-    GraftMetaSource.evalFilter(f, 0, 0).isDefined
+    GraftMetaSource.evalFilterOn(f,
+      GraftMetaSource.lookupFor(table, 0, 0)).isDefined
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(prunable)
@@ -164,34 +279,47 @@ private[sources] class GraftMetaScanBuilder(root: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftMetaScan(root, required, pushed)
+  override def build(): Scan =
+    new GraftMetaScan(root, table, required, pushed)
 }
 
-private[sources] class GraftMetaScan(root: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+private[sources] class GraftMetaScan(root: String, table: String,
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_meta_files PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+    s"graft_meta_$table PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${required.catalogString}"
 
   private def keep(snap: Int, day: Int)(f: Filter): Boolean =
-    GraftMetaSource.evalFilter(f, snap, day).getOrElse(
+    GraftMetaSource.evalFilterOn(f,
+      GraftMetaSource.lookupFor(table, snap, day)).getOrElse(
       // a filter this scan holds was accepted by pushFilters, so Spark
       // dropped it from the residual set — failing to evaluate it here
       // would return wrong rows; fail loudly instead
       throw new IllegalStateException(
-        s"graft_meta_files holds pushed filter $f it cannot evaluate"))
+        s"graft_meta_$table holds pushed filter $f it cannot evaluate"))
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val survivors = GraftMetaSource.listEntries(root)
-      .filter(e => pushed.forall(keep(e.snap, e.day)))
-    // one partition per surviving snapshot: pushdown on snapshot_id is
-    // visible as a smaller partition count (asserted in the spec)
-    survivors.groupBy(_.snap).toSeq.sortBy(_._1).map { case (_, es) =>
-      GraftMetaPartition(es.toArray): InputPartition
-    }.toArray
+  override def planInputPartitions(): Array[InputPartition] = table match {
+    case "files" =>
+      val survivors = GraftMetaSource.listEntries(root)
+        .filter(e => pushed.forall(keep(e.snap, e.day)))
+      // one partition per surviving snapshot: pushdown on snapshot_id is
+      // visible as a smaller partition count (asserted in the spec)
+      survivors.groupBy(_.snap).toSeq.sortBy(_._1).map { case (_, es) =>
+        GraftMetaPartition(es.toArray): InputPartition
+      }.toArray
+    case "snapshots" =>
+      // one partition per surviving commit — pushdown on snapshot_id
+      // visible as a smaller partition count, like the files table
+      GraftMetaSource.snapshotRows(root)
+        .filter(r => pushed.forall(keep(r.snap, -1)))
+        .map(r => GraftSnapshotPartition(r): InputPartition).toArray
+    case "partitions" =>
+      GraftMetaSource.partitionRows(root)
+        .filter(r => pushed.forall(keep(-1, r.day)))
+        .map(r => GraftPartitionPartition(r): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -200,17 +328,18 @@ private[sources] class GraftMetaScan(root: String, required: StructType,
 
 private[sources] case class GraftMetaPartition(
     entries: Array[GraftMetaSource.MetaEntry]) extends InputPartition
+private[sources] case class GraftSnapshotPartition(
+    row: GraftMetaSource.SnapshotRow) extends InputPartition
+private[sources] case class GraftPartitionPartition(
+    row: GraftMetaSource.PartitionRow) extends InputPartition
 
 private[sources] class GraftMetaReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition)
-      : PartitionReader[InternalRow] = {
-    val entries = partition.asInstanceOf[GraftMetaPartition].entries
-    new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < entries.length }
-      override def get(): InternalRow = {
-        val e = entries(i)
+
+  /** Iterator of projected rows for one input partition, by table. */
+  private def rows(partition: InputPartition): Iterator[InternalRow] =
+    partition match {
+      case GraftMetaPartition(entries) => entries.iterator.map { e =>
         new GenericInternalRow(fields.map {
           case "snapshot_id" => e.snap
           case "day" => e.day
@@ -221,6 +350,31 @@ private[sources] class GraftMetaReaderFactory(fields: Array[String])
           case "max_value" => e.stats.map(s => Double.box(s.maxValue)).orNull
         }.toArray[Any])
       }
+      case GraftSnapshotPartition(r) => Iterator.single(
+        new GenericInternalRow(fields.map {
+          case "snapshot_id" => r.snap
+          case "committed_ms" => r.committedMs.map(Long.box).orNull
+          case "n_files_added" => r.nAdded
+          case "n_files_removed" => r.nRemoved
+          case "bytes_added" => r.bytesAdded
+          case "n_rows_added" => r.rowsAdded.map(Long.box).orNull
+        }.toArray[Any]))
+      case GraftPartitionPartition(r) => Iterator.single(
+        new GenericInternalRow(fields.map {
+          case "day" => r.day
+          case "n_files" => r.nFiles
+          case "total_bytes" => r.totalBytes
+          case "n_rows" => r.nRows.map(Long.box).orNull
+        }.toArray[Any]))
+    }
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val it = rows(partition)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
   }

@@ -122,6 +122,36 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_substring equals an independent driver-side " +
+      "recomputation of shared 8-token spans") {
+    val got = DedupOps.dedupSubstring(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // brute force over the collected corpus (sf0.001 is small)
+    val docs = sources.Tables.documents(spark, sf)
+      .selectExpr("cast(doc_id as long) doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val spans: Seq[(Long, String, String)] = docs.toSeq.flatMap {
+      case (id, lang, text) =>
+        val t = text.split(" ").filter(_.nonEmpty)
+        if (t.length < 8) Seq.empty
+        else t.sliding(8).map(w => (id, lang, w.mkString(" ")))
+          .toSeq.distinct
+    }
+    val dup = spans.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
+      .keySet
+    val perLang = spans.filter(s => dup(s._3)).groupBy(_._2)
+    val exp = docs.map(_._2).distinct.sorted.map { lang =>
+      val hits = perLang.getOrElse(lang, Seq.empty)
+      (lang, docs.count(_._2 == lang).toLong,
+        hits.map(_._1).distinct.size.toLong,
+        hits.map(_._3).distinct.size.toLong)
+    }.toSeq
+    assert(got == exp)
+    // the op is non-trivial on this corpus: some shared spans exist
+    assert(got.exists(_._4 > 0))
+  }
+
   test("simhash: near-dups within hamming 3, distinct docs far apart") {
     val got = DedupOps.simhashPipeline(plantedDocs, maxHamming = 3)
       .collect()

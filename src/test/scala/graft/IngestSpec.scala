@@ -210,4 +210,30 @@ class IngestSpec extends SparkSpecBase {
       .count()
     assert(rows.map(_.getLong(2)).sum == direct)
   }
+
+  test("snapshot_mixed_format: era 1 is parquet, era 2 is ORC appended " +
+      "without touching era 1, and the union answers correctly") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.IngestOps.snapshotMixedFormat(spark, sf)
+      .collect()
+    val root = graft.sources.IngestOps.tmp("events_mixed_format")
+    val s1 = graft.sources.IngestOps.snapshotManifest(spark, root, 1)
+    val s2 = graft.sources.IngestOps.snapshotManifest(spark, root, 2)
+    assert(s1.nonEmpty && s1.forall(_.endsWith(".parquet")))
+    assert(s2.nonEmpty && s2.forall(_.endsWith(".orc")))
+    // the format split follows the day split exactly
+    assert(s1.forall(r => "day=(\\d+)/".r.findFirstMatchIn(r)
+      .get.group(1).toInt <= 5))
+    assert(s2.forall(r => "day=(\\d+)/".r.findFirstMatchIn(r)
+      .get.group(1).toInt >= 6))
+    // the union equals a single-format recomputation from the source
+    val direct = graft.sources.IngestOps.eventsWithParts(spark, sf)
+      .filter(col("day").between(1, 10))
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        graft.operators.dsum(col("value")).as("sum_value"))
+      .orderBy(col("day")).collect()
+    assert(rows.toSeq == direct.toSeq)
+  }
 }

@@ -290,6 +290,43 @@ class LakeSpec extends SparkSpecBase {
     assert(rows.toSeq == direct.toSeq)
   }
 
+  test("compact_mor folds the delete file into ONLY the affected " +
+      "partitions, removes it, and the plain scan equals the MoR answer") {
+    import spark.implicits._
+    val rows = sources.LakeOps.compactMor(spark, sf).collect()
+    val root = graft.sources.IngestOps.tmp("events_mor_compact")
+    val del = graft.sources.IngestOps.tmp("events_mor_compact_deletes")
+    // the delete file is gone: the table is pure data files again
+    assert(!new java.io.File(del).exists,
+      "delete file survived compaction")
+    // copy-on-write compaction: only partitions holding doomed rows were
+    // rewritten; every other file predates the rewrite
+    val mt = partMtimes(root)
+    val (touched, untouched) = mt.partition(kv => kv._1 >= 5 && kv._1 <= 9)
+    assert(touched.nonEmpty && untouched.nonEmpty)
+    assert(untouched.values.max < touched.values.min,
+      s"untouched partitions were rewritten: $mt")
+    // the deletes are folded in: no purchases survive days 5-9, and the
+    // compacted table still answers through a PLAIN scan (compactMor's
+    // final read has no join)
+    rows.foreach { r =>
+      val (day, nPurch) = (r.getLong(0), r.getLong(2))
+      if (day >= 5 && day <= 9)
+        assert(nPurch == 0, s"day=$day still has $nPurch purchases")
+      else assert(nPurch > 0, s"day=$day lost its purchases")
+    }
+    // row accounting: compacted table = source minus exactly the doomed
+    // rows, and not a single doomed row survives anywhere in it
+    val src = sources.IngestOps.eventsWithParts(spark, sf)
+    val doomed = src
+      .filter($"event_type" === "purchase" && $"day".between(5, 9)).count()
+    val table = spark.read.parquet(root)
+    assert(doomed > 0)
+    assert(table.count() == src.count() - doomed)
+    assert(table.filter($"event_type" === "purchase" &&
+      $"day".between(5, 9)).count() == 0)
+  }
+
   test("commit_conflict_retry: the losing writer's CAS fails on the " +
       "taken slot and its retry lands on the next snapshot") {
     val rows = sources.LakeOps.commitConflictRetry(spark, sf).collect()

@@ -58,6 +58,74 @@ class MetaSourceSpec extends SparkSpecBase {
       .count() == 0)
   }
 
+  private def metaDf(table: String, r: String = null) = spark.read
+    .format("graft.sources.GraftMetaSource")
+    .option("root", Option(r).getOrElse(root))
+    .option("table", table).load()
+
+  test("snapshots table: one row per commit, commit-log timestamps, " +
+      "deltas that sum to the files table, pushdown prunes partitions") {
+    import spark.implicits._
+    val rows = metaDf("snapshots").orderBy($"snapshot_id").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // commit-log timestamps are the layout's deterministic literals
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1705276800000L + r.getInt(0) * 1000L)
+      assert(r.getLong(3) == 0) // append-only layout: nothing removed
+    }
+    // per-commit row deltas sum to the whole table; files-added agree
+    // with the files metadata table
+    assert(rows.map(_.getLong(5)).sum ==
+      spark.read.parquet(s"$root/data").count())
+    assert(rows.map(_.getLong(2)).sum == filesDf.count())
+    // snapshot_id pushdown is visible at planning time
+    assert(metaDf("snapshots").rdd.getNumPartitions == 3)
+    assert(metaDf("snapshots").filter($"snapshot_id" <= 2)
+      .rdd.getNumPartitions == 2)
+  }
+
+  test("partitions table: one row per live partition with true totals, " +
+      "day pushdown prunes partitions") {
+    import spark.implicits._
+    val rows = metaDf("partitions").orderBy($"day").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 15))
+    assert(rows.forall(_.getLong(1) == 1)) // one file per day partition
+    // per-partition row totals match the data
+    val direct = spark.read.parquet(s"$root/data")
+      .groupBy($"day").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(3) == direct(r.getInt(0))))
+    assert(metaDf("partitions").filter($"day" === 3)
+      .rdd.getNumPartitions == 1)
+  }
+
+  test("partitions table is the LIVE view: a logically-removed file " +
+      "drops out; a pure-delete commit still gets its snapshots row") {
+    import spark.implicits._
+    val mini = graft.sources.IngestOps.tmp("meta_mini_table")
+    spark.range(10).select($"id", ($"id" % 2 + 1).cast("int").as("day"))
+      .repartition($"day")
+      .write.mode("overwrite").partitionBy("day").parquet(s"$mini/data")
+    val rels = graft.sources.IngestOps.listDataFiles(spark, s"$mini/data")
+    graft.sources.IngestOps.writeMetaLines(spark, mini,
+      "metadata/snap-1.txt", rels)
+    // snapshot 2: a PURE delete — logically remove day=1's file, add none
+    val doomed = rels.filter(_.startsWith("day=1/"))
+    assert(doomed.size == 1)
+    graft.sources.IngestOps.writeMetaLines(spark, mini,
+      "metadata/snap-2.removed.txt", doomed)
+    val parts = metaDf("partitions", mini).orderBy($"day").collect()
+    assert(parts.map(_.getInt(0)).toSeq == Seq(2),
+      s"removed partition still listed: ${parts.mkString(",")}")
+    val snaps = metaDf("snapshots", mini).orderBy($"snapshot_id").collect()
+    assert(snaps.map(_.getInt(0)).toSeq == Seq(1, 2))
+    val del = snaps.find(_.getInt(0) == 2).get
+    assert(del.getLong(2) == 0 && del.getLong(3) == 1)
+    assert(del.isNullAt(1), "no commit log => committed_ms must be NULL")
+    // no stats sidecar => row totals are UNKNOWN, not zero
+    assert(snaps.forall(_.isNullAt(5)))
+  }
+
   test("column pruning reaches the reader") {
     import spark.implicits._
     val df = filesDf.select($"rel_path")
