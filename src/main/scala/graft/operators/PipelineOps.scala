@@ -52,7 +52,7 @@ object PipelineOps {
   /** Min-label-propagation connected components (see [[dedupCluster]]):
     * `nodes(node)` × `edges(src,dst)` → `(node, label)` where label = the
     * smallest node id in the component. */
-  private[operators] def connectedComponents(nodes: DataFrame,
+  private[graft] def connectedComponents(nodes: DataFrame,
       edges: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
@@ -123,9 +123,87 @@ object PipelineOps {
       steps += 1
       mark(s"step $steps done")
     }
+    if (!converged) {
+      // adversarial topology (a chain of chained near-dups has diameter
+      // ∝ length): propagation costs O(diameter) rounds and would return
+      // silently-wrong labels if capped — switch to the O(log² n)
+      // alternating-star algorithm instead of guessing a bigger cap
+      mark("propagation cap hit — falling back to star contraction")
+      val out = connectedComponentsStar(nodes,
+        sym.select($"src", $"dst"))
+      sym.unpersist()
+      labels.unpersist()
+      return out
+    }
     sym.unpersist()
     // singletons rejoin with label = own id; the loop's checkpoint backs
     // the returned (lazy) DataFrame and is freed by the ContextCleaner
+    nodes.join(labels, Seq("node"), "left")
+      .select($"node", coalesce($"label", $"node").as("label"))
+  }
+
+  /** Alternating large-star / small-star connected components (Kiveris
+    * et al. 2014, "Connected Components in MapReduce and Beyond"):
+    * converges in O(log² n) rounds on ANY topology, where min-label
+    * propagation needs O(diameter). Per round, every node hangs its
+    * strictly-larger neighbours onto its neighbourhood minimum
+    * (large-star), then its smaller neighbourhood onto that minimum
+    * (small-star) — each a groupBy-min + join over the current edge set,
+    * monotonically flattening components into stars centred at their
+    * global minimum. The fixed point IS the star graph, so labels fall
+    * out of the final edges directly. Used as [[connectedComponentsLoop]]'s
+    * fallback; also correct standalone. */
+  private[graft] def connectedComponentsStar(nodes: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    // both orientations, self-loops dropped, deduped
+    def sym(e: DataFrame) = e.select(explode(array(
+        struct($"src", $"dst"),
+        struct($"dst".as("src"), $"src".as("dst")))).as("e"))
+      .select($"e.src", $"e.dst")
+      .where($"src" =!= $"dst").distinct()
+    // large-star: ∀v ∈ Γ(u), v > u: connect v to min(Γ(u) ∪ {u}).
+    def largeStar(s: DataFrame) = {
+      val m = s.groupBy($"src").agg(min($"dst").as("mn"))
+        .select($"src".as("u"), least($"mn", $"src").as("m"))
+      s.join(m, s("src") === m("u")).where(s("dst") > s("src"))
+        .select(s("dst").as("src"), m("m").as("dst"))
+        .where($"src" =!= $"dst").distinct()
+    }
+    // small-star: N⁻ = {v ∈ Γ(u), v ≤ u}; connect u and N⁻ \ {min} to
+    // min(N⁻ ∪ {u}). Every undirected edge {a<b} survives via u=b.
+    def smallStar(s: DataFrame) = {
+      val sm = s.where($"dst" <= $"src")
+      val m = sm.groupBy($"src").agg(min($"dst").as("m"))
+      val vs = sm.join(m, Seq("src")).where($"dst" =!= $"m")
+        .select($"dst".as("src"), $"m".as("dst"))
+      val us = m.select($"src", $"m".as("dst"))
+      vs.union(us).where($"src" =!= $"dst").distinct()
+    }
+    // convergence = (count, hash-xor) fixed point of the edge set — one
+    // tiny aggregate per round, collision odds ~2⁻⁶⁴ (xor, not sum:
+    // summing 64-bit hashes overflows under ANSI arithmetic)
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64($"src", $"dst"))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var e = sym(edges).localCheckpoint()
+    var prev = (-1L, 0L)
+    var rounds = 0
+    var cur = sig(e)
+    while (cur != prev && rounds < 50) {
+      val next = smallStar(sym(largeStar(sym(e)))).localCheckpoint()
+      e.unpersist()
+      e = next
+      prev = cur
+      cur = sig(e)
+      rounds += 1
+    }
+    require(cur == prev, s"star contraction did not converge in $rounds")
+    // fixed point = stars: every non-root node has its component min as
+    // its sole (minimal) neighbour below it
+    val labels = e.groupBy($"src".as("node")).agg(min($"dst").as("label"))
     nodes.join(labels, Seq("node"), "left")
       .select($"node", coalesce($"label", $"node").as("label"))
   }

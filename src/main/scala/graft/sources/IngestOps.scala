@@ -948,6 +948,91 @@ object IngestOps {
     (hits, stats.size)
   }
 
+  /** Per-file Bloom sidecar over the snapshot layout, built once per
+    * corpus fingerprint (a separate shared artifact — complete layouts
+    * are never mutated): one ~64 KiB sketch per data file keyed on
+    * xxhash64(event_id), the Iceberg-Puffin-blob / parquet-bloom shape
+    * lifted to the manifest level. Built with ONE distributed scan (a
+    * per-file BloomFilterAggregate); only the finished sketches reach
+    * the driver — metadata cardinality, like the stats manifests. At
+    * real scale the bits are sized ~16× the per-file row count; here
+    * 64 KiB covers the largest SF's ~3.4k rows/file with fpp ≈ 1e-4. */
+  private[graft] def bloomSidecar(spark: SparkSession, dir: String,
+      root: String): String = {
+    import spark.implicits._
+    val out = shared("events_blooms_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
+      sourceFingerprint(spark, dir))
+    buildShared(spark, out, r => fsExists(spark, s"$r/_DONE")) { tmpRoot =>
+      import org.apache.spark.sql.GraftBridge
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      val agg = new BloomFilterAggregate(
+        GraftBridge.eagerExpression(xxhash64($"event_id")),
+        Literal(10000L), Literal(64L * 1024 * 8))
+      val perFile = spark.read.parquet(s"$root/data")
+        .select(regexp_extract(input_file_name(), "/data/(.*)$", 1)
+          .as("rel"), $"event_id")
+        .groupBy($"rel")
+        .agg(GraftBridge.column(agg.toAggregateExpression()).as("bf"))
+        .collect()
+      writeMetaLines(spark, tmpRoot, "blooms.txt", perFile.map { r =>
+        r.getString(0) + "|" + java.util.Base64.getEncoder
+          .encodeToString(r.getAs[Array[Byte]](1))
+      })
+      val fs = new org.apache.hadoop.fs.Path(tmpRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(tmpRoot, "_DONE"), true)
+        .close()
+    }
+  }
+
+  /** Files whose bloom MIGHT contain any of `keys` (+ the total count).
+    * The probe hashes with the SAME xxhash64 the build used, and the
+    * sketch bytes deserialize through the same sketch library Spark's
+    * BloomFilterMightContain reads — build and probe cannot drift. */
+  private[graft] def bloomQualifyingFiles(spark: SparkSession,
+      sidecar: String, keys: Seq[Long]): (Seq[String], Int) = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val hashes = keys.map(k =>
+      new XxHash64(Seq(Literal(k))).eval(null).asInstanceOf[Long])
+    val entries = readMetaLines(spark, sidecar, "blooms.txt").map { l =>
+      val Array(rel, b64) = l.split("\\|", 2)
+      rel -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(
+          java.util.Base64.getDecoder.decode(b64)))
+    }
+    (entries.filter { case (_, bf) => hashes.exists(bf.mightContainLong) }
+      .map(_._1), entries.size)
+  }
+
+  /** `manifest_bloom_prune` — POINT-LOOKUP file skipping from per-file
+    * Bloom sidecars ([[bloomSidecar]]): min/max stats cannot prune an
+    * `event_id = K` probe (every file's id range overlaps every other's),
+    * but a per-file sketch answers "definitely not here" at PLANNING
+    * time — the scan opens only the files that might hold one of the 3
+    * probe keys (IngestSpec: exactly the 3 holding files of 15, never a
+    * bloom-excluded one). At 100 TB this is the needle-in-a-haystack
+    * path: a key lookup prices as |files| metadata-level bloom probes
+    * plus 1-2 file reads, not a table scan. */
+  def manifestBloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = snapshotLayout(spark, dir)
+    val sidecar = bloomSidecar(spark, dir, root)
+    // deterministic probe keys (the oracle derives the same three): the
+    // smallest event_id of days 3, 9, and 14 — one tiny aggregate
+    val keys = eventsWithParts(spark, dir)
+      .filter($"day".isin(3, 9, 14))
+      .groupBy($"day").agg(min($"event_id").as("k"))
+      .collect().map(_.getLong(1)).toSeq.sorted
+    val (files, _) = bloomQualifyingFiles(spark, sidecar, keys)
+    spark.read.option("basePath", s"$root/data")
+      .parquet(files.map(r => s"$root/data/$r"): _*)
+      .filter($"event_id".isin(keys: _*))
+      .select($"event_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
   /** `manifest_prune_scan` — a value-range query whose scan file list is
     * planned from per-file stats alone: of the 16 value-clustered files,
     * only the ~2 whose [min,max] band overlaps the predicate are ever
@@ -1026,6 +1111,7 @@ object IngestOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "manifest_stats" -> (manifestStats _),
     "manifest_prune_scan" -> (manifestPruneScan _),
+    "manifest_bloom_prune" -> (manifestBloomPrune _),
     "meta_files" -> (metaFiles _),
     "meta_snapshots" -> (metaSnapshots _),
     "meta_partitions" -> (metaPartitions _),
@@ -1080,6 +1166,16 @@ object IngestOps {
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
          |FROM events WHERE value BETWEEN 180.0 AND 220.0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "manifest_bloom_prune" ->
+      """WITH k AS (
+        |  SELECT MIN(event_id) AS k FROM events WHERE day(ts) = 3
+        |  UNION ALL
+        |  SELECT MIN(event_id) FROM events WHERE day(ts) = 9
+        |  UNION ALL
+        |  SELECT MIN(event_id) FROM events WHERE day(ts) = 14)
+        |SELECT event_id, event_type, value
+        |FROM events JOIN k ON event_id = k.k
+        |ORDER BY event_id""".stripMargin,
     "zorder_cluster_write" ->
       s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
          |  COUNT(DISTINCT user_id) AS n_users,

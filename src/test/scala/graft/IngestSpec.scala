@@ -194,6 +194,37 @@ class IngestSpec extends SparkSpecBase {
     assert(q.collect().toSeq == full.collect().toSeq)
   }
 
+  test("manifest_bloom_prune opens only the files whose bloom might " +
+      "hold a probe key — never a bloom-excluded file") {
+    import spark.implicits._
+    val root = graft.sources.IngestOps.snapshotLayout(spark, sf)
+    val sidecar = graft.sources.IngestOps.bloomSidecar(spark, sf, root)
+    val keys = graft.sources.IngestOps.eventsWithParts(spark, sf)
+      .filter($"day".isin(3, 9, 14))
+      .groupBy($"day").agg(min($"event_id").as("k"))
+      .collect().map(_.getLong(1)).toSeq.sorted
+    assert(keys.size == 3)
+    val (hits, total) = graft.sources.IngestOps
+      .bloomQualifyingFiles(spark, sidecar, keys)
+    // 15 day files, 3 keys on 3 distinct days, fpp ~1e-4: exactly 3
+    assert(total == 15, s"expected 15 files with blooms, got $total")
+    assert(hits.size == 3, s"bloom pruning ineffective: ${hits.size}")
+    // the query's own executed scan reads exactly the qualifying files
+    val q = graft.sources.IngestOps.manifestBloomPrune(spark, sf)
+    val rows = q.collect()
+    assert(rows.map(_.getLong(0)).toSeq == keys)
+    val scan = fileScans(q.queryExecution.executedPlan).head
+    assert(scan.metrics("numFiles").value == hits.size)
+    val scanRels = scan.relation.location.inputFiles
+      .map(f => f.substring(f.lastIndexOf("/data/") + 6)).toSet
+    assert(scanRels == hits.toSet)
+    // soundness: each key really lives in one of the opened files, and
+    // probing a key that exists NOWHERE qualifies zero files
+    val (none, _) = graft.sources.IngestOps
+      .bloomQualifyingFiles(spark, sidecar, Seq(-987654321L))
+    assert(none.isEmpty, s"phantom key qualified files: $none")
+  }
+
   test("manifest_stats answers from metadata only — its plan reads no " +
       "data files") {
     // layout is built (a write-time cost); the QUERY plan itself must be

@@ -64,6 +64,46 @@ class PipelineSpec extends SparkSpecBase {
     assert(got == expect)
   }
 
+  test("star-contraction CC matches union-find on random graphs and " +
+      "solves a chain whose diameter defeats bounded propagation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    for (_ <- 0 until 3) {
+      val n = 40 + rng.nextInt(40)
+      val nodes = (0L until n.toLong).toSeq
+      val edges = (0 until n).flatMap { _ =>
+        val (a, b) = (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+        if (a != b) Some((a, b)) else None
+      }
+      val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = nodes.map(x => x -> find(x)).toMap
+      val got = PipelineOps.connectedComponentsStar(
+          nodes.toDF("node"), edges.toDF("src", "dst")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"star CC diverged from union-find (n=$n)")
+    }
+    // a 120-node path has diameter 119 — the propagation loop's 20-step
+    // cap cannot finish it; the ADAPTIVE entry point must fall back to
+    // star contraction and still return exact labels
+    val n = 120L
+    val chainNodes = (0L until n).toDF("node")
+    val chainEdges = (0L until n - 1).map(i => (i, i + 1))
+      .toDF("src", "dst")
+    val viaStar = PipelineOps.connectedComponentsStar(
+      chainNodes, chainEdges).collect()
+    assert(viaStar.length == n && viaStar.forall(_.getLong(1) == 0L))
+    val adaptive = PipelineOps.connectedComponents(
+      chainNodes, chainEdges).collect()
+    assert(adaptive.length == n && adaptive.forall(_.getLong(1) == 0L),
+      "adaptive CC returned wrong labels past the propagation cap")
+  }
+
   test("dedup_resolve keeps exactly one canonical doc per component") {
     val rows = PipelineOps.dedupResolve(spark, sf).collect()
     assert(rows.nonEmpty)
