@@ -26,6 +26,9 @@ object DebugRun {
       println(f"[debug] $n%-28s $sec%8.2f s  rows=$cnt")
       if (sys.env.contains("DEBUG_EXPLAIN"))
         SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      if (sys.env.contains("DEBUG_SHOW"))
+        SparkEntry.queries(n)(spark, sfDir)
+          .show(sys.env("DEBUG_SHOW").toInt, false)
     }
     spark.stop()
   }

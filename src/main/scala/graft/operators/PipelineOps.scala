@@ -501,6 +501,65 @@ object PipelineOps {
       .orderBy($"cid")
   }
 
+  /** `embed_pq` — PRODUCT-QUANTIZATION encode + asymmetric-distance
+    * query (the FAISS IVF-PQ kernel): the 64-dim space splits into m=4
+    * subspaces of 16 dims, each with a k=4-entry codebook (slices of
+    * vectors 0-3 — deterministic seeds, the [[embedKmeans]] convention);
+    * a vector's PQ code = its argmin centroid per subspace, so 64 floats
+    * compress to 4 code bytes (16×, [[embedQuantize]]'s scalar 4× taken
+    * further). The query (vector 5) is answered WITHOUT decoding
+    * anything: its per-subspace distances to the 4 centroids form a
+    * lookup table (plan literals), and a vector's approximate distance
+    * is the sum of 4 table lookups keyed by its codes — narrow,
+    * shuffle-free, whole-stage-codegen'd; only the top-8 sort moves
+    * rows. At 100 TB the codes ride a table 16× smaller than the
+    * vectors and the ADC scan never touches a corpus float — the recall
+    * story mirrors [[SimilarityOps]]' IVF tier, with compression. */
+  def embedPq(spark: SparkSession, dir: String): DataFrame =
+    embedPqAll(spark, dir).limit(8)
+
+  /** All ADC distances, unsorted-cut (see [[embedPq]]); split out so the
+    * spec can check seeds, for which ADC is EXACT (a codebook vector's
+    * codes reproduce its own slices, so the table lookups sum to the
+    * true query distance). */
+  private[graft] def embedPqAll(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val m = 4; val sub = 16; val k = 4
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+    // codebook seeds + query: 5 driver-side rows, metadata cardinality
+    val seed = vecs.filter($"vec_id" < k || $"vec_id" === 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val book = (0 until m).map(s => (0 until k).map(c =>
+      seed(c.toLong).slice(s * sub, (s + 1) * sub).toIndexedSeq))
+    val q = seed(5L)
+    // query→centroid tables, folded in the oracle's list_sum order so
+    // the literal doubles are bit-identical to DuckDB's
+    def qd2(s: Int, c: Int): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < sub) {
+        val d = q(s * sub + i) - book(s)(c)(i); acc += d * d; i += 1
+      }
+      acc
+    }
+    def sliceD2(vs: org.apache.spark.sql.Column, cs: IndexedSeq[Double]) =
+      aggregate(zip_with(vs, array(cs.map(lit): _*),
+        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    val contrib = (0 until m).map { s =>
+      val vs = slice($"v", s * sub + 1, sub)
+      val dists = array((0 until k).map(c =>
+        struct(sliceD2(vs, book(s)(c)).as("d2"), lit(c).as("cid"))): _*)
+      val code = array_min(dists).getField("cid")
+      element_at(array((0 until k).map(c => lit(qd2(s, c))): _*), code + 1)
+    }
+    vecs.filter($"vec_id" =!= 5)
+      .select($"vec_id", round(contrib.reduce(_ + _), 6).as("adc_d2"))
+      .orderBy($"adc_d2", $"vec_id")
+  }
+
   /** `curation_funnel` — the end-to-end curation decision in ONE pass:
     * how many docs survive each stage (language gate → quality gate →
     * exact dedup on normalized text). All four funnel counts are
@@ -525,6 +584,7 @@ object PipelineOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_funnel" -> (curationFunnel _),
     "embed_kmeans" -> (embedKmeans _),
+    "embed_pq" -> (embedPq _),
     "embed_quantize" -> (embedQuantize _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_resolve" -> (dedupResolve _),
@@ -617,6 +677,37 @@ object PipelineOps {
         |  round(CAST(SUM(CAST(d2 AS DECIMAL(18,9))) AS DOUBLE), 6)
         |    AS inertia
         |FROM a1 GROUP BY cid ORDER BY cid""".stripMargin,
+    "embed_pq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |book AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 4),
+        |qv AS (SELECT v AS qvec FROM e WHERE vec_id = 5),
+        |vd AS (
+        |  SELECT e.vec_id, ss.s, b.c,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (e.v[(ss.s * 16 + i)::INT] - b.cv[(ss.s * 16 + i)::INT])
+        |         * (e.v[(ss.s * 16 + i)::INT] - b.cv[(ss.s * 16 + i)::INT])))
+        |      AS d2v,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (qv.qvec[(ss.s * 16 + i)::INT] - b.cv[(ss.s * 16 + i)::INT])
+        |         * (qv.qvec[(ss.s * 16 + i)::INT] - b.cv[(ss.s * 16 + i)::INT])))
+        |      AS d2q
+        |  FROM e
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS s) ss
+        |  CROSS JOIN book b
+        |  CROSS JOIN qv
+        |  WHERE e.vec_id <> 5),
+        |codes AS (
+        |  SELECT vec_id, s, d2q FROM (
+        |    SELECT *, row_number()
+        |      OVER (PARTITION BY vec_id, s ORDER BY d2v, c) AS rn FROM vd)
+        |  WHERE rn = 1)
+        |SELECT vec_id, round(
+        |    MAX(CASE WHEN s = 0 THEN d2q END)
+        |  + MAX(CASE WHEN s = 1 THEN d2q END)
+        |  + MAX(CASE WHEN s = 2 THEN d2q END)
+        |  + MAX(CASE WHEN s = 3 THEN d2q END), 6) AS adc_d2
+        |FROM codes GROUP BY vec_id
+        |ORDER BY adc_d2, vec_id LIMIT 8""".stripMargin,
     "embed_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -489,6 +489,59 @@ object LakeOps {
     spark.read.option("basePath", s"$root/data").parquet(files: _*)
   }
 
+  /** `table_clone` — ZERO-COPY shallow clone (Delta's SHALLOW CLONE /
+    * Iceberg's snapshot-ref pattern): the clone is a new table whose
+    * metadata points at the SOURCE's data files — creating it copies
+    * three KB-sized manifests and writes a base pointer, never a data
+    * byte (LakeSpec: zero parquet under the clone at creation, source
+    * untouched throughout). The clone then evolves INDEPENDENTLY: a new
+    * snapshot appends days 16-17 into clone-local storage, and the
+    * clone's manifests distinguish inherited (`B|rel`, resolved against
+    * the base) from local (`L|rel`) files — exactly Iceberg's
+    * cross-table file reuse. At 100 TB this is how a dev/test/experiment
+    * copy of a petabyte table costs KBs and seconds; storage is shared
+    * until either side rewrites. */
+  def tableClone(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val srcRoot = IngestOps.snapshotLayout(spark, dir)
+    val clone = IngestOps.tmp("events_clone")
+    hfs(spark, clone).delete(new org.apache.hadoop.fs.Path(clone), true)
+    // CLONE CREATE: copy the manifests (re-tagged as base-inherited) +
+    // a base pointer — metadata only, no data bytes move
+    IngestOps.writeMetaLines(spark, clone, "metadata/base.txt",
+      Seq(s"$srcRoot/data"))
+    (1 to 3).foreach { n =>
+      val rels = IngestOps.snapshotManifest(spark, srcRoot, n)
+      writeManifest(spark, clone, s"snap-$n.txt", rels.map("B|" + _))
+    }
+    // CLONE EVOLVE: snapshot 4 appends days 16-17 into clone-LOCAL data
+    val data = s"$clone/data"
+    IngestOps.eventsWithParts(spark, dir)
+      .filter($"day".between(16, 17))
+      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+      .repartition($"day")
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .partitionBy("day").parquet(data)
+    writeManifest(spark, clone, "snap-4.txt",
+      listData(spark, data).map("L|" + _))
+    // CLONE READ: resolve each manifest line against its storage root
+    val base = IngestOps.readMetaLines(spark, clone, "metadata/base.txt").head
+    val files = (1 to 4)
+      .flatMap(n => readManifest(spark, clone, s"snap-$n.txt"))
+      .map {
+        case l if l.startsWith("B|") => s"$base/${l.drop(2)}"
+        case l if l.startsWith("L|") => s"$data/${l.drop(2)}"
+        case l => throw new IllegalStateException(s"untagged manifest: $l")
+      }
+    spark.read.parquet(files: _*)
+      .withColumn("day", regexp_extract(input_file_name(),
+        "day=(\\d+)/", 1).cast("int"))
+      .filter($"day".between(1, 17))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
   /** `expire_snapshots` — Iceberg's `expireSnapshots` + orphan cleanup:
     * snapshot 4 compacts the fragmented day 1-5 region (a replace commit:
     * adds the packed files, logically removes snapshot 1's ~20), then
@@ -704,6 +757,7 @@ object LakeOps {
     "delete_mor" -> (deleteMor _),
     "delete_mor_pos" -> (deleteMorPos _),
     "compact_mor" -> (compactMor _),
+    "table_clone" -> (tableClone _),
     "commit_conflict_retry" -> (commitConflictRetry _),
     "update_where" -> (updateWhere _),
     "expire_snapshots" -> (expireSnapshots _),
@@ -780,6 +834,11 @@ object LakeOps {
       s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
          |FROM events WHERE day(ts) BETWEEN 14 AND 17
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "table_clone" ->
+      s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events WHERE day(ts) BETWEEN 1 AND 17
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "update_where" ->
       s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,

@@ -208,6 +208,77 @@ object StreamingOps {
       .orderBy($"d")
   }
 
+  /** `stream_late_drop` — the watermark's LATE-DATA contract, made
+    * deterministic: three single-file drops ride the stream in a forced
+    * order (`maxFilesPerTrigger=1`; modification times 60 s apart, the
+    * file source's arrival order). Drop A = days 5-9 seeds the windows;
+    * drop B = day 10 advances the watermark to max(A) − 1 h, so A's
+    * windows EVICT and emit; drop C replays day-5 rows — every one
+    * behind the late-events watermark, targeting windows already
+    * emitted, so the aggregation DISCARDS all of them (empirically:
+    * `numRowsDroppedByWatermark` = every drop-C group). This is the
+    * emit-once guarantee that makes append-mode aggregation viable at
+    * 100 TB: a straggler cannot resurrect or double-count a finalized
+    * window, and state holds one watermark-horizon of windows. Spark's
+    * late filter uses the PREVIOUS batch's watermark while eviction
+    * uses the current one (the two-watermark semantics of
+    * SPARK-24634), hence the three-drop choreography: the eviction
+    * batch (B) and the late batch (C) must be distinct. The oracle is
+    * the fresh-rows-only hourly aggregate cut at the final watermark —
+    * drop-C's replayed rows appear NOWHERE in it, counted once, not
+    * twice (StreamingSpec asserts the single-count equivalence). */
+  def streamLateDrop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = graft.sources.IngestOps.tmp("stream_late")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val src = s"$root/src"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+    // one parquet FILE per drop (the file source's unit of arrival),
+    // modification time = arrival order
+    def drop(name: String, df: DataFrame, mtime: Long): Unit = {
+      val stage = s"$root/stage_$name"
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      val dst = new org.apache.hadoop.fs.Path(src, s"$name.parquet")
+      require(fs.rename(part, dst), s"single-file publish failed: $name")
+      fs.setTimes(dst, mtime, -1)
+    }
+    val ev = Tables.events(spark, dir)
+      .select($"ts", $"event_type", $"value")
+    drop("a_fresh", ev.filter(dayofmonth($"ts").between(5, 9)),
+      1705300000000L)
+    drop("b_advance", ev.filter(dayofmonth($"ts") === 10), 1705300060000L)
+    drop("c_late", ev.filter(dayofmonth($"ts") === 5), 1705300120000L)
+    val schema = spark.read.parquet(src).schema
+    val queryName = s"stream_late_${System.nanoTime()}"
+    val agg = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally {
+        if (sys.env.contains("DEBUG_STREAM"))
+          q.recentProgress.foreach(p => println(s"[late] ${p.json}"))
+        q.stop()
+      }
+    }
+    spark.table(queryName)
+      .select($"window.start".as("hour_start"), $"event_type", $"n",
+        $"sum_value")
+      .orderBy($"hour_start", $"event_type")
+  }
+
   /** `stream_upsert_sink` — the streaming→lake bridge: a `foreachBatch`
     * sink MERGEs each micro-batch into a day-partitioned copy-on-write
     * table (the CDC-upsert pattern every warehouse-feeding stream runs).
@@ -368,6 +439,7 @@ object StreamingOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_late_drop" -> (streamLateDrop _),
     "stream_resume_checkpoint" -> (streamResumeCheckpoint _),
     "stream_cdf_read" -> (streamCdfRead _),
     "stream_upsert_sink" -> (streamUpsertSink _),
@@ -452,5 +524,23 @@ object StreamingOps {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_late_drop" ->
+      // drop-B (day-3) rows are absent: they arrived behind the
+      // watermark. Only windows the final watermark passed are emitted:
+      // window_end <= max(fresh ts, ms precision) - 1h.
+      """WITH base AS (
+        |  SELECT ts, event_type, value FROM events
+        |  WHERE day(ts) BETWEEN 5 AND 10),
+        |wm AS (
+        |  SELECT CAST(date_trunc('millisecond', MAX(ts)) AS TIMESTAMP)
+        |    - INTERVAL 1 HOUR AS w
+        |  FROM base)
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM base, wm
+        |WHERE CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+        |      <= w
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -290,6 +290,29 @@ class LakeSpec extends SparkSpecBase {
     assert(rows.toSeq == direct.toSeq)
   }
 
+  test("table_clone is zero-copy: creation moves no data bytes, the " +
+      "source stays untouched, and the clone evolves independently") {
+    import spark.implicits._
+    val srcRoot = graft.sources.IngestOps.snapshotLayout(spark, sf)
+    val srcBefore = partMtimes(s"$srcRoot/data")
+    val rows = sources.LakeOps.tableClone(spark, sf).collect()
+    val clone = graft.sources.IngestOps.tmp("events_clone")
+    // the clone's own storage holds ONLY the evolved days (16-17): the
+    // inherited days 1-15 contributed zero copied bytes
+    val local = graft.sources.IngestOps.listDataFiles(spark, s"$clone/data")
+    assert(local.nonEmpty)
+    local.foreach { rel =>
+      val d = "day=(\\d+)/".r.findFirstMatchIn(rel).get.group(1).toInt
+      assert(d >= 16 && d <= 17, s"clone copied inherited data: $rel")
+    }
+    // the source is byte-for-byte untouched by clone + evolution
+    assert(partMtimes(s"$srcRoot/data") == srcBefore,
+      "source table files changed under a shallow clone")
+    // the clone serves inherited + local days as one table
+    val days = rows.map(_.getLong(0))
+    assert(days.toSeq == (1L to 17L))
+  }
+
   test("compact_mor folds the delete file into ONLY the affected " +
       "partitions, removes it, and the plain scan equals the MoR answer") {
     import spark.implicits._

@@ -230,4 +230,61 @@ class PipelineSpec extends SparkSpecBase {
       .streamStreamJoin(spark, sf).collect().toSeq
     assert(streamed == batch)
   }
+
+  test("embed_pq: ADC is exact for codebook seeds, non-negative and " +
+      "sorted everywhere") {
+    import spark.implicits._
+    val all = PipelineOps.embedPqAll(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(all.forall(_._2 >= 0.0))
+    assert(all.map(_._2).toSeq == all.map(_._2).toSeq.sorted)
+    // seeds 0-3 ARE codebook entries: their codes reproduce their own
+    // slices exactly, so the table-lookup sum equals the true squared
+    // distance to the query (vector 5)
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .filter($"vec_id" <= 5).orderBy($"vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val q = vecs(5L)
+    val byId = all.toMap
+    (0L to 3L).foreach { c =>
+      // fold per 16-dim subspace then sum, matching the engine's order
+      val exact = (0 until 4).map { s =>
+        var acc = 0.0
+        (0 until 16).foreach { i =>
+          val d = q(s * 16 + i) - vecs(c)(s * 16 + i); acc += d * d }
+        acc
+      }.reduce(_ + _)
+      assert(math.abs(byId(c) - exact) < 1e-6,
+        s"seed $c: adc=${byId(c)} exact=$exact")
+    }
+  }
+
+  test("stream_late_drop: replayed rows for already-emitted windows " +
+      "vanish — every window counted once, cut at the final watermark") {
+    import spark.implicits._
+    val got = graft.streaming.StreamingOps.streamLateDrop(spark, sf)
+      .collect().toSeq
+    // batch control: fresh rows only (days 5-10), hourly agg, windows
+    // whose end the final watermark passed. The day-5 replay (drop C)
+    // must appear NOWHERE — neither as extra windows nor as doubled
+    // counts inside existing ones.
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(dayofmonth($"ts").between(5, 10))
+      .select($"ts", $"event_type", $"value")
+    val wm = ev.agg(max(date_trunc("millisecond", $"ts"))).head
+      .getTimestamp(0).getTime - 3600 * 1000L
+    val batch = ev
+      .withColumn("hour_start", date_trunc("hour", $"ts"))
+      .filter(unix_millis($"hour_start") + 3600 * 1000L <= wm)
+      .groupBy($"hour_start", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.operators.dsum($"value").as("sum_value"))
+      .orderBy($"hour_start", $"event_type").collect().toSeq
+    assert(got.nonEmpty && got == batch)
+    // single emission per window key: append mode never re-emits
+    val keys = got.map(r => (r.get(0), r.getString(1)))
+    assert(keys.distinct.size == keys.size, "a window emitted twice")
+  }
 }
