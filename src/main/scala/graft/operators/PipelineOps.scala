@@ -502,19 +502,19 @@ object PipelineOps {
   }
 
   /** `embed_pq` — PRODUCT-QUANTIZATION encode + asymmetric-distance
-    * query (the FAISS IVF-PQ kernel): the 64-dim space splits into m=4
-    * subspaces of 16 dims, each with a k=4-entry codebook (slices of
-    * vectors 0-3 — deterministic seeds, the [[embedKmeans]] convention);
+    * query (the FAISS IVF-PQ kernel): the 64-dim space splits into m=8
+    * subspaces of 8 dims, each with a k=8-entry codebook (slices of
+    * vectors 0-7 — deterministic seeds, the [[embedKmeans]] convention);
     * a vector's PQ code = its argmin centroid per subspace, so 64 floats
-    * compress to 4 code bytes (16×, [[embedQuantize]]'s scalar 4× taken
-    * further). The query (vector 5) is answered WITHOUT decoding
-    * anything: its per-subspace distances to the 4 centroids form a
-    * lookup table (plan literals), and a vector's approximate distance
-    * is the sum of 4 table lookups keyed by its codes — narrow,
-    * shuffle-free, whole-stage-codegen'd; only the top-8 sort moves
-    * rows. At 100 TB the codes ride a table 16× smaller than the
-    * vectors and the ADC scan never touches a corpus float — the recall
-    * story mirrors [[SimilarityOps]]' IVF tier, with compression. */
+    * (256 B) compress to 8 code bytes (32×, [[embedQuantize]]'s scalar
+    * 4× taken further). The query (vector 5) is answered WITHOUT
+    * decoding anything: its per-subspace distances to the 8 centroids
+    * form a lookup table (plan literals), and a vector's approximate
+    * distance is the sum of 8 table lookups keyed by its codes —
+    * narrow, shuffle-free, whole-stage-codegen'd; only the top-8 sort
+    * moves rows. At 100 TB the codes ride a table 32× smaller than the
+    * vectors and the ADC scan never touches a corpus float;
+    * [[simPqRecall]] reports the fidelity this buys. */
   def embedPq(spark: SparkSession, dir: String): DataFrame =
     embedPqAll(spark, dir).limit(8)
 
@@ -525,7 +525,7 @@ object PipelineOps {
   private[graft] def embedPqAll(spark: SparkSession,
       dir: String): DataFrame = {
     import spark.implicits._
-    val m = 4; val sub = 16; val k = 4
+    val m = 8; val sub = 8; val k = 8
     val vecs = Tables.embeddings(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
@@ -560,6 +560,36 @@ object PipelineOps {
       .orderBy($"adc_d2", $"vec_id")
   }
 
+  /** `sim_pq_recall` — the honesty report for [[embedPq]], mirroring
+    * [[SimilarityOps.simIvfRecall]]: recall@8 of the PQ
+    * asymmetric-distance top-8 against the EXACT L2 top-8 for the same
+    * query, one output row, computed in one plan (semi-join of the two
+    * top-k lists). PQ trades 16× compression for ranking error — the
+    * recall number is what a user needs before trusting the codes table;
+    * at 100 TB exact ground truth comes from a sampled query set, the
+    * same shape as this. */
+  def simPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 8
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+    val q = vecs.filter($"vec_id" === 5).head.getSeq[Double](1)
+    // exact squared-L2 to the query, same fold order as the oracle
+    val exactD2 = aggregate(
+      zip_with($"v", array(q.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val exactTop = vecs.filter($"vec_id" =!= 5)
+      .select($"vec_id", round(exactD2, 6).as("d2"))
+      .orderBy($"d2", $"vec_id").limit(k)
+      .select($"vec_id")
+    val adcTop = embedPqAll(spark, dir).limit(k).select($"vec_id")
+    adcTop.join(exactTop, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(k.toLong).as("k"), $"n_hits",
+        round($"n_hits".cast("double") / k, 6).as("recall"))
+  }
+
   /** `curation_funnel` — the end-to-end curation decision in ONE pass:
     * how many docs survive each stage (language gate → quality gate →
     * exact dedup on normalized text). All four funnel counts are
@@ -585,6 +615,7 @@ object PipelineOps {
     "curation_funnel" -> (curationFunnel _),
     "embed_kmeans" -> (embedKmeans _),
     "embed_pq" -> (embedPq _),
+    "sim_pq_recall" -> (simPqRecall _),
     "embed_quantize" -> (embedQuantize _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_resolve" -> (dedupResolve _),
@@ -622,6 +653,46 @@ object PipelineOps {
 
   private val NTOK =
     "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
+
+  /** Shared CTE text for the product-quantization oracles: `adc` =
+    * per-vector ADC distance to query vector 5 under the 4×4 codebook
+    * (the twin of [[embedPqAll]]). The per-subspace sum is an explicit
+    * left-to-right chain so the fold order matches the engine's. */
+  private val PQ_CTES =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |book AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 8),
+      |qv AS (SELECT v AS qvec FROM e WHERE vec_id = 5),
+      |vd AS (
+      |  SELECT e.vec_id, ss.s, b.c,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> (e.v[(ss.s * 8 + i)::INT] - b.cv[(ss.s * 8 + i)::INT])
+      |         * (e.v[(ss.s * 8 + i)::INT] - b.cv[(ss.s * 8 + i)::INT])))
+      |      AS d2v,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> (qv.qvec[(ss.s * 8 + i)::INT] - b.cv[(ss.s * 8 + i)::INT])
+      |         * (qv.qvec[(ss.s * 8 + i)::INT] - b.cv[(ss.s * 8 + i)::INT])))
+      |      AS d2q
+      |  FROM e
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss
+      |  CROSS JOIN book b
+      |  CROSS JOIN qv
+      |  WHERE e.vec_id <> 5),
+      |codes AS (
+      |  SELECT vec_id, s, d2q FROM (
+      |    SELECT *, row_number()
+      |      OVER (PARTITION BY vec_id, s ORDER BY d2v, c) AS rn FROM vd)
+      |  WHERE rn = 1),
+      |adc AS (
+      |  SELECT vec_id, round(
+      |      MAX(CASE WHEN s = 0 THEN d2q END)
+      |    + MAX(CASE WHEN s = 1 THEN d2q END)
+      |    + MAX(CASE WHEN s = 2 THEN d2q END)
+      |    + MAX(CASE WHEN s = 3 THEN d2q END)
+      |    + MAX(CASE WHEN s = 4 THEN d2q END)
+      |    + MAX(CASE WHEN s = 5 THEN d2q END)
+      |    + MAX(CASE WHEN s = 6 THEN d2q END)
+      |    + MAX(CASE WHEN s = 7 THEN d2q END), 6) AS adc_d2
+      |  FROM codes GROUP BY vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "curation_funnel" ->
@@ -677,37 +748,21 @@ object PipelineOps {
         |  round(CAST(SUM(CAST(d2 AS DECIMAL(18,9))) AS DOUBLE), 6)
         |    AS inertia
         |FROM a1 GROUP BY cid ORDER BY cid""".stripMargin,
-    "embed_pq" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |book AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 4),
-        |qv AS (SELECT v AS qvec FROM e WHERE vec_id = 5),
-        |vd AS (
-        |  SELECT e.vec_id, ss.s, b.c,
-        |    list_sum(list_transform(range(1, 17),
-        |      i -> (e.v[(ss.s * 16 + i)::INT] - b.cv[(ss.s * 16 + i)::INT])
-        |         * (e.v[(ss.s * 16 + i)::INT] - b.cv[(ss.s * 16 + i)::INT])))
-        |      AS d2v,
-        |    list_sum(list_transform(range(1, 17),
-        |      i -> (qv.qvec[(ss.s * 16 + i)::INT] - b.cv[(ss.s * 16 + i)::INT])
-        |         * (qv.qvec[(ss.s * 16 + i)::INT] - b.cv[(ss.s * 16 + i)::INT])))
-        |      AS d2q
-        |  FROM e
-        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS s) ss
-        |  CROSS JOIN book b
-        |  CROSS JOIN qv
-        |  WHERE e.vec_id <> 5),
-        |codes AS (
-        |  SELECT vec_id, s, d2q FROM (
-        |    SELECT *, row_number()
-        |      OVER (PARTITION BY vec_id, s ORDER BY d2v, c) AS rn FROM vd)
-        |  WHERE rn = 1)
-        |SELECT vec_id, round(
-        |    MAX(CASE WHEN s = 0 THEN d2q END)
-        |  + MAX(CASE WHEN s = 1 THEN d2q END)
-        |  + MAX(CASE WHEN s = 2 THEN d2q END)
-        |  + MAX(CASE WHEN s = 3 THEN d2q END), 6) AS adc_d2
-        |FROM codes GROUP BY vec_id
+    "embed_pq" -> s"""WITH $PQ_CTES
+        |SELECT vec_id, adc_d2 FROM adc
         |ORDER BY adc_d2, vec_id LIMIT 8""".stripMargin,
+    "sim_pq_recall" -> s"""WITH $PQ_CTES,
+        |pq AS (SELECT vec_id FROM adc ORDER BY adc_d2, vec_id LIMIT 8),
+        |ex AS (
+        |  SELECT vec_id FROM (
+        |    SELECT e.vec_id, round(list_sum(list_transform(range(1, 65),
+        |        i -> (e.v[i::INT] - qv.qvec[i::INT])
+        |           * (e.v[i::INT] - qv.qvec[i::INT]))), 6) AS d2
+        |    FROM e CROSS JOIN qv WHERE e.vec_id <> 5)
+        |  ORDER BY d2, vec_id LIMIT 8)
+        |SELECT CAST(8 AS BIGINT) AS k, COUNT(*) AS n_hits,
+        |  round(COUNT(*) / 8.0, 6) AS recall
+        |FROM pq JOIN ex USING (vec_id)""".stripMargin,
     "embed_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -244,16 +244,16 @@ class PipelineSpec extends SparkSpecBase {
     val vecs = graft.sources.Tables.embeddings(spark, sf)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
-      .filter($"vec_id" <= 5).orderBy($"vec_id").collect()
+      .filter($"vec_id" < 8).orderBy($"vec_id").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val q = vecs(5L)
     val byId = all.toMap
-    (0L to 3L).foreach { c =>
-      // fold per 16-dim subspace then sum, matching the engine's order
-      val exact = (0 until 4).map { s =>
+    (0L to 7L).filter(_ != 5L).foreach { c =>
+      // fold per 8-dim subspace then sum, matching the engine's order
+      val exact = (0 until 8).map { s =>
         var acc = 0.0
-        (0 until 16).foreach { i =>
-          val d = q(s * 16 + i) - vecs(c)(s * 16 + i); acc += d * d }
+        (0 until 8).foreach { i =>
+          val d = q(s * 8 + i) - vecs(c)(s * 8 + i); acc += d * d }
         acc
       }.reduce(_ + _)
       assert(math.abs(byId(c) - exact) < 1e-6,
