@@ -126,6 +126,35 @@ object Joins {
       .orderBy($"p_id")
   }
 
+  /** `join_asof_tolerance` — [[joinAsof]] with a STALENESS BOUND (the
+    * `tolerance` of pandas merge_asof / kdb wj): the most recent prior
+    * click only counts within 2 hours of the purchase; staler matches
+    * return NULL exactly like no match. The tolerance tightens the range
+    * predicate, which at scale is what keeps the per-key sort window
+    * small: with a bound, state per key is one tolerance-window of rows
+    * (the same bound that makes the STREAMING interval join's state
+    * finite), where unbounded as-of must keep full history. */
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).filter($"user_id" < 50)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+        $"ts".as("c_ts"))
+    val w = Window.partitionBy($"p_id")
+      .orderBy($"c_ts".desc, $"c_id".desc)
+    purchases
+      .join(clicks, $"user_id" === $"c_user" &&
+        $"c_ts" <= $"p_ts" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 2 HOURS"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"p_id", $"user_id", $"p_ts", $"c_id".as("asof_click_id"),
+        $"c_ts".as("asof_click_ts"))
+      .orderBy($"p_id")
+  }
+
   /** `join_bucketed` — co-located fact⋈fact join over bucketed tables:
     * both sides written `bucketBy(8, key)` + `sortBy(key)` into the
     * catalog, so the join needs NO exchange — each task zips bucket i of
@@ -299,7 +328,8 @@ object Joins {
     "join_multiway" -> (joinMultiway _),
     "join_bucketed" -> (joinBucketed _),
     "join_skew_salted" -> (joinSkewSalted _),
-    "join_asof" -> (joinAsof _))
+    "join_asof" -> (joinAsof _),
+    "join_asof_tolerance" -> (joinAsofTolerance _))
 
   private val D = "DECIMAL(18,2)"
 
@@ -405,5 +435,18 @@ object Joins {
         |  LEFT JOIN (SELECT * FROM events
         |             WHERE user_id < 50 AND event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """SELECT p_id, user_id, p_ts, asof_click_id, asof_click_ts FROM (
+        |  SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+        |    c.event_id AS asof_click_id, c.ts AS asof_click_ts,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events
+        |        WHERE user_id < 50 AND event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events
+        |             WHERE user_id < 50 AND event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |      AND c.ts >= p.ts - INTERVAL 2 HOUR
         |) WHERE rn = 1 ORDER BY p_id""".stripMargin)
 }

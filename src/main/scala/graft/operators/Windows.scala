@@ -110,7 +110,26 @@ object Windows {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** `win_percent_cume` — relative-position window functions:
+    * percent_rank (rank scaled to [0,1]) and cume_dist (fraction of the
+    * partition at-or-below the row) per event_type over value — the
+    * percentile-flavored windows a feature pipeline derives per-group
+    * normalized scores from. Partitioned like every window here, so each
+    * group sorts inside its own task; both are rational functions of
+    * rank/count, no float accumulation to drift. */
+  def winPercentCume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"value", $"event_id")
+    Tables.events(spark, dir).filter($"user_id" < 10)
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .select($"event_type", $"event_id", $"value", $"pr", $"cd")
+      .orderBy($"event_type", $"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_percent_cume" -> (winPercentCume _),
     "win_range_frame" -> (winRangeFrame _),
     "win_first_last" -> (winFirstLast _),
     "win_row_number" -> (winRowNumber _),
@@ -122,6 +141,14 @@ object Windows {
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "win_percent_cume" ->
+      """SELECT event_type, event_id, value,
+        |  round(PERCENT_RANK() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id), 6) AS pr,
+        |  round(CUME_DIST() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id), 6) AS cd
+        |FROM events WHERE user_id < 10
+        |ORDER BY event_type, event_id""".stripMargin,
     "win_range_frame" ->
       s"""SELECT user_id, event_id, ts,
          |  COUNT(*) OVER w AS n_1h,

@@ -489,6 +489,47 @@ object LakeOps {
     spark.read.option("basePath", s"$root/data").parquet(files: _*)
   }
 
+  /** `manifest_rewrite` — MANIFEST compaction (Iceberg's
+    * rewrite_manifests): after many commits a reader must union many
+    * delta manifests just to PLAN a scan; the rewrite commits snapshot 4
+    * as a FULL manifest (the consolidated live file list, marked
+    * `snap-4.FULL`) without touching a data file or disturbing history —
+    * snapshots 1-3 stay readable as before (LakeSpec time-travels to 2
+    * and gets the old answer), but a current read now plans from ONE
+    * metadata file instead of three. At 100 TB with thousands of
+    * commits, planning cost is manifest-bounded — this op is why it
+    * stays O(1) instead of O(commits). The query returns the live
+    * aggregate read through the compacted manifest; the oracle (and
+    * LakeSpec) confirm it is byte-identical to the pre-rewrite answer. */
+  def manifestRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = IngestOps.tmp("events_manifest_rw")
+    writeVersioned(spark, dir, out)
+    // the rewrite commit: one full manifest = the consolidated live list
+    // of snapshots 1-3; metadata-only, no data file touched
+    val live = liveFiles(spark, out, 1 to 3)
+    writeManifest(spark, out, "snap-4.txt", live)
+    writeManifest(spark, out, "snap-4.FULL", Seq("full"))
+    readLiveCompacted(spark, out, 4)
+      .filter($"day".between(1, 15))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
+  /** Read snapshot `n`: ONE manifest when `n` is a FULL (compacted)
+    * snapshot, else the usual delta union — Iceberg's planFiles over a
+    * rewritten manifest list. */
+  private[graft] def readLiveCompacted(spark: SparkSession, root: String,
+      n: Int): DataFrame = {
+    val files =
+      if (readManifest(spark, root, s"snap-$n.FULL").nonEmpty)
+        readManifest(spark, root, s"snap-$n.txt")
+      else liveFiles(spark, root, 1 to n)
+    spark.read.option("basePath", s"$root/data")
+      .parquet(files.map(rel => s"$root/data/$rel"): _*)
+  }
+
   /** `table_clone` — ZERO-COPY shallow clone (Delta's SHALLOW CLONE /
     * Iceberg's snapshot-ref pattern): the clone is a new table whose
     * metadata points at the SOURCE's data files — creating it copies
@@ -758,6 +799,7 @@ object LakeOps {
     "delete_mor_pos" -> (deleteMorPos _),
     "compact_mor" -> (compactMor _),
     "table_clone" -> (tableClone _),
+    "manifest_rewrite" -> (manifestRewrite _),
     "commit_conflict_retry" -> (commitConflictRetry _),
     "update_where" -> (updateWhere _),
     "expire_snapshots" -> (expireSnapshots _),
@@ -839,6 +881,11 @@ object LakeOps {
       s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
          |FROM events WHERE day(ts) BETWEEN 1 AND 17
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "manifest_rewrite" ->
+      s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events WHERE day(ts) BETWEEN 1 AND 15
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "update_where" ->
       s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,

@@ -290,6 +290,39 @@ class LakeSpec extends SparkSpecBase {
     assert(rows.toSeq == direct.toSeq)
   }
 
+  test("manifest_rewrite compacts planning to one manifest without " +
+      "touching data or history") {
+    import spark.implicits._
+    val rows = sources.LakeOps.manifestRewrite(spark, sf).collect()
+    val root = graft.sources.IngestOps.tmp("events_manifest_rw")
+    // the full manifest lists exactly the pre-rewrite live set, and the
+    // compacted read plans from it alone
+    val full = graft.sources.IngestOps
+      .snapshotManifest(spark, root, 4).toSet
+    assert(full == sources.LakeOps.liveFiles(spark, root, 1 to 3).toSet)
+    // no data file was touched by the metadata commit
+    val mt = partMtimes(s"$root/data")
+    val metaMt = new Path(s"$root/metadata/snap-4.txt")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(new Path(s"$root/metadata/snap-4.txt"))
+      .getModificationTime
+    assert(mt.values.max <= metaMt, "a data file changed under rewrite")
+    // history intact: time travel to snapshot 2 still answers days 1-10
+    val asOf2 = spark.read.option("basePath", s"$root/data").parquet(
+        sources.LakeOps.liveFiles(spark, root, 1 to 2)
+          .map(r => s"$root/data/$r"): _*)
+      .select($"day").distinct().collect().map(_.getInt(0)).sorted
+    assert(asOf2.toSeq == (1 to 10))
+    // the compacted answer equals the delta-union answer
+    val direct = sources.LakeOps.readLiveCompacted(spark, root, 3)
+      .filter($"day".between(1, 15))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.dsum($"value").as("sum_value"))
+      .orderBy($"day").collect()
+    assert(rows.toSeq == direct.toSeq)
+  }
+
   test("table_clone is zero-copy: creation moves no data bytes, the " +
       "source stays untouched, and the clone evolves independently") {
     import spark.implicits._
