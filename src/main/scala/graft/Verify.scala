@@ -21,7 +21,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Tables.warmup(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter: SPARK_GRAFT_ONLY=k1,k2 dumps only those
+    // keys (exact match). Unset for the driver's full run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

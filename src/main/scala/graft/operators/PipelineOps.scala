@@ -518,25 +518,20 @@ object PipelineOps {
   def embedPq(spark: SparkSession, dir: String): DataFrame =
     embedPqAll(spark, dir).limit(8)
 
-  /** All ADC distances, unsorted-cut (see [[embedPq]]); split out so the
-    * spec can check seeds, for which ADC is EXACT (a codebook vector's
-    * codes reproduce its own slices, so the table lookups sum to the
-    * true query distance). */
-  private[graft] def embedPqAll(spark: SparkSession,
-      dir: String): DataFrame = {
-    import spark.implicits._
+  /** Product-quantization model shared by [[embedPq]] and the persisted
+    * IVF-PQ index ([[SimilarityOps.simIvfpqIndex]]): m=8 subspaces of 8
+    * dims, each with a k=8-entry codebook whose entries are slices of the
+    * seed vectors 0-7 (deterministic, the [[embedKmeans]] convention);
+    * query = vector 5. All sums are explicit left-to-right chains so the
+    * DuckDB twin arithmetic is bit-identical. */
+  private[graft] final case class PqModel(
+      book: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      q: IndexedSeq[Double]) {
     val m = 8; val sub = 8; val k = 8
-    val vecs = Tables.embeddings(spark, dir)
-      .select($"vec_id",
-        transform($"embedding", x => x.cast("double")).as("v"))
-    // codebook seeds + query: 5 driver-side rows, metadata cardinality
-    val seed = vecs.filter($"vec_id" < k || $"vec_id" === 5)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    val book = (0 until m).map(s => (0 until k).map(c =>
-      seed(c.toLong).slice(s * sub, (s + 1) * sub).toIndexedSeq))
-    val q = seed(5L)
-    // query→centroid tables, folded in the oracle's list_sum order so
-    // the literal doubles are bit-identical to DuckDB's
+
+    /** query→centroid squared distance in subspace `s` — a driver-side
+      * double folded in the oracle's list_sum order, so the plan literal
+      * is bit-identical to DuckDB's. */
     def qd2(s: Int, c: Int): Double = {
       var acc = 0.0
       var i = 0
@@ -545,15 +540,79 @@ object PipelineOps {
       }
       acc
     }
-    def sliceD2(vs: org.apache.spark.sql.Column, cs: IndexedSeq[Double]) =
+
+    /** full-vector query→centroid distance (coarse probe ranking):
+      * chained subspace sum, same order as the qd oracle CTE. */
+    def qd2Full(c: Int): Double = (0 until m).map(qd2(_, c)).reduce(_ + _)
+
+    /** sequential-fold squared distance of an 8-dim slice to a literal
+      * codebook entry (the twin of list_sum(list_transform(...))). */
+    def sliceD2(vs: org.apache.spark.sql.Column,
+        cs: IndexedSeq[Double]): org.apache.spark.sql.Column =
       aggregate(zip_with(vs, array(cs.map(lit): _*),
         (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
-    val contrib = (0 until m).map { s =>
-      val vs = slice($"v", s * sub + 1, sub)
-      val dists = array((0 until k).map(c =>
-        struct(sliceD2(vs, book(s)(c)).as("d2"), lit(c).as("cid"))): _*)
-      val code = array_min(dists).getField("cid")
-      element_at(array((0 until k).map(c => lit(qd2(s, c))): _*), code + 1)
+
+    /** PQ code of subspace `s`: argmin centroid, tie → lowest id. */
+    def codeCol(v: org.apache.spark.sql.Column,
+        s: Int): org.apache.spark.sql.Column = {
+      val vs = slice(v, s * sub + 1, sub)
+      array_min(array((0 until k).map(c =>
+        struct(sliceD2(vs, book(s)(c)).as("d2"), lit(c).as("cid"))): _*))
+        .getField("cid")
+    }
+
+    /** all m codes as one array column — the 8-byte index payload. */
+    def codesCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array((0 until m).map(codeCol(v, _)): _*)
+
+    /** coarse (full-vector) distance to centroid `c`: chained subspace
+      * sum — identical arithmetic to the oracle's fullv CTE. */
+    def fullD2(v: org.apache.spark.sql.Column,
+        c: Int): org.apache.spark.sql.Column =
+      (0 until m).map(s =>
+        sliceD2(slice(v, s * sub + 1, sub), book(s)(c))).reduce(_ + _)
+
+    /** IVF bucket = argmin coarse centroid, tie → lowest id. */
+    def bucketCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_min(array((0 until k).map(c =>
+        struct(fullD2(v, c).as("d2"), lit(c).as("cid"))): _*))
+        .getField("cid")
+
+    /** ADC distance from a STORED codes array: 8 table lookups keyed by
+      * the codes — never touches a corpus float. */
+    def adcFromCodes(codes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until m).map(s =>
+        element_at(array((0 until k).map(c => lit(qd2(s, c))): _*),
+          element_at(codes, s + 1) + 1)).reduce(_ + _)
+  }
+
+  /** Build the PQ model: codebook seeds + query are 9 driver-side rows —
+    * metadata cardinality, like Iceberg's manifest planning. */
+  private[graft] def pqModel(spark: SparkSession, dir: String): PqModel = {
+    import spark.implicits._
+    val seed = Tables.embeddings(spark, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .filter($"vec_id" < 8 || $"vec_id" === 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val book = (0 until 8).map(s => (0 until 8).map(c =>
+      seed(c.toLong).slice(s * 8, (s + 1) * 8).toIndexedSeq))
+    PqModel(book, seed(5L).toIndexedSeq)
+  }
+
+  /** All ADC distances, unsorted-cut (see [[embedPq]]); split out so the
+    * spec can check seeds, for which ADC is EXACT (a codebook vector's
+    * codes reproduce its own slices, so the table lookups sum to the
+    * true query distance). */
+  private[graft] def embedPqAll(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val pq = pqModel(spark, dir)
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+    val contrib = (0 until pq.m).map { s =>
+      element_at(array((0 until pq.k).map(c => lit(pq.qd2(s, c))): _*),
+        pq.codeCol($"v", s) + 1)
     }
     vecs.filter($"vec_id" =!= 5)
       .select($"vec_id", round(contrib.reduce(_ + _), 6).as("adc_d2"))
@@ -655,10 +714,10 @@ object PipelineOps {
     "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
 
   /** Shared CTE text for the product-quantization oracles: `adc` =
-    * per-vector ADC distance to query vector 5 under the 4×4 codebook
+    * per-vector ADC distance to query vector 5 under the 8×8 codebook
     * (the twin of [[embedPqAll]]). The per-subspace sum is an explicit
     * left-to-right chain so the fold order matches the engine's. */
-  private val PQ_CTES =
+  private[graft] val PQ_CTES =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |book AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 8),
       |qv AS (SELECT v AS qvec FROM e WHERE vec_id = 5),

@@ -91,6 +91,91 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** Write-once IVF-PQ index layout (the production FAISS shape): every
+    * corpus vector is coarse-assigned to its nearest of 8 centroids by
+    * FULL-vector L2 (the IVF part) and fine-encoded as m=8 one-byte PQ
+    * codes ([[graft.operators.PipelineOps.PqModel]]); what's persisted is
+    * (vec_id, codes, bucket) PARTITIONED BY bucket — the inverted lists
+    * are physical directories holding CODES ONLY, no embedding floats.
+    * At 100 TB the index is 32× smaller than the corpus, a probe is
+    * directory pruning, and the scan decodes nothing. */
+  private[graft] def ivfpqIndexLayout(spark: SparkSession,
+      dir: String): String = {
+    import spark.implicits._
+    val out = graft.sources.IngestOps.shared("ivfpq_index_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
+      graft.sources.IngestOps.sourceFingerprint(spark, dir))
+    graft.sources.IngestOps.buildShared(spark, out, root =>
+      graft.sources.IngestOps.fsExists(spark, s"$root/_DONE")) { tmpRoot =>
+      val pq = PipelineOps.pqModel(spark, dir)
+      Tables.embeddings(spark, dir)
+        .select($"vec_id",
+          transform($"embedding", x => x.cast("double")).as("v"))
+        .select($"vec_id", pq.codesCol($"v").as("codes"),
+          pq.bucketCol($"v").as("bucket"))
+        .repartition($"bucket")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .partitionBy("bucket").parquet(s"$tmpRoot/data")
+      val done = new org.apache.hadoop.fs.Path(tmpRoot, "_DONE")
+      done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(done, true).close()
+    }
+  }
+
+  /** `sim_ivfpq_index` — ANN against the PERSISTED IVF-PQ index: the
+    * query (vector 5) ranks the 8 coarse centroids driver-side (8 doubles
+    * of metadata), probes its top-2 inverted lists — static partition
+    * pruning, only 2 of 8 bucket directories are ever opened — and ranks
+    * the candidates by ASYMMETRIC DISTANCE: 8 table lookups keyed by the
+    * stored codes, never decoding a corpus float. This composes
+    * [[simIvfIndex]]'s dir-pruned layout with [[PipelineOps.embedPq]]'s
+    * ADC kernel; at 100 TB a query reads probes/nlist of a codes table
+    * that is itself 32× smaller than the vectors. [[simIvfpqRecall]]
+    * reports what the two approximations cost. */
+  def simIvfpqIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ivfpqIndexLayout(spark, dir)
+    val pq = PipelineOps.pqModel(spark, dir)
+    // probe selection: rank the 8 centroids against the query — pure
+    // driver arithmetic on the broadcast-tiny codebook, no job at all
+    val probeIds = (0 until pq.k).map(c => (pq.qd2Full(c), c))
+      .sorted.take(2).map(_._2)
+    spark.read.parquet(s"$root/data")
+      .filter($"bucket".isin(probeIds.map(Int.box): _*) && $"vec_id" =!= 5)
+      .select($"vec_id", $"bucket".cast("long").as("bucket"),
+        round(pq.adcFromCodes($"codes"), 6).as("adc_d2"))
+      .orderBy($"adc_d2", $"vec_id")
+      .limit(10)
+  }
+
+  /** `sim_ivfpq_recall` — the honesty report for [[simIvfpqIndex]]:
+    * recall@10 of the probed-ADC top-10 against the exact L2 top-10 for
+    * the same query, in one plan. Two approximations stack here (probing
+    * 2/8 lists AND ranking by quantized distance) — this row is the
+    * number a user must see before trusting the index. */
+  def simIvfpqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 10
+    val pq = PipelineOps.pqModel(spark, dir)
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+    // exact squared-L2 ground truth, same fold order as the oracle
+    val exactD2 = aggregate(
+      zip_with($"v", array(pq.q.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val exactTop = vecs.filter($"vec_id" =!= 5)
+      .select($"vec_id", round(exactD2, 6).as("d2"))
+      .orderBy($"d2", $"vec_id").limit(k)
+      .select($"vec_id")
+    val approxTop = simIvfpqIndex(spark, dir).select($"vec_id")
+    approxTop.join(exactTop, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(k.toLong).as("k"), lit(2L).as("probes"), $"n_hits",
+        round($"n_hits".cast("double") / k, 6).as("recall"))
+  }
+
   /** `sim_cosine_topk` — top-20 most similar pairs (bounded subset). */
   def simCosineTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -248,6 +333,8 @@ object SimilarityOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivfpq_index" -> (simIvfpqIndex _),
+    "sim_ivfpq_recall" -> (simIvfpqRecall _),
     "sim_ivf_recall" -> (simIvfRecall _),
     "sim_ivf_knn" -> (simIvfKnn _),
     "sim_ivf_index" -> (simIvfIndex _),
@@ -262,7 +349,65 @@ object SimilarityOps {
       s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
       s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
 
+  /** IVF-PQ oracle CTEs: extend [[PipelineOps.PQ_CTES]] (e/book/qv/vd/
+    * codes/adc, query = vec 5) with the coarse layer — full-vector
+    * centroid distances as the SAME chained sum of per-subspace d2v the
+    * engine uses, the argmin bucket assignment, and the 2-list probe. */
+  private val IVFPQ_CTES =
+    s"""${PipelineOps.PQ_CTES},
+       |fullv AS (
+       |  SELECT vec_id, c,
+       |      MAX(CASE WHEN s = 0 THEN d2v END)
+       |    + MAX(CASE WHEN s = 1 THEN d2v END)
+       |    + MAX(CASE WHEN s = 2 THEN d2v END)
+       |    + MAX(CASE WHEN s = 3 THEN d2v END)
+       |    + MAX(CASE WHEN s = 4 THEN d2v END)
+       |    + MAX(CASE WHEN s = 5 THEN d2v END)
+       |    + MAX(CASE WHEN s = 6 THEN d2v END)
+       |    + MAX(CASE WHEN s = 7 THEN d2v END) AS d2f
+       |  FROM vd GROUP BY vec_id, c),
+       |assigned AS (
+       |  SELECT vec_id, c AS bucket FROM (
+       |    SELECT vec_id, c, row_number()
+       |      OVER (PARTITION BY vec_id ORDER BY d2f, c) AS rn FROM fullv)
+       |  WHERE rn = 1),
+       |qd AS (
+       |  SELECT c,
+       |      MAX(CASE WHEN s = 0 THEN d2q END)
+       |    + MAX(CASE WHEN s = 1 THEN d2q END)
+       |    + MAX(CASE WHEN s = 2 THEN d2q END)
+       |    + MAX(CASE WHEN s = 3 THEN d2q END)
+       |    + MAX(CASE WHEN s = 4 THEN d2q END)
+       |    + MAX(CASE WHEN s = 5 THEN d2q END)
+       |    + MAX(CASE WHEN s = 6 THEN d2q END)
+       |    + MAX(CASE WHEN s = 7 THEN d2q END) AS d2f
+       |  FROM (SELECT s, c, ANY_VALUE(d2q) AS d2q FROM vd GROUP BY s, c)
+       |  GROUP BY c),
+       |probe AS (SELECT c FROM qd ORDER BY d2f, c LIMIT 2),
+       |ivfadc AS (
+       |  SELECT a.vec_id, a.bucket, x.adc_d2
+       |  FROM assigned a JOIN adc x USING (vec_id)
+       |  JOIN probe p ON a.bucket = p.c)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sim_ivfpq_index" ->
+      s"""WITH $IVFPQ_CTES
+         |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket, adc_d2
+         |FROM ivfadc ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin,
+    "sim_ivfpq_recall" ->
+      s"""WITH $IVFPQ_CTES,
+         |pqtop AS (
+         |  SELECT vec_id FROM ivfadc ORDER BY adc_d2, vec_id LIMIT 10),
+         |ex AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, round(list_sum(list_transform(range(1, 65),
+         |        i -> (e.v[i::INT] - qv.qvec[i::INT])
+         |           * (e.v[i::INT] - qv.qvec[i::INT]))), 6) AS d2
+         |    FROM e CROSS JOIN qv WHERE e.vec_id <> 5)
+         |  ORDER BY d2, vec_id LIMIT 10)
+         |SELECT CAST(10 AS BIGINT) AS k, CAST(2 AS BIGINT) AS probes,
+         |  COUNT(*) AS n_hits, round(COUNT(*) / 10.0, 6) AS recall
+         |FROM pqtop JOIN ex USING (vec_id)""".stripMargin,
     "sim_ivf_recall" ->
       s"""WITH c AS (
          |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings

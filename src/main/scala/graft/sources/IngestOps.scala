@@ -116,10 +116,58 @@ object IngestOps {
               }
           } catch { case _: java.io.IOException => true } // racing: retry
           if (ownerAlive) Thread.sleep(100)
-          else java.nio.file.Files.deleteIfExists(lock) // break a dead lock
+          else breakDeadLock(lock)
       }
     }
     try body finally java.nio.file.Files.deleteIfExists(lock)
+  }
+
+  /** Break a lock whose owner looked dead — atomically. A bare
+    * `deleteIfExists` here is a TOCTOU hole: between our liveness read
+    * and our delete, a racing waiter may have broken the lock itself and
+    * re-acquired, so we'd delete a LIVE lock and let two builders run.
+    * Deletions of `lock` are therefore serialized through a one-shot
+    * breaker file (`<lock>.break`, O_EXCL): only its winner may delete,
+    * and it re-verifies the owner is still dead immediately before doing
+    * so. The lock file can't be re-created while it still exists (waiters
+    * use CREATE_NEW), so the re-verified state can't change under us. A
+    * breaker that dies mid-break is itself reaped by the same dead-pid
+    * rule. */
+  private def breakDeadLock(lock: java.nio.file.Path): Unit = {
+    val breaker = lock.resolveSibling(lock.getFileName.toString + ".break")
+    val me = java.lang.ProcessHandle.current().pid().toString
+    try {
+      java.nio.file.Files.write(breaker, me.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      try {
+        val ownerStillDead = try {
+          new String(java.nio.file.Files.readAllBytes(lock),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+            .exists { p =>
+              val h = java.lang.ProcessHandle.of(p)
+              !(h.isPresent && h.get().isAlive)
+            }
+        } catch {
+          case _: java.nio.file.NoSuchFileException => false // already broken
+          case _: java.io.IOException                => false // unsure: don't
+        }
+        if (ownerStillDead) java.nio.file.Files.deleteIfExists(lock)
+      } finally java.nio.file.Files.deleteIfExists(breaker)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // another breaker is in flight; reap it if IT died, else yield
+        val breakerDead = try {
+          new String(java.nio.file.Files.readAllBytes(breaker),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+            .exists { p =>
+              val h = java.lang.ProcessHandle.of(p)
+              !(h.isPresent && h.get().isAlive)
+            }
+        } catch { case _: java.io.IOException => false }
+        if (breakerDead) java.nio.file.Files.deleteIfExists(breaker)
+        else Thread.sleep(50)
+    }
   }
 
   /** events + derived partition columns (`Hidden:133-135` identity

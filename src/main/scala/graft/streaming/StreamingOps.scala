@@ -526,7 +526,7 @@ object StreamingOps {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_late_drop" ->
-      // drop-B (day-3) rows are absent: they arrived behind the
+      // drop-C (day-5 replay) rows are absent: they arrived behind the
       // watermark. Only windows the final watermark passed are emitted:
       // window_end <= max(fresh ts, ms precision) - 1h.
       """WITH base AS (

@@ -68,6 +68,63 @@ class SimilaritySpec extends SparkSpecBase {
     assert(opened.size <= 2, s"probed more than 2 lists: $opened")
   }
 
+  test("sim_ivfpq_index: probed scan opens <= 2 bucket dirs and the " +
+      "persisted index holds no embedding floats") {
+    import spark.implicits._
+    val result = operators.SimilarityOps.simIvfpqIndex(spark, sf).collect()
+    assert(result.length == 10)
+    val root = operators.SimilarityOps.ivfpqIndexLayout(spark, sf)
+    // the index payload is (vec_id, codes, bucket) — CODES ONLY: a probe
+    // must be answerable without decoding a single corpus float
+    val idx = spark.read.parquet(s"$root/data")
+    def hasFloat(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.FloatType  => true
+        case _: org.apache.spark.sql.types.DoubleType => true
+        case a: org.apache.spark.sql.types.ArrayType  => hasFloat(a.elementType)
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.exists(f => hasFloat(f.dataType))
+        case _ => false
+      }
+    assert(!idx.schema.fields.exists(f => hasFloat(f.dataType)),
+      s"index leaks float columns: ${idx.schema.treeString}")
+    // probing = static partition pruning: the probed read touches files
+    // from <= 2 of the 8 bucket=N inverted-list directories
+    val probedBuckets = result.map(_.getLong(1)).distinct
+    val opened = idx
+      .filter($"bucket".isin(probedBuckets.map(b => Int.box(b.toInt)): _*))
+      .select(input_file_name().as("f")).distinct().as[String].collect()
+      .flatMap("bucket=(\\d+)/".r.findFirstMatchIn(_).map(_.group(1)))
+      .toSet
+    assert(opened.size <= 2, s"probed more than 2 lists: $opened")
+  }
+
+  test("sim_ivfpq ADC ranking agrees with the in-plan PQ kernel on the " +
+      "probed buckets, and the recall report is consistent") {
+    import spark.implicits._
+    // the stored codes must reproduce embed_pq's ADC distances exactly:
+    // restrict the in-plan all-vector ADC to the probed buckets and the
+    // persisted-index answer must be its top-10
+    val persisted = operators.SimilarityOps.simIvfpqIndex(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toSeq
+    val probed = operators.SimilarityOps.simIvfpqIndex(spark, sf)
+      .select($"vec_id", $"bucket").as[(Long, Long)].collect().map(_._2).toSet
+    val root = operators.SimilarityOps.ivfpqIndexLayout(spark, sf)
+    val inBuckets = spark.read.parquet(s"$root/data")
+      .filter($"bucket".isin(probed.map(b => Int.box(b.toInt)).toSeq: _*))
+      .select($"vec_id").as[Long].collect().toSet
+    val inPlan = operators.PipelineOps.embedPqAll(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .filter(p => inBuckets(p._1) && p._1 != 5L)
+      .sortBy(p => (p._2, p._1)).take(10).toSeq
+    assert(persisted == inPlan,
+      s"stored-code ADC diverges from in-plan ADC:\n$persisted\n$inPlan")
+    val rec = operators.SimilarityOps.simIvfpqRecall(spark, sf)
+      .collect().head
+    val (hits, recall) = (rec.getLong(2), rec.getDouble(3))
+    assert(recall == hits / 10.0 && recall >= 0.0 && recall <= 1.0)
+  }
+
   test("sign-LSH candidates only pair vectors from the same bucket") {
     import spark.implicits._
     val rows = SimilarityOps.simAnnLsh(spark, sf).collect()
