@@ -770,6 +770,64 @@ object IngestOps {
       .orderBy($"event_type")
   }
 
+  /** Two-era layout for TYPE-WIDENING evolution: v1 files (days 1-15)
+    * carry `units` as INT32 and `score` as FLOAT — the narrow physical
+    * types stay in the old footers forever; v2 files (days 16+) carry
+    * the widened LONG/DOUBLE, with v2 `units` values beyond int32 range
+    * so the promotion is load-bearing, not cosmetic. Built once per JVM
+    * (_DONE-gated) so the spec can prove the merged read never rewrites
+    * a v1 byte. */
+  private[graft] def widenLayout(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val out = tmp("events_widened")
+    if (!fsExists(spark, s"$out/_DONE")) {
+      val ev = eventsWithParts(spark, dir)
+        .select($"event_id", $"event_type", $"user_id", $"value", $"day")
+        .localCheckpoint()
+      ev.filter($"day" <= 15)
+        .select($"event_id", $"event_type",
+          ($"user_id" % 100000L).cast("int").as("units"),
+          $"value".cast("float").as("score"), $"day")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/v1")
+      ev.filter($"day" > 15)
+        .select($"event_id", $"event_type",
+          (($"user_id" % 100000L) + 3000000000L).as("units"),
+          $"value".as("score"), $"day")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/v2")
+      val done = new org.apache.hadoop.fs.Path(out, "_DONE")
+      done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(done, true).close()
+    }
+    out
+  }
+
+  /** `alter_widen_type` — TYPE-WIDENING schema evolution (int→long,
+    * float→double), the fourth leg beside add ([[alterAddCols]]), nested
+    * add ([[alterNestedEvolve]]) and rename ([[alterRenameCol]]): the
+    * era drift implied by the reference's footer-driven schema path
+    * (`Bulk:109-126`), which Iceberg promotes natively and Spark's
+    * `mergeSchema` REFUSES (int/long unions throw). The engine's answer
+    * is the same scan-time mapping rename uses: each era is read in its
+    * own physical type and CAST to the table type in its projection —
+    * v1 footers keep INT32/FLOAT bytes forever (IngestSpec proves
+    * zero-rewrite by mtime), the cast is codegen'd per batch, and at
+    * 100 TB a type change costs nothing but a cast in the scan
+    * projection instead of a full table rewrite. */
+  def alterWidenType(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = widenLayout(spark, dir)
+    // the type mapping: pre-widening files promote in the projection
+    val v1 = spark.read.parquet(s"$out/v1")
+      .withColumn("units", $"units".cast("long"))
+      .withColumn("score", $"score".cast("double"))
+    val v2 = spark.read.parquet(s"$out/v2")
+    v1.unionByName(v2)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"units").as("sum_units"),
+        min($"score").as("min_score"), max($"score").as("max_score"))
+      .orderBy($"event_type")
+  }
+
   /** `snapshot_read_attime` — time-travel READ by TIMESTAMP (Iceberg's
     * `asOfTimestamp`, the twin of [[snapshotReadAsof]]'s by-id travel):
     * the cutoff resolves against the persisted commit log to the last
@@ -1176,6 +1234,7 @@ object IngestOps {
     "alter_add_cols" -> (alterAddCols _),
     "alter_nested_evolve" -> (alterNestedEvolve _),
     "alter_rename_col" -> (alterRenameCol _),
+    "alter_widen_type" -> (alterWidenType _),
     "partition_prune_scan" -> (partitionPruneScan _),
     "table_props" -> (tableProps _),
     "scan_parquet" -> (scanParquet _),
@@ -1322,6 +1381,20 @@ object IngestOps {
          |  COUNT(DISTINCT day(ts)) AS n_days,
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // v1 eras narrow `score` through REAL: DuckDB's double→float→double
+    // round-trip is the same IEEE754 conversion Spark's cast performs
+    "alter_widen_type" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN day(ts) > 15
+        |    THEN user_id % 100000 + 3000000000
+        |    ELSE user_id % 100000 END) AS BIGINT) AS sum_units,
+        |  MIN(CASE WHEN day(ts) <= 15
+        |    THEN CAST(CAST(value AS REAL) AS DOUBLE)
+        |    ELSE value END) AS min_score,
+        |  MAX(CASE WHEN day(ts) <= 15
+        |    THEN CAST(CAST(value AS REAL) AS DOUBLE)
+        |    ELSE value END) AS max_score
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "partition_prune_scan" ->
       """SELECT hour(ts) AS hour, COUNT(*) AS n,
         |  COUNT(DISTINCT user_id) AS n_users

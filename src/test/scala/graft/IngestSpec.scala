@@ -242,6 +242,43 @@ class IngestSpec extends SparkSpecBase {
     assert(rows.map(_.getLong(2)).sum == direct)
   }
 
+  test("alter_widen_type: v1 footers stay INT32/FLOAT and are never " +
+      "rewritten; the merged read serves the widened types") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val root = graft.sources.IngestOps.widenLayout(spark, sf)
+    val p = new org.apache.hadoop.fs.Path(s"$root/v1")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def v1Mtimes(): Map[String, Long] = {
+      val it = fs.listFiles(p, true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.toString.endsWith(".parquet"))
+          b += f.getPath.toString -> f.getModificationTime
+      }
+      b.result()
+    }
+    val before = v1Mtimes()
+    assert(before.nonEmpty)
+    // the narrow physical types really are in the old footers
+    val v1Schema = spark.read.parquet(s"$root/v1").schema
+    assert(v1Schema("units").dataType == IntegerType)
+    assert(v1Schema("score").dataType == FloatType)
+    // the widening read: promoted types served, v1 bytes untouched
+    val served = graft.sources.IngestOps.alterWidenType(spark, sf)
+    assert(served.schema("sum_units").dataType == LongType)
+    assert(served.schema("min_score").dataType == DoubleType)
+    val rows = served.collect()
+    assert(rows.nonEmpty)
+    // v2 eras carry units beyond int32 range — the promotion is real
+    val maxUnits = spark.read.parquet(s"$root/v2")
+      .agg(max(col("units"))).head.getLong(0)
+    assert(maxUnits > Int.MaxValue.toLong)
+    assert(v1Mtimes() == before,
+      "type widening rewrote v1 data files")
+  }
+
   test("snapshot_mixed_format: era 1 is parquet, era 2 is ORC appended " +
       "without touching era 1, and the union answers correctly") {
     import org.apache.spark.sql.functions._
