@@ -583,38 +583,58 @@ object LakeOps {
       .orderBy($"day")
   }
 
-  /** `expire_snapshots` — Iceberg's `expireSnapshots` + orphan cleanup:
-    * snapshot 4 compacts the fragmented day 1-5 region (a replace commit:
-    * adds the packed files, logically removes snapshot 1's ~20), then
-    * expiring snapshots 1-3 physically deletes every file no retained
-    * snapshot references — exactly the superseded originals. The live
+  /** `expire_snapshots` — Iceberg's `expireSnapshots` + orphan cleanup,
+    * REF-AWARE: expiry deletes every file reachable from NO named ref,
+    * never a file some branch, tag, or clone base-pointer still needs
+    * (Iceberg retains ref-reachable snapshots for exactly this reason).
+    * The run: a `v1` tag pins snapshot 1 (the fragmented era) BEFORE
+    * maintenance; snapshot 4 compacts the day 1-5 fragments (replace
+    * commit), snapshot 5 re-clusters days 6-10 (replacing snapshot 2's
+    * files); expiry then walks `metadata/refs.txt` — reachable = the
+    * union of every ref's live view — and deletes only the rest:
+    * snapshot 2's superseded originals go (no ref reaches them), the
+    * pinned fragments STAY although the current view replaced them too
+    * (LakeSpec proves the tag still answers after expiry). The live
     * answer is unchanged (the oracle is the plain table aggregate: that
-    * IS the contract of expiry — reclaim storage, not data); LakeSpec
-    * asserts the orphan files are gone from disk and the directory equals
-    * the live file list. At 100 TB expiry is the difference between a
-    * lake that grows monotonically with every rewrite and one whose
-    * storage tracks the live data size. */
+    * IS the contract — reclaim storage, not data). At 100 TB expiry is
+    * the difference between a lake that grows monotonically with every
+    * rewrite and one whose storage tracks live + pinned data — and
+    * ref-awareness is the difference between cleanup and silently
+    * corrupting every clone and tag downstream. */
   def expireSnapshots(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val out = IngestOps.tmp("events_expire")
     writeVersioned(spark, dir, out)
     val data = s"$out/data"
+    // the tag lands before maintenance, like a release pin in real life
+    setRef(spark, out, "v1", 1)
     // snapshot 4: compaction replace-commit over the fragmented region
     val frag = liveFiles(spark, out, Seq(1))
-    val before = listData(spark, data)
+    val before4 = listData(spark, data)
     readLive(spark, out, Seq(1)).repartition($"day")
       .write.mode(SaveMode.Append).option("compression", "zstd")
       .partitionBy("day").parquet(data)
-    writeManifest(spark, out, "snap-4.txt", listData(spark, data) -- before)
+    writeManifest(spark, out, "snap-4.txt", listData(spark, data) -- before4)
     writeManifest(spark, out, "snap-4.removed.txt", frag)
-    // expire snapshots 1-3: delete files not referenced by the live view
-    val live = liveFiles(spark, out, 1 to 4).toSet
+    // snapshot 5: re-cluster days 6-10 (replaces snapshot 2's files —
+    // the region NO ref pins, so expiry may reclaim the originals)
+    val mid = readManifest(spark, out, "snap-2.txt")
+    val before5 = listData(spark, data)
+    readLive(spark, out, Seq(2)).repartition($"day")
+      .sortWithinPartitions($"user_id")
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .partitionBy("day").parquet(data)
+    writeManifest(spark, out, "snap-5.txt", listData(spark, data) -- before5)
+    writeManifest(spark, out, "snap-5.removed.txt", mid)
+    setRef(spark, out, "main", 5)
+    // expire: reachable = union of every ref's live view; delete the rest
+    val reachable = readRefs(spark, out).values.toSet
+      .flatMap((s: Int) => liveFiles(spark, out, 1 to s).toSet)
     val fs = hfs(spark, data)
-    (listData(spark, data) -- live).foreach { rel =>
+    (listData(spark, data) -- reachable).foreach { rel =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$data/$rel"), false)
     }
-    writeManifest(spark, out, "retained.txt", Seq("4"))
-    readLive(spark, out, 1 to 4)
+    readLive(spark, out, 1 to 5)
       .groupBy($"day".cast("long").as("day"))
       .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
       .orderBy($"day")

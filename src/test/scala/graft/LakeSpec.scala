@@ -144,8 +144,9 @@ class LakeSpec extends SparkSpecBase {
     rows.foreach { r => assert(r.getLong(1) > 0 && r.getLong(2) > 0) }
   }
 
-  test("expire_snapshots deletes the superseded fragmented files; the " +
-      "data dir equals the live file list afterwards") {
+  test("expire_snapshots is ref-aware: unreachable files are deleted, " +
+      "tag-pinned files survive, and the tag still answers afterwards") {
+    import spark.implicits._
     sources.LakeOps.expireSnapshots(spark, sf).collect()
     val root = graft.sources.IngestOps.tmp("events_expire")
     val p = new Path(s"$root/data")
@@ -160,13 +161,35 @@ class LakeSpec extends SparkSpecBase {
       }
       b.result()
     }
-    val live = sources.LakeOps.liveFiles(spark, root, 1 to 4).toSet
-    assert(onDisk == live,
-      s"orphans remain or live files missing: disk=${onDisk.size} live=${live.size}")
-    // the compaction replaced snapshot 1's fragmented region (≈4 files
-    // per day) with one file per day — expiry must have reclaimed them
-    val day1to5 = onDisk.count(f => "day=([1-5])/".r.findFirstIn(f).isDefined)
-    assert(day1to5 == 5, s"expected 5 compacted files for days 1-5, got $day1to5")
+    // reachable = current live (main@5) ∪ the v1 tag's pinned view
+    val live = sources.LakeOps.liveFiles(spark, root, 1 to 5).toSet
+    val pinned = sources.LakeOps.liveFiles(spark, root, Seq(1)).toSet
+    assert(onDisk == live ++ pinned,
+      s"disk != reachable: disk=${onDisk.size} live=${live.size} " +
+        s"pinned=${pinned.size}")
+    // snapshot 2's superseded originals are reachable from NO ref — the
+    // only truly unreachable files, and exactly the ones reclaimed
+    val snap2 = graft.sources.IngestOps
+      .readMetaLines(spark, root, "metadata/snap-2.txt").toSet
+    assert(snap2.nonEmpty && (snap2 & onDisk).isEmpty,
+      "unreachable snapshot-2 originals were not reclaimed")
+    // the pinned fragments were replaced in the CURRENT view by the
+    // snap-4 compaction, but the tag keeps them alive
+    assert(pinned.nonEmpty && (pinned & live).isEmpty && pinned.subsetOf(onDisk),
+      "tag-pinned fragments were deleted by expiry")
+    // and the tag still reads green: its view equals a source recompute
+    val tagRows = spark.read.option("basePath", s"$root/data")
+      .parquet(pinned.toSeq.map(rel => s"$root/data/$rel"): _*)
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), graft.operators.dsum($"value").as("sv"))
+      .orderBy($"day").collect()
+    val direct = graft.sources.IngestOps.eventsWithParts(spark, sf)
+      .filter($"day".between(1, 5))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), graft.operators.dsum($"value").as("sv"))
+      .orderBy($"day").collect()
+    assert(tagRows.toSeq == direct.toSeq,
+      "tag read diverged after expiry")
   }
 
   test("rollback_snapshot: abandoned snapshot-3 files stay on disk but " +
