@@ -565,22 +565,38 @@ object LakeOps {
       .partitionBy("day").parquet(data)
     writeManifest(spark, clone, "snap-4.txt",
       listData(spark, data).map("L|" + _))
-    // CLONE READ: resolve each manifest line against its storage root
-    val base = IngestOps.readMetaLines(spark, clone, "metadata/base.txt").head
-    val files = (1 to 4)
-      .flatMap(n => readManifest(spark, clone, s"snap-$n.txt"))
-      .map {
-        case l if l.startsWith("B|") => s"$base/${l.drop(2)}"
-        case l if l.startsWith("L|") => s"$data/${l.drop(2)}"
-        case l => throw new IllegalStateException(s"untagged manifest: $l")
-      }
-    spark.read.parquet(files: _*)
-      .withColumn("day", regexp_extract(input_file_name(),
-        "day=(\\d+)/", 1).cast("int"))
+    cloneRead(spark, clone)
       .filter($"day".between(1, 17))
       .groupBy($"day".cast("long").as("day"))
       .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
       .orderBy($"day")
+  }
+
+  /** CLONE READ: resolve the manifests against their storage roots as
+    * one basePath-ed read PER ERA, unioned — `day` stays a real
+    * partition column in both branches, so a day predicate prunes at
+    * PLANNING time (directories never listed), instead of being
+    * re-derived per row from `input_file_name` and filtered post-scan.
+    * LakeSpec proves a `day=16` query opens only clone-local day-16
+    * files. */
+  private[graft] def cloneRead(spark: SparkSession,
+      clone: String): DataFrame = {
+    val base = IngestOps.readMetaLines(spark, clone, "metadata/base.txt").head
+    val data = s"$clone/data"
+    val lines = (1 to 4)
+      .flatMap(n => readManifest(spark, clone, s"snap-$n.txt"))
+    val resolved = lines.map {
+      case l if l.startsWith("B|") => base -> s"$base/${l.drop(2)}"
+      case l if l.startsWith("L|") => data -> s"$data/${l.drop(2)}"
+      case l => throw new IllegalStateException(s"untagged manifest: $l")
+    }
+    // each era projects to the clone's declared schema (the base table
+    // may carry extra physical columns the clone never adopted)
+    val cols = Seq("event_id", "user_id", "event_type", "value", "day")
+    resolved.groupBy(_._1).toSeq.sortBy(_._1).map { case (bp, fs) =>
+      spark.read.option("basePath", bp).parquet(fs.map(_._2): _*)
+        .select(cols.map(col): _*)
+    }.reduce(_ unionByName _)
   }
 
   /** `expire_snapshots` — Iceberg's `expireSnapshots` + orphan cleanup,

@@ -367,6 +367,17 @@ class LakeSpec extends SparkSpecBase {
     // the clone serves inherited + local days as one table
     val days = rows.map(_.getLong(0))
     assert(days.toSeq == (1L to 17L))
+    // day stays a PARTITION column through the clone read: a day=16
+    // predicate prunes at planning and opens ONLY clone-local day-16
+    // files — no base-era file, no other local day
+    val opened = sources.LakeOps.cloneRead(spark, clone)
+      .filter($"day" === 16)
+      .select(input_file_name().as("f")).distinct().as[String].collect()
+    assert(opened.nonEmpty)
+    opened.foreach { f =>
+      assert(f.contains("/events_clone/data/") && f.contains("day=16/"),
+        s"clone day=16 query opened a non-pruned file: $f")
+    }
   }
 
   test("compact_mor folds the delete file into ONLY the affected " +
