@@ -520,6 +520,55 @@ class LakeSpec extends SparkSpecBase {
     }
   }
 
+  test("stream_upsert_mor: micro-batches never touch a base byte; the " +
+      "MoR read equals the CoW merge; compaction folds the sidecars") {
+    import spark.implicits._
+    val (base, delta, deletes) =
+      streaming.StreamingOps.streamUpsertMorRun(spark, sf)
+    // base immutability: every base file predates every sidecar file —
+    // the stream committed appends only, no partition heat mattered
+    val p = new Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mts(path: String): Seq[Long] = {
+      val it = fs.listFiles(new Path(path), true)
+      val b = Seq.newBuilder[Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.toString.endsWith(".parquet"))
+          b += f.getModificationTime
+      }
+      b.result()
+    }
+    val (baseMts, sideMts) = (mts(base), mts(delta) ++ mts(deletes))
+    assert(baseMts.nonEmpty && sideMts.nonEmpty)
+    assert(baseMts.max <= sideMts.min,
+      "a micro-batch rewrote base data files")
+    // the MoR read equals the copy-on-write merge computed directly
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"day".between(6, 12))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), graft.operators.dsum($"value").as("sv"))
+      .orderBy($"day").collect().toSeq
+    val morRows = agg(streaming.StreamingOps
+      .morScan(spark, base, delta, deletes))
+    val src = graft.sources.IngestOps.eventsWithParts(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+    val upd = src.filter($"day".between(8, 12) &&
+        $"event_type" === "purchase")
+      .withColumn("value", $"value" + 1000.0)
+    val cow = src.filter($"day".between(1, 10))
+      .join(upd.select($"event_id"), Seq("event_id"), "left_anti")
+      .unionByName(upd)
+    assert(morRows == agg(cow), "MoR read diverged from the batch MERGE")
+    // compaction folds delta+deletes into base and drops them; a PLAIN
+    // scan then serves the same answer
+    streaming.StreamingOps.compactStreamMor(spark, base, delta, deletes)
+    assert(!new java.io.File(delta).exists, "delta survived compaction")
+    assert(!new java.io.File(deletes).exists, "deletes survived compaction")
+    assert(agg(spark.read.parquet(base)) == morRows,
+      "plain scan after compaction diverged from the MoR answer")
+  }
+
   test("join_bucketed: no shuffle exchange anywhere below the " +
       "sort-merge join (bucket layout replaces both exchanges)") {
     val df = operators.Joins.joinBucketed(spark, sf)
