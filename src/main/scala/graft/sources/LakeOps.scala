@@ -93,6 +93,50 @@ object LakeOps {
       .orderBy($"day")
   }
 
+  /** `merge_upsert_evolve` — MERGE with SCHEMA EVOLUTION (Delta's
+    * `autoMerge`): the updates carry a column the target lacks
+    * (`origin`), which [[mergeUpsert]] would reject. The commit widens
+    * the target schema instead: the copy-on-write rewrite materializes
+    * the new column only in the partitions the MERGE touches (base
+    * survivors there adopt it as NULL), while untouched partitions keep
+    * their narrow footers byte-for-byte (LakeSpec asserts both by
+    * schema and mtime) — Iceberg's add-column contract fused into the
+    * MERGE commit. A `mergeSchema` read unifies the eras and every v1
+    * row surfaces NULL origin. At 100 TB evolving the schema costs
+    * exactly the partitions the MERGE was rewriting anyway. */
+  def mergeUpsertEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = IngestOps.tmp("events_merge_evolve")
+    writeBase(spark, dir, out)
+    val matched = IngestOps.eventsWithParts(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+      .filter($"day".between(8, 12) && pmod($"event_id", lit(2L)) === 0)
+    val updates = matched.withColumn("value", $"value" * 2)
+      .unionByName(matched
+        .withColumn("event_id", $"event_id" + 100000000L)
+        .withColumn("event_type", lit("inserted"))
+        .withColumn("value", $"value" + 1000.0))
+      .withColumn("origin", lit("cdc"))
+    val days = updates.select($"day").distinct().collect()
+      .map(_.getInt(0)).sorted
+    val base = spark.read.parquet(out)
+    // the evolution: touched-partition survivors adopt the widened
+    // schema (NULL origin); untouched footers are never rewritten
+    val merged = base.filter($"day".isin(days.map(Int.box): _*))
+      .join(updates.select($"event_id"), Seq("event_id"), "left_anti")
+      .withColumn("origin", lit(null).cast("string"))
+      .unionByName(updates)
+    rewritePartitions(spark, merged, out)
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .filter($"day".between(6, 14))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        count($"origin").as("n_origin"),
+        count(when($"event_type" === "inserted", 1)).as("n_inserted"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
   /** `delete_where` — DELETE FROM base WHERE event_type='click' AND day
     * BETWEEN 3 AND 7, copy-on-write: partitions holding matching rows
     * are computed from the predicate's rows (metadata-scale collect of
@@ -830,6 +874,7 @@ object LakeOps {
     "changelog_diff" -> (changelogDiff _),
     "wap_publish" -> (wapPublish _),
     "merge_upsert" -> (mergeUpsert _),
+    "merge_upsert_evolve" -> (mergeUpsertEvolve _),
     "delete_where" -> (deleteWhere _),
     "delete_mor" -> (deleteMor _),
     "delete_mor_pos" -> (deleteMorPos _),
@@ -871,6 +916,23 @@ object LakeOps {
          |  SELECT day(ts), 'inserted', value + 1000
          |  FROM events WHERE day(ts) BETWEEN 8 AND 12 AND event_id % 2 = 0)
          |SELECT CAST(day AS BIGINT) AS day, COUNT(*) AS n,
+         |  COUNT(CASE WHEN event_type = 'inserted' THEN 1 END) AS n_inserted,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM merged WHERE day BETWEEN 6 AND 14
+         |GROUP BY day ORDER BY day""".stripMargin,
+    "merge_upsert_evolve" ->
+      s"""WITH merged AS (
+         |  SELECT day(ts) AS day, event_type,
+         |    CASE WHEN day(ts) BETWEEN 8 AND 12 AND event_id % 2 = 0
+         |         THEN value * 2 ELSE value END AS value,
+         |    CASE WHEN day(ts) BETWEEN 8 AND 12 AND event_id % 2 = 0
+         |         THEN 'cdc' END AS origin
+         |  FROM events
+         |  UNION ALL
+         |  SELECT day(ts), 'inserted', value + 1000, 'cdc'
+         |  FROM events WHERE day(ts) BETWEEN 8 AND 12 AND event_id % 2 = 0)
+         |SELECT CAST(day AS BIGINT) AS day, COUNT(*) AS n,
+         |  COUNT(origin) AS n_origin,
          |  COUNT(CASE WHEN event_type = 'inserted' THEN 1 END) AS n_inserted,
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
          |FROM merged WHERE day BETWEEN 6 AND 14

@@ -144,6 +144,37 @@ class LakeSpec extends SparkSpecBase {
     rows.foreach { r => assert(r.getLong(1) > 0 && r.getLong(2) > 0) }
   }
 
+  test("merge_upsert_evolve: untouched partitions keep narrow footers " +
+      "untouched; v1 rows surface NULL in the evolved column") {
+    import spark.implicits._
+    val rows = sources.LakeOps.mergeUpsertEvolve(spark, sf).collect()
+    val out = graft.sources.IngestOps.tmp("events_merge_evolve")
+    // only the merge-touched days were rewritten
+    val mt = partMtimes(out)
+    val (touched, untouched) = mt.partition(kv => kv._1 >= 8 && kv._1 <= 12)
+    assert(touched.nonEmpty && untouched.nonEmpty)
+    assert(untouched.values.max < touched.values.min,
+      s"schema evolution rewrote untouched partitions: $mt")
+    // untouched footers never learned the new column; touched ones did
+    assert(!spark.read.parquet(s"$out/day=3").columns.contains("origin"),
+      "an untouched partition was rewritten with the evolved schema")
+    assert(spark.read.parquet(s"$out/day=9").columns.contains("origin"),
+      "a touched partition did not adopt the evolved schema")
+    // the unified read: v1 rows are NULL in origin, update rows carry it
+    val unified = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(unified.filter($"day" < 8 && $"origin".isNotNull).count() == 0,
+      "a pre-evolution row carries a non-NULL evolved column")
+    assert(unified.filter($"origin" === "cdc").count() > 0)
+    rows.foreach { r =>
+      val (day, nOrigin, nInserted) =
+        (r.getLong(0), r.getLong(2), r.getLong(3))
+      if (day >= 8 && day <= 12)
+        assert(nOrigin > 0, s"day=$day lost its merged origin rows")
+      else assert(nOrigin == 0 && nInserted == 0,
+        s"day=$day outside the merge range carries evolved rows")
+    }
+  }
+
   test("expire_snapshots is ref-aware: unreachable files are deleted, " +
       "tag-pinned files survive, and the tag still answers afterwards") {
     import spark.implicits._
