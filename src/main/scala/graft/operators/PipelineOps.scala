@@ -454,9 +454,12 @@ object PipelineOps {
       iters: Int): DataFrame = {
     import spark.implicits._
     val k = 8
+    // cached: every Lloyd iteration re-reads vecs — without this the
+    // source scan + transform cost multiplies by the iteration count
     val vecs = Tables.embeddings(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
+      .cache()
     val seeds: Array[Seq[Double]] = vecs.filter($"vec_id" < k)
       .orderBy($"vec_id").collect().map(_.getSeq[Double](1))
 

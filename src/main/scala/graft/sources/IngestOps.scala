@@ -571,7 +571,8 @@ object IngestOps {
     * `aig/AIGEventsTableCreator.java:424-430`) for the two columns the
     * engine's scan planning prunes on. */
   private[graft] case class FileStats(rel: String, nRows: Long,
-      minDay: Int, maxDay: Int, minValue: Double, maxValue: Double)
+      minDay: Int, maxDay: Int, minValue: Double, maxValue: Double,
+      nNullValue: Long = 0L)
 
   /** Relative (to `data/`) paths of all parquet data files under `data`. */
   private[graft] def listDataFiles(spark: SparkSession,
@@ -609,10 +610,16 @@ object IngestOps {
           .as("rel"))
         .agg(count(lit(1)).as("n"), min($"day").as("mind"),
           max($"day").as("maxd"), min($"value").as("minv"),
-          max($"value").as("maxv"))
+          max($"value").as("maxv"), count($"value").as("nval"))
         .collect()
-        .map(r => s"${r.getString(0)}|${r.getLong(1)}|${r.getInt(2)}|" +
-          s"${r.getInt(3)}|${r.getDouble(4)}|${r.getDouble(5)}")
+        .map { r =>
+          val n = r.getLong(1)
+          // an all-NULL file has no value bounds: record NaN (parses back)
+          val minv = if (r.isNullAt(4)) Double.NaN else r.getDouble(4)
+          val maxv = if (r.isNullAt(5)) Double.NaN else r.getDouble(5)
+          s"${r.getString(0)}|$n|${r.getInt(2)}|${r.getInt(3)}|" +
+            s"$minv|$maxv|${n - r.getLong(6)}"
+        }
         .toSeq.sorted
     writeMetaLines(spark, root, s"metadata/$name", lines)
   }
@@ -622,8 +629,11 @@ object IngestOps {
       name: String): Seq[FileStats] = {
     readMetaLines(spark, root, s"metadata/$name").map { line =>
       val f = line.split('|')
+      // 6-field lines predate null-count stats (manifests persist across
+      // engine versions — a reader must accept both eras)
       FileStats(f(0), f(1).toLong, f(2).toInt, f(3).toInt,
-        f(4).toDouble, f(5).toDouble)
+        f(4).toDouble, f(5).toDouble,
+        if (f.length > 6) f(6).toLong else 0L)
     }
   }
 
@@ -1054,6 +1064,61 @@ object IngestOps {
     (hits, stats.size)
   }
 
+  /** Write-once layout for NULL-COUNT stats: `value` is NULL for clicks
+    * of days 3-7 (a sensor-dropout band), files clustered by day so the
+    * nulls concentrate in few files; per-file stats — including the
+    * null counts [[writeStatsManifest]] now records, the metric
+    * `manifest_stats`' min/max bounds cannot express — are written at
+    * ingest. Iceberg's null_value_counts column metrics. */
+  private[graft] def nullStatsLayout(spark: SparkSession,
+      dir: String): String = {
+    import spark.implicits._
+    val out = shared("events_nullstats_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
+      sourceFingerprint(spark, dir))
+    buildShared(spark, out,
+      root => fsExists(spark, s"$root/metadata/_DONE")) { tmpRoot =>
+      eventsWithParts(spark, dir)
+        .select($"event_id", $"user_id", $"event_type",
+          when($"event_type" === "click" && $"day".between(3, 7),
+            lit(null).cast("double")).otherwise($"value").as("value"),
+          $"day")
+        .repartitionByRange(16, $"day", $"event_id")
+        .sortWithinPartitions($"day")
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(s"$tmpRoot/data")
+      writeStatsManifest(spark, tmpRoot, "files.stats.txt",
+        listDataFiles(spark, s"$tmpRoot/data"))
+      val done = new org.apache.hadoop.fs.Path(tmpRoot, "metadata/_DONE")
+      done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(done, true).close()
+    }
+  }
+
+  /** `manifest_null_prune` — an `IS NULL` query whose scan file list is
+    * planned from per-file NULL COUNTS alone ([[manifestPruneScan]]'s
+    * discipline extended to the predicate min/max bounds can never
+    * serve): only files whose recorded null count is positive are
+    * opened; a file with zero nulls is excluded by metadata, not by
+    * reading it (IngestSpec proves via the executed scan's file index).
+    * At 100 TB an `IS NULL` audit over a mostly-complete column reads
+    * the handful of files with gaps instead of the whole table. */
+  def manifestNullPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = nullStatsLayout(spark, dir)
+    val hits = readStatsManifest(spark, root, "files.stats.txt")
+      .filter(_.nNullValue > 0).map(s => s"$root/data/${s.rel}")
+    val src = if (hits.nonEmpty)
+      spark.read.option("basePath", s"$root/data").parquet(hits: _*)
+    else spark.read.parquet(s"$root/data").filter(lit(false))
+    src.filter($"value".isNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"day".cast("long")).as("n_days"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
   /** Per-file Bloom sidecar over the snapshot layout, built once per
     * corpus fingerprint (a separate shared artifact — complete layouts
     * are never mutated): one ~64 KiB sketch per data file keyed on
@@ -1217,6 +1282,7 @@ object IngestOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "manifest_stats" -> (manifestStats _),
     "manifest_prune_scan" -> (manifestPruneScan _),
+    "manifest_null_prune" -> (manifestNullPrune _),
     "manifest_bloom_prune" -> (manifestBloomPrune _),
     "meta_files" -> (metaFiles _),
     "meta_snapshots" -> (metaSnapshots _),
@@ -1273,6 +1339,15 @@ object IngestOps {
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
          |FROM events WHERE value BETWEEN 180.0 AND 220.0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the nulled rows are exactly clicks of days 3-7, so the oracle can
+    // name them by predicate instead of reproducing the null injection
+    "manifest_null_prune" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT day(ts)) AS n_days,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE event_type = 'click' AND day(ts) BETWEEN 3 AND 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "manifest_bloom_prune" ->
       """WITH k AS (
         |  SELECT MIN(event_id) AS k FROM events WHERE day(ts) = 3

@@ -194,6 +194,46 @@ class IngestSpec extends SparkSpecBase {
     assert(q.collect().toSeq == full.collect().toSeq)
   }
 
+  test("manifest_null_prune plans IS NULL from null-count stats alone: " +
+      "files recorded null-free are never opened") {
+    import spark.implicits._
+    val root = graft.sources.IngestOps.nullStatsLayout(spark, sf)
+    val stats = graft.sources.IngestOps
+      .readStatsManifest(spark, root, "files.stats.txt")
+    val (withNulls, nullFree) = stats.partition(_.nNullValue > 0)
+    // the nulls are day-clustered: most of the 16 files are null-free
+    assert(stats.size == 16 && withNulls.nonEmpty && nullFree.nonEmpty)
+    assert(withNulls.size < stats.size / 2,
+      s"null clustering ineffective: ${withNulls.size} of 16 files hold nulls")
+    // null-count stats are sound: recorded counts equal actual per file
+    val actual = spark.read.parquet(s"$root/data")
+      .groupBy(regexp_extract(input_file_name(), "/data/(.*)$", 1)
+        .as("rel"))
+      .agg(count(when($"value".isNull, 1)).as("nn"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    stats.foreach(s => assert(actual(s.rel) == s.nNullValue,
+      s"stats lie for ${s.rel}: recorded=${s.nNullValue} actual=${actual(s.rel)}"))
+    // the query's executed scan reads exactly the null-bearing files
+    val q = graft.sources.IngestOps.manifestNullPrune(spark, sf)
+    q.collect()
+    val scan = fileScans(q.queryExecution.executedPlan).head
+    assert(scan.metrics("numFiles").value == withNulls.size,
+      s"scanned=${scan.metrics("numFiles").value}, planned=${withNulls.size}")
+    val scanRels = scan.relation.location.inputFiles
+      .map(f => f.substring(f.lastIndexOf("/data/") + 6)).toSet
+    assert(scanRels.intersect(nullFree.map(_.rel).toSet).isEmpty,
+      "the IS NULL scan lists a null-free file")
+    // pruning is lossless: the full-table IS NULL answer is identical
+    val full = spark.read.parquet(s"$root/data")
+      .filter($"value".isNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"day".cast("long")).as("n_days"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+    assert(q.collect().toSeq == full.collect().toSeq)
+  }
+
   test("manifest_bloom_prune opens only the files whose bloom might " +
       "hold a probe key — never a bloom-excluded file") {
     import spark.implicits._
