@@ -30,6 +30,8 @@ object Bench {
       graft.sources.IngestOps.partitionedLayout(spark, sfDir)
       graft.sources.IngestOps.snapshotLayout(spark, sfDir)
       graft.operators.SimilarityOps.ivfIndexLayout(spark, sfDir)
+      graft.operators.SimilarityOps.ivfpqIndexLayout(spark, sfDir)
+      graft.sources.IngestOps.nullStatsLayout(spark, sfDir)
     } catch { case _: Throwable => }
     val setupSec = (System.nanoTime() - setup0) / 1e9
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -164,6 +164,34 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** `agg_count_min` — COUNT-MIN SKETCH frequency estimation, completing
+    * the mergeable-sketch family (t-digest quantiles, HLL distinct,
+    * bitmap exact-distinct, bloom membership — CMS is the frequency
+    * member): one distributed pass builds a KB-sized sketch (partial
+    * sketches merge associatively across partitions, exactly how it
+    * ships across 1000 executors or accumulates across streaming
+    * micro-batches), then the known event-type domain is probed
+    * driver-side against the sketch. With eps=1e-4 and five keys the
+    * estimates are collision-free, so the oracle can check them against
+    * EXACT counts — the deterministic seed makes the sketch reproducible
+    * run to run. At 100 TB the sketch answers "how often does key K
+    * appear" for any K in O(KB) memory where an exact GROUP BY needs a
+    * shuffle. */
+  def aggCountMin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bytes = Tables.events(spark, dir)
+      .select(expr("count_min_sketch(event_type, 0.0001d, 0.99d, 42)")
+        .as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    Seq("click", "error", "purchase", "signup", "view")
+      .map(t => (t, cms.estimateCount(org.apache.spark.unsafe.types
+        .UTF8String.fromString(t).getBytes)))
+      .toDF("event_type", "est_n")
+      .orderBy($"event_type")
+  }
+
   /** ROLLUP over region→nation revenue; null group keys are coalesced to a
     * sentinel so sort order is engine-independent (SURVEY §7.3).
     *
@@ -357,6 +385,7 @@ object Aggregates {
     "agg_usage_stats" -> (aggUsageStats _),
     "agg_distinct" -> (aggDistinct _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
+    "agg_count_min" -> (aggCountMin _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_rollup" -> (aggRollup _),
     "agg_cube" -> (aggCube _))
@@ -489,6 +518,13 @@ object Aggregates {
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // the CMS estimates are collision-free at this domain size, so the
+    // oracle checks them against exact counts
+    "agg_count_min" ->
+      """SELECT event_type, COUNT(*) AS est_n
+        |FROM events
+        |WHERE event_type IN ('click','error','purchase','signup','view')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_rollup" ->
       s"""SELECT COALESCE(r_name, 'ALL') AS region,
          |  COALESCE(n_name, 'ALL') AS nation, COUNT(*) AS n,

@@ -194,6 +194,42 @@ object Joins {
       .orderBy($"c_mktsegment")
   }
 
+  /** `bucket_point_lookup` — BUCKET PRUNING for point lookups on a
+    * high-cardinality NON-partition key (the read-side payoff of
+    * [[joinBucketed]]'s layout): `o_custkey = K` on a table bucketed by
+    * that key scans 1 of 8 bucket files — Spark's native bucket pruning
+    * (`SelectedBucketsCount: 1 out of 8` in the scan, JoinSpec asserts).
+    * Partitioning can't serve this (custkey is too fine to be a
+    * directory); hashing it into a fixed bucket count gives point
+    * lookups a 1/nbuckets scan without any index structure. At 100 TB a
+    * key probe reads 1/nbuckets of one partition, not the table. */
+  def bucketPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bucketLookupTable(spark, dir)
+    spark.table("graft.orders_pt")
+      .filter($"o_custkey" === 7L)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"),
+        countDistinct($"o_orderstatus").as("n_statuses"))
+      .orderBy($"o_custkey")
+  }
+
+  /** Bucketed orders table for point lookups (8 buckets on o_custkey). */
+  private[graft] def bucketLookupTable(spark: SparkSession,
+      dir: String): Unit = {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft")
+    spark.sql("DROP TABLE IF EXISTS graft.orders_pt")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/graft.db/orders_pt")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft.orders_pt")
+  }
+
   /** `join_skew_salted` — skew-mitigated join: `event_type` has 5 values,
     * so a plain shuffle join sends the whole 100 TB fact table to 5
     * reducers no matter how many executors exist. Salting restores
@@ -327,6 +363,7 @@ object Joins {
     "join_range" -> (joinRange _),
     "join_multiway" -> (joinMultiway _),
     "join_bucketed" -> (joinBucketed _),
+    "bucket_point_lookup" -> (bucketPointLookup _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_asof" -> (joinAsof _),
     "join_asof_tolerance" -> (joinAsofTolerance _))
@@ -416,6 +453,12 @@ object Joins {
          |  CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "bucket_point_lookup" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total,
+         |  COUNT(DISTINCT o_orderstatus) AS n_statuses
+         |FROM orders WHERE o_custkey = 7
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "join_skew_salted" ->
       s"""SELECT event_type, COUNT(*) AS n,
          |  CAST(SUM(CAST(value AS $D) * CAST(weight AS DECIMAL(4,2)))

@@ -231,6 +231,48 @@ object LakeOps {
       .orderBy($"day")
   }
 
+  /** `delete_mor_seq` — SEQUENCE-NUMBER-correct merge-on-read (Iceberg
+    * v2's data-sequence contract): an equality delete applies only to
+    * data files with a LOWER sequence number than the delete file.
+    * Base data commits at seq 1; a delete file dooms day-5 purchase
+    * keys at seq 2; seq 3 RE-INSERTS corrected rows under the SAME
+    * keys. The read anti-joins the deletes against seq-1 data ONLY, so
+    * the re-inserts survive — the naive spelling (anti-join over all
+    * data, ignoring sequence) would silently delete them (LakeSpec
+    * proves the two diverge and only the sequenced read is right).
+    * This ordering rule is what makes streaming upsert pipelines
+    * (delete+insert per key) correct at any scale. */
+  def deleteMorSeq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = IngestOps.tmp("events_mor_seq")
+    val seq1 = s"$out/seq1"; val seq3 = s"$out/seq3"
+    val del = s"$out/deletes"
+    writeBase(spark, dir, seq1)
+    val base = spark.read.parquet(seq1)
+    val doomed = base.filter($"event_type" === "purchase" && $"day" === 5)
+    // seq 2: the delete commit — doomed keys only
+    doomed.select($"event_id").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(del)
+    // seq 3: corrected rows re-inserted under the SAME keys
+    doomed.withColumn("event_type", lit("reinserted"))
+      .withColumn("value", $"value" + 5000.0)
+      .repartition($"day")
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .partitionBy("day").parquet(seq3)
+    // the sequence-aware read: deletes (seq 2) filter ONLY seq-1 data;
+    // seq-3 rows are newer than the delete and ride through untouched
+    val deletes = spark.read.parquet(del)
+    spark.read.parquet(seq1)
+      .join(broadcast(deletes), Seq("event_id"), "left_anti")
+      .unionByName(spark.read.parquet(seq3))
+      .filter($"day".between(1, 10))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        count(when($"event_type" === "reinserted", 1)).as("n_reinserted"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
   /** `compact_mor` — delete-file compaction, the maintenance op that
     * closes the merge-on-read lifecycle opened by [[deleteMor]]: fold the
     * equality delete file back into the data files and drop it (Iceberg's
@@ -877,6 +919,7 @@ object LakeOps {
     "merge_upsert_evolve" -> (mergeUpsertEvolve _),
     "delete_where" -> (deleteWhere _),
     "delete_mor" -> (deleteMor _),
+    "delete_mor_seq" -> (deleteMorSeq _),
     "delete_mor_pos" -> (deleteMorPos _),
     "compact_mor" -> (compactMor _),
     "table_clone" -> (tableClone _),
@@ -952,6 +995,27 @@ object LakeOps {
          |FROM events
          |WHERE day(ts) BETWEEN 1 AND 10
          |  AND NOT (event_type = 'click' AND day(ts) BETWEEN 3 AND 7)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the delete (seq 2) applies only to seq-1 data: doomed keys vanish
+    // from base, the seq-3 re-inserts under the SAME keys survive
+    "delete_mor_seq" ->
+      s"""WITH base AS (
+         |  SELECT event_id, user_id, event_type, value, day(ts) AS day
+         |  FROM events),
+         |doomed AS (
+         |  SELECT event_id FROM base
+         |  WHERE day = 5 AND event_type = 'purchase'),
+         |live AS (
+         |  SELECT * FROM base
+         |  WHERE event_id NOT IN (SELECT event_id FROM doomed)
+         |  UNION ALL
+         |  SELECT event_id, user_id, 'reinserted', value + 5000, day
+         |  FROM base WHERE day = 5 AND event_type = 'purchase')
+         |SELECT CAST(day AS BIGINT) AS day, COUNT(*) AS n,
+         |  COUNT(CASE WHEN event_type = 'reinserted' THEN 1 END)
+         |    AS n_reinserted,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM live WHERE day BETWEEN 1 AND 10
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "delete_mor_pos" ->
       s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,

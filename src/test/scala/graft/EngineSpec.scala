@@ -90,6 +90,23 @@ class EngineSpec extends SparkSpecBase {
       Seq("tenant", "year", "month", "day", "hour")))
   }
 
+  test("agg_count_min: estimates never underestimate and are exact at " +
+      "this domain size") {
+    import spark.implicits._
+    val est = graft.operators.Aggregates.aggCountMin(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, v) =>
+      // CMS can only overestimate; with 5 keys and eps=1e-4 the
+      // collision probability is nil, so the estimate IS the count
+      assert(est(k) >= v, s"CMS underestimated $k — impossible")
+      assert(est(k) == v, s"collision on $k: est=${est(k)} exact=$v")
+    }
+  }
+
   test("streaming hourly rollup equals the batch rollup exactly") {
     import spark.implicits._
     val streamed = streaming.StreamingOps.streamHourlyRollup(spark, sf)

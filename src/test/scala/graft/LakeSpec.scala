@@ -600,6 +600,42 @@ class LakeSpec extends SparkSpecBase {
       "plain scan after compaction diverged from the MoR answer")
   }
 
+  test("delete_mor_seq: the delete applies only below its sequence — " +
+      "re-inserted keys survive where a naive anti-join kills them") {
+    import spark.implicits._
+    val rows = sources.LakeOps.deleteMorSeq(spark, sf).collect()
+    val out = graft.sources.IngestOps.tmp("events_mor_seq")
+    // the re-inserts landed on day 5 and nowhere else
+    val day5 = rows.find(_.getLong(0) == 5L).get
+    assert(day5.getLong(2) > 0, "re-inserted rows missing from day 5")
+    rows.filter(_.getLong(0) != 5L)
+      .foreach(r => assert(r.getLong(2) == 0,
+        s"day=${r.getLong(0)} has re-inserts"))
+    // the sequence-ignorant read applies the delete to ALL data and
+    // silently kills the newer re-inserts — exactly the bug the
+    // sequence-number contract exists to prevent
+    val deletes = spark.read.parquet(s"$out/deletes")
+    val naive = spark.read.parquet(s"$out/seq1")
+      .unionByName(spark.read.parquet(s"$out/seq3"))
+      .join(broadcast(deletes), Seq("event_id"), "left_anti")
+    assert(naive.filter($"event_type" === "reinserted").count() == 0,
+      "naive read unexpectedly kept the re-inserts")
+    val nDoomed = deletes.count()
+    assert(nDoomed > 0 && day5.getLong(2) == nDoomed,
+      "every doomed key must come back as exactly one re-insert")
+  }
+
+  test("bucket_point_lookup: the point predicate prunes to 1 of 8 " +
+      "bucket files") {
+    val q = operators.Joins.bucketPointLookup(spark, sf)
+    val rows = q.collect()
+    assert(rows.length == 1 && rows.head.getLong(1) > 0)
+    val scan = fileScans(q.queryExecution.executedPlan).head
+    val selected = scan.optionalBucketSet.map(_.cardinality())
+    assert(selected.contains(1),
+      s"bucket pruning inactive: selected buckets = $selected")
+  }
+
   test("join_bucketed: no shuffle exchange anywhere below the " +
       "sort-merge join (bucket layout replaces both exchanges)") {
     val df = operators.Joins.joinBucketed(spark, sf)
