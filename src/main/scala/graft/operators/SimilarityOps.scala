@@ -149,6 +149,43 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** `sim_ivfpq_rerank` — the REFINE stage of two-stage retrieval (the
+    * FAISS IVFPQR / production ANN-service shape): the persisted IVF-PQ
+    * index shortlists the top-32 candidates by ADC — codes only, no
+    * float decoded — and ONLY those 32 rows' true vectors are fetched
+    * (a broadcast semi-join into the corpus) and exactly re-ranked for
+    * the final top-10. This repairs quantization ordering errors inside
+    * the probed lists at the cost of reading 32 full vectors instead of
+    * zero; recall@10 can only rise vs [[simIvfpqIndex]] (SimilaritySpec
+    * asserts). At 100 TB the corpus-scale work stays code-sized and the
+    * exact work is O(shortlist). */
+  def simIvfpqRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ivfpqIndexLayout(spark, dir)
+    val pq = PipelineOps.pqModel(spark, dir)
+    val probeIds = (0 until pq.k).map(c => (pq.qd2Full(c), c))
+      .sorted.take(2).map(_._2)
+    // stage 1: ADC shortlist from the codes-only index
+    val shortlist = spark.read.parquet(s"$root/data")
+      .filter($"bucket".isin(probeIds.map(Int.box): _*) && $"vec_id" =!= 5)
+      .select($"vec_id",
+        round(pq.adcFromCodes($"codes"), 6).as("adc_d2"))
+      .orderBy($"adc_d2", $"vec_id")
+      .limit(32)
+      .select($"vec_id")
+    // stage 2: exact re-rank of ONLY the shortlisted vectors
+    val exactD2 = aggregate(
+      zip_with($"v", array(pq.q.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .join(broadcast(shortlist), Seq("vec_id"), "left_semi")
+      .select($"vec_id", round(exactD2, 6).as("d2"))
+      .orderBy($"d2", $"vec_id")
+      .limit(10)
+  }
+
   /** `sim_ivfpq_recall` — the honesty report for [[simIvfpqIndex]]:
     * recall@10 of the probed-ADC top-10 against the exact L2 top-10 for
     * the same query, in one plan. Two approximations stack here (probing
@@ -335,6 +372,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivfpq_index" -> (simIvfpqIndex _),
     "sim_ivfpq_recall" -> (simIvfpqRecall _),
+    "sim_ivfpq_rerank" -> (simIvfpqRerank _),
     "sim_ivf_recall" -> (simIvfRecall _),
     "sim_ivf_knn" -> (simIvfKnn _),
     "sim_ivf_index" -> (simIvfIndex _),
@@ -394,6 +432,15 @@ object SimilarityOps {
       s"""WITH $IVFPQ_CTES
          |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket, adc_d2
          |FROM ivfadc ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin,
+    "sim_ivfpq_rerank" ->
+      s"""WITH $IVFPQ_CTES,
+         |short AS (
+         |  SELECT vec_id FROM ivfadc ORDER BY adc_d2, vec_id LIMIT 32)
+         |SELECT e.vec_id, round(list_sum(list_transform(range(1, 65),
+         |    i -> (e.v[i::INT] - qv.qvec[i::INT])
+         |       * (e.v[i::INT] - qv.qvec[i::INT]))), 6) AS d2
+         |FROM e JOIN short USING (vec_id) CROSS JOIN qv
+         |ORDER BY d2, vec_id LIMIT 10""".stripMargin,
     "sim_ivfpq_recall" ->
       s"""WITH $IVFPQ_CTES,
          |pqtop AS (

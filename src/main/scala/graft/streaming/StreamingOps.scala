@@ -68,6 +68,43 @@ object StreamingOps {
       .orderBy($"hour_start", $"event_type")
   }
 
+  /** `stream_join_dim` — STREAM-STATIC enrichment join, the production
+    * shape every streaming pipeline runs (fact stream × slowly-changing
+    * dimension): each micro-batch of the file-source stream joins the
+    * static 5-row event-type weight dim as a BROADCAST — the stream side
+    * never shuffles for the join, and the static side is re-planned per
+    * batch (which is exactly how a slowly-changing dim picks up updates
+    * between batches at scale). Weighted rollup in complete mode; exact
+    * decimal accumulation so the batch twin is the oracle. */
+  def streamJoinDim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val queryName = s"join_dim_${System.nanoTime()}"
+    val dim = Seq(("click", "0.5"), ("view", "0.1"), ("purchase", "5.0"),
+      ("signup", "2.0"), ("error", "0.25")).toDF("et", "w")
+      .withColumn("weight", $"w".cast("decimal(4,2)"))
+      .select($"et", $"weight")
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val agg = stream
+      .join(broadcast(dim), $"event_type" === $"et")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"value") * $"weight").cast("double").as("weighted_value"))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName).orderBy($"event_type")
+  }
+
   /** `stream_dedup` — streaming deduplication (dropDuplicates keyed state):
     * distinct (user_id, event_type) pairs from the file stream; batch
     * equivalence = SELECT DISTINCT. */
@@ -554,6 +591,7 @@ object StreamingOps {
     "stream_cdf_read" -> (streamCdfRead _),
     "stream_upsert_sink" -> (streamUpsertSink _),
     "stream_upsert_mor" -> (streamUpsertMor _),
+    "stream_join_dim" -> (streamJoinDim _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_custom_state" -> (streamCustomState _),
     "stream_hourly_rollup" -> (streamHourlyRollup _),
@@ -571,6 +609,14 @@ object StreamingOps {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE day(ts) BETWEEN 11 AND 15
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_join_dim" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(weight AS
+        |    DECIMAL(4,2))) AS DOUBLE) AS weighted_value
+        |FROM events JOIN (VALUES ('click', 0.5), ('view', 0.1),
+        |    ('purchase', 5.0), ('signup', 2.0), ('error', 0.25))
+        |  AS d(et, weight) ON event_type = et
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the MoR sink serves the SAME merged table as the CoW sink — the
     // storage strategy must be invisible to readers, so one oracle
     "stream_upsert_mor" ->

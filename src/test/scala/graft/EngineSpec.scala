@@ -107,6 +107,19 @@ class EngineSpec extends SparkSpecBase {
     }
   }
 
+  test("stream_join_dim: the per-batch broadcast-dim enrichment equals " +
+      "the batch join exactly") {
+    import spark.implicits._
+    val streamed = graft.streaming.StreamingOps.streamJoinDim(spark, sf)
+      .collect().toSeq
+    val batch = graft.operators.Joins.queries("join_skew_salted")
+      .apply(spark, sf).collect().toSeq
+    // same dim, same weights, same aggregate: the streaming drain must
+    // land on the identical enriched rollup
+    assert(streamed == batch,
+      s"stream-static join diverged from the batch join")
+  }
+
   test("streaming hourly rollup equals the batch rollup exactly") {
     import spark.implicits._
     val streamed = streaming.StreamingOps.streamHourlyRollup(spark, sf)

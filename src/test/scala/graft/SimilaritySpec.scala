@@ -125,6 +125,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall == hits / 10.0 && recall >= 0.0 && recall <= 1.0)
   }
 
+  test("sim_ivfpq_rerank: exact re-rank of the ADC shortlist — recall " +
+      "never drops vs the code-ranked answer") {
+    import spark.implicits._
+    val pq = operators.PipelineOps.pqModel(spark, sf)
+    // exact L2 top-10 ground truth for query vec 5
+    val exactD2 = aggregate(
+      zip_with($"v", array(pq.q.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val exact = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", x => x.cast("double"))
+        .as("v"))
+      .filter($"vec_id" =!= 5)
+      .select($"vec_id", exactD2.as("d2"))
+      .orderBy($"d2", $"vec_id").limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val adc = operators.SimilarityOps.simIvfpqIndex(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val rerank = operators.SimilarityOps.simIvfpqRerank(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val (rAdc, rRerank) =
+      ((adc & exact).size / 10.0, (rerank & exact).size / 10.0)
+    info(s"recall@10: adc=$rAdc rerank=$rRerank")
+    // the rerank candidates come from a 32-deep shortlist of the same
+    // probed lists: it can repair ADC ordering errors, never add new ones
+    assert(rRerank >= rAdc,
+      s"exact re-rank lowered recall: adc=$rAdc rerank=$rRerank")
+  }
+
   test("sign-LSH candidates only pair vectors from the same bucket") {
     import spark.implicits._
     val rows = SimilarityOps.simAnnLsh(spark, sf).collect()
