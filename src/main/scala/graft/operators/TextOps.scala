@@ -82,6 +82,33 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** `text_chunk` — RAG-style document chunking: every document splits
+    * into overlapping fixed-size token windows (size 32, stride 24 →
+    * 8-token overlap so no boundary sentence is lost), each chunk
+    * carrying its index, token count, and a content digest — the
+    * retrieval-corpus build step between curation and embedding. Pure
+    * per-row expressions (split → sequence → explode → slice → md5):
+    * rows out ∝ tokens in, zero shuffles before the output sort; at
+    * 100 TB this is one narrow pass. */
+  def textChunk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sz = 32; val stride = 24
+    Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("t"))
+      // integer ceil-div chunk count; GREATEST guards the short-doc case
+      // against floor-vs-truncate division divergence across engines
+      .withColumn("nc", expr(
+        s"greatest(0, size(t) - $sz + ${stride - 1}) div $stride + 1"))
+      .select($"doc_id", $"t",
+        explode(sequence(lit(0), $"nc".cast("int") - 1)).as("chunk_idx"))
+      .select($"doc_id", $"chunk_idx",
+        slice($"t", $"chunk_idx" * stride + 1, lit(sz)).as("chunk"))
+      .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+        size($"chunk").cast("long").as("n_tokens"),
+        md5(concat_ws(" ", $"chunk")).as("digest"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   /** `text_fingerprint` — normalized-content digest (md5 of
     * lower+whitespace-collapsed text) + polynomial rolling hash of the
     * character stream (mod 1e9+7, seeded by the first char — identical
@@ -222,6 +249,7 @@ object TextOps {
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_token_count" -> (textTokenCount _),
+    "text_chunk" -> (textChunk _),
     "text_fingerprint" -> (textFingerprint _),
     "text_pii_redact" -> (textPiiRedact _),
     "text_repetition" -> (textRepetition _),
@@ -230,6 +258,18 @@ object TextOps {
   private val TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
   val oracles: Map[String, String] = Map(
+    "text_chunk" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $TOKS AS t FROM documents),
+         |c AS (
+         |  SELECT doc_id, i AS chunk_idx,
+         |    t[(i*24+1)::INT:(i*24+32)::INT] AS chunk
+         |  FROM d, UNNEST(range(0,
+         |    GREATEST(0, len(t) - 32 + 23) // 24 + 1)) AS u(i))
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS digest
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_html_strip" ->
       """WITH h AS (SELECT lang,
         |  '<html><head><title>' || source ||

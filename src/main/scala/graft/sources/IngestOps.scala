@@ -1064,6 +1064,38 @@ object IngestOps {
     (hits, stats.size)
   }
 
+  /** `ingest_quarantine` — VALIDATING ingest with a reject table: rows
+    * that violate the load's quality constraints (micro-amounts below
+    * the 1.00 billing floor; implausible >300 outliers) are diverted to
+    * a quarantine file AT LOAD TIME instead of poisoning the table —
+    * the production loader pattern (bad rows preserved for forensics,
+    * never silently dropped; the reference's schema-validation pass,
+    * `AIGEventsSchemaValidator.java:149-275`, taken from report-only to
+    * enforce-and-divert). One source pass feeds both sinks, and the
+    * report is computed FROM THE WRITTEN FILES — a reconciliation of
+    * what actually landed, not an estimate of what should have. */
+  def ingestQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("events_quarantine")
+    val bad = $"value" < 1.0 || $"value" > 300.0
+    val src = eventsWithParts(spark, dir)
+      .select($"event_id", $"event_type", $"value", $"day")
+      .localCheckpoint() // one source scan feeds both sinks
+    src.filter(!bad)
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .parquet(s"$out/accepted")
+    src.filter(bad).coalesce(1)
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .parquet(s"$out/quarantine")
+    spark.read.parquet(s"$out/accepted")
+      .agg(count(lit(1)).as("n_accepted"),
+        dsum($"value").as("sum_accepted"))
+      .crossJoin(spark.read.parquet(s"$out/quarantine")
+        .agg(count(lit(1)).as("n_quarantined"),
+          count(when($"value" < 1.0, 1)).as("n_below_floor"),
+          count(when($"value" > 300.0, 1)).as("n_outlier")))
+  }
+
   /** Write-once layout for NULL-COUNT stats: `value` is NULL for clicks
     * of days 3-7 (a sensor-dropout band), files clustered by day so the
     * nulls concentrate in few files; per-file stats — including the
@@ -1283,6 +1315,7 @@ object IngestOps {
     "manifest_stats" -> (manifestStats _),
     "manifest_prune_scan" -> (manifestPruneScan _),
     "manifest_null_prune" -> (manifestNullPrune _),
+    "ingest_quarantine" -> (ingestQuarantine _),
     "manifest_bloom_prune" -> (manifestBloomPrune _),
     "meta_files" -> (metaFiles _),
     "meta_snapshots" -> (metaSnapshots _),
@@ -1339,6 +1372,17 @@ object IngestOps {
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
          |FROM events WHERE value BETWEEN 180.0 AND 220.0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ingest_quarantine" ->
+      s"""WITH t AS (
+         |  SELECT value, (value < 1.0 OR value > 300.0) AS bad
+         |  FROM events)
+         |SELECT COUNT(CASE WHEN NOT bad THEN 1 END) AS n_accepted,
+         |  CAST(SUM(CASE WHEN NOT bad THEN CAST(value AS $D) END)
+         |    AS DOUBLE) AS sum_accepted,
+         |  COUNT(CASE WHEN bad THEN 1 END) AS n_quarantined,
+         |  COUNT(CASE WHEN value < 1.0 THEN 1 END) AS n_below_floor,
+         |  COUNT(CASE WHEN value > 300.0 THEN 1 END) AS n_outlier
+         |FROM t""".stripMargin,
     // the nulled rows are exactly clicks of days 3-7, so the oracle can
     // name them by predicate instead of reproducing the null injection
     "manifest_null_prune" ->

@@ -194,6 +194,23 @@ class IngestSpec extends SparkSpecBase {
     assert(q.collect().toSeq == full.collect().toSeq)
   }
 
+  test("ingest_quarantine: the split is lossless and clean — no bad row " +
+      "in the table, no good row in quarantine, totals reconcile") {
+    import spark.implicits._
+    val r = graft.sources.IngestOps.ingestQuarantine(spark, sf)
+      .collect().head
+    val out = graft.sources.IngestOps.tmp("events_quarantine")
+    val acc = spark.read.parquet(s"$out/accepted")
+    val quar = spark.read.parquet(s"$out/quarantine")
+    val bad = col("value") < 1.0 || col("value") > 300.0
+    assert(acc.filter(bad).count() == 0, "a bad row landed in the table")
+    assert(quar.filter(!bad).count() == 0, "a good row was quarantined")
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(r.getLong(0) + r.getLong(2) == total,
+      "accepted + quarantined != source total: rows were lost or duplicated")
+    assert(r.getLong(2) > 0, "the corpus plants bad rows; none were caught")
+  }
+
   test("manifest_null_prune plans IS NULL from null-count stats alone: " +
       "files recorded null-free are never opened") {
     import spark.implicits._

@@ -32,6 +32,31 @@ class TextSpec extends SparkSpecBase {
     }
   }
 
+  test("text_chunk: full coverage with 8-token overlap — every token " +
+      "lands in a chunk, chunk sizes and strides are exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{filter, size, split}
+    val chunks = graft.operators.TextOps.textChunk(spark, sf).collect()
+    val nToks = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(filter(split($"text", " "), t => t =!= ""))
+        .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == nToks.keySet, "some document produced no chunks")
+    byDoc.foreach { case (doc, cs) =>
+      val n = nToks(doc)
+      val sorted = cs.sortBy(_.getLong(1))
+      // indices are dense from 0
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until cs.length))
+      // every chunk is full-size except possibly the last; the last
+      // chunk's end reaches the document's final token (full coverage)
+      sorted.init.foreach(c => assert(c.getLong(2) == 32))
+      val last = sorted.last
+      assert(last.getLong(1) * 24 + last.getLong(2) == n,
+        s"doc=$doc coverage gap: ${last.getLong(1) * 24 + last.getLong(2)} != $n")
+    }
+  }
+
   test("quality flags: ratios in [0,1], ok-flag consistent with parts") {
     val q = TextOps.textQuality(spark, sf).collect()
     q.foreach { r =>
