@@ -164,6 +164,40 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** `agg_funnel_steps` — ordered-event FUNNEL (the ClickHouse
+    * windowFunnel / product-analytics staple): how far does each user
+    * get through view → click → purchase, each step STRICTLY AFTER the
+    * previous? Expressed set-based: three conditional min-timestamp
+    * aggregates chained by equi-joins on user — no per-user sort, no
+    * stateful UDAF; at 100 TB each step is one shuffle on user_id (the
+    * same key, so Catalyst reuses the partitioning across steps) and
+    * the report is a 4-row rollup of per-user depths. */
+  def aggFunnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // a 2-day conversion window: over the full month every user
+    // completes the funnel and the report degenerates to one row
+    val ev = Tables.events(spark, dir)
+      .filter(dayofmonth($"ts") <= 2)
+      .select($"user_id", $"event_type", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    ev.select($"user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c.select($"user_id", $"t2"), Seq("user_id"), "left")
+      .join(p.select($"user_id", $"t3"), Seq("user_id"), "left")
+      .select(when($"t3".isNotNull, 3L).when($"t2".isNotNull, 2L)
+        .when($"t1".isNotNull, 1L).otherwise(0L).as("funnel_depth"))
+      .groupBy($"funnel_depth")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"funnel_depth")
+  }
+
   /** `agg_count_min` — COUNT-MIN SKETCH frequency estimation, completing
     * the mergeable-sketch family (t-digest quantiles, HLL distinct,
     * bitmap exact-distinct, bloom membership — CMS is the frequency
@@ -386,6 +420,7 @@ object Aggregates {
     "agg_distinct" -> (aggDistinct _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_count_min" -> (aggCountMin _),
+    "agg_funnel_steps" -> (aggFunnelSteps _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_rollup" -> (aggRollup _),
     "agg_cube" -> (aggCube _))
@@ -518,6 +553,25 @@ object Aggregates {
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_funnel_steps" ->
+      """WITH src AS (SELECT user_id, event_type, ts FROM events
+        |      WHERE day(ts) <= 2),
+        |u AS (SELECT DISTINCT user_id FROM src),
+        |v AS (SELECT user_id, MIN(ts) AS t1 FROM src
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM src e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM src e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |  WHEN t2 IS NOT NULL THEN 2
+        |  WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |  AS funnel_depth, COUNT(*) AS n_users
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the CMS estimates are collision-free at this domain size, so the
     // oracle checks them against exact counts
     "agg_count_min" ->
