@@ -742,6 +742,29 @@ object LakeOps {
       .orderBy($"day")
   }
 
+  /** `meta_refs` — the REFS metadata table served by the DSv2 connector
+    * ([[graft.sources.GraftMetaSource]], `.option("table","refs")`),
+    * completing the metadata-table family (files/snapshots/partitions/
+    * refs — Iceberg's `refs` table): one row per named branch/tag, with
+    * `snapshot_id` predicates PUSHED so a ref pointing outside the
+    * predicate never becomes an InputPartition (MetaSourceSpec
+    * asserts). The query builds a versioned table, names three refs,
+    * and reads back only those at-or-below snapshot 2 — `main@3` is
+    * pruned at planning, not filtered after. */
+  def metaRefs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = IngestOps.tmp("events_meta_refs")
+    writeVersioned(spark, dir, out)
+    setRef(spark, out, "main", 3)
+    setRef(spark, out, "audit", 2)
+    setRef(spark, out, "v1", 1)
+    spark.read.format("graft.sources.GraftMetaSource")
+      .option("root", out).option("table", "refs").load()
+      .filter($"snapshot_id" <= 2)
+      .select($"ref_name", $"snapshot_id".cast("long").as("snapshot_id"))
+      .orderBy($"ref_name")
+  }
+
   /** `rollback_snapshot` — time-travel WRITE (`TimeEx:198-230` lists
     * snapshots precisely so one can be rolled back to): current moves
     * from snapshot 3 back to 2 (a metadata pointer write — no data IO),
@@ -920,6 +943,7 @@ object LakeOps {
     "delete_where" -> (deleteWhere _),
     "delete_mor" -> (deleteMor _),
     "delete_mor_seq" -> (deleteMorSeq _),
+    "meta_refs" -> (metaRefs _),
     "delete_mor_pos" -> (deleteMorPos _),
     "compact_mor" -> (compactMor _),
     "table_clone" -> (tableClone _),
@@ -996,6 +1020,13 @@ object LakeOps {
          |WHERE day(ts) BETWEEN 1 AND 10
          |  AND NOT (event_type = 'click' AND day(ts) BETWEEN 3 AND 7)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // deterministic ref fixture: main@3 is excluded by the pushed
+    // predicate, audit@2 and v1@1 survive
+    "meta_refs" ->
+      """SELECT * FROM (VALUES
+        |  ('audit', CAST(2 AS BIGINT)),
+        |  ('v1', CAST(1 AS BIGINT))
+        |) AS t(ref_name, snapshot_id) ORDER BY ref_name""".stripMargin,
     // the delete (seq 2) applies only to seq-1 data: doomed keys vanish
     // from base, the seq-3 re-inserts under the SAME keys survive
     "delete_mor_seq" ->

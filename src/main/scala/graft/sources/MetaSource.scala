@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   *   spark.read.format("graft.sources.GraftMetaSource")
   *     .option("root", tableRoot)
-  *     .option("table", "files" | "snapshots" | "partitions").load()
+  *     .option("table", "files" | "snapshots" | "partitions" | "refs")
+  *     .load()
   * }}}
   *
   *  - `files` (default): one row per data file per committing snapshot —
@@ -37,6 +38,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the CURRENT view, adds minus removes (Iceberg's `partitions`
   *    table); a logically-replaced file is excluded even though its
   *    bytes still exist for time travel.
+  *  - `refs`: one row per named branch/tag (`metadata/refs.txt`) — the
+  *    map readers resolve against and ref-aware expiry walks.
   *
   * The rows come from the manifests + a driver-side listing — metadata
   * scale, like the system it mirrors — but the CONNECTOR mechanics are
@@ -102,13 +105,20 @@ object GraftMetaSource {
     StructField("total_bytes", LongType, nullable = false),
     StructField("n_rows", LongType, nullable = true)))
 
+  /** One row per named ref — Iceberg's `refs` metadata table: the
+    * branch/tag map readers resolve against and ref-aware expiry walks. */
+  val REFS_SCHEMA: StructType = StructType(Seq(
+    StructField("ref_name", StringType, nullable = false),
+    StructField("snapshot_id", IntegerType, nullable = false)))
+
   private[sources] def schemaFor(table: String): StructType = table match {
     case "files" => FILES_SCHEMA
     case "snapshots" => SNAPSHOTS_SCHEMA
     case "partitions" => PARTITIONS_SCHEMA
+    case "refs" => REFS_SCHEMA
     case other => throw new IllegalArgumentException(
       s"graft.sources.GraftMetaSource: unknown table '$other' " +
-        "(expected files | snapshots | partitions)")
+        "(expected files | snapshots | partitions | refs)")
   }
 
   private[sources] case class MetaEntry(snap: Int, day: Int, rel: String,
@@ -120,6 +130,13 @@ object GraftMetaSource {
 
   private[sources] case class PartitionRow(day: Int, nFiles: Long,
       totalBytes: Long, nRows: Option[Long])
+
+  private[sources] case class RefRow(name: String, snap: Int)
+
+  /** One [[RefRow]] per `metadata/refs.txt` entry, name-sorted. */
+  private[sources] def refRows(root: String): Seq[RefRow] =
+    LakeOps.readRefs(SparkSession.active, root).toSeq.sortBy(_._1)
+      .map { case (n, s) => RefRow(n, s) }
 
   /** Planning-time evaluation of a filter against one row's prune
     * columns, supplied by `v` (attr → value; None = not a prune column
@@ -156,6 +173,10 @@ object GraftMetaSource {
     }
     case "partitions" => {
       case "day" => Some(day)
+      case _ => None
+    }
+    case "refs" => {
+      case "snapshot_id" => Some(snap)
       case _ => None
     }
   }
@@ -320,6 +341,12 @@ private[sources] class GraftMetaScan(root: String, table: String,
       GraftMetaSource.partitionRows(root)
         .filter(r => pushed.forall(keep(-1, r.day)))
         .map(r => GraftPartitionPartition(r): InputPartition).toArray
+    case "refs" =>
+      // pushdown on snapshot_id: a ref pointing outside the predicate
+      // never becomes an InputPartition (MetaSourceSpec asserts)
+      GraftMetaSource.refRows(root)
+        .filter(r => pushed.forall(keep(r.snap, -1)))
+        .map(r => GraftRefPartition(r): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -332,6 +359,8 @@ private[sources] case class GraftSnapshotPartition(
     row: GraftMetaSource.SnapshotRow) extends InputPartition
 private[sources] case class GraftPartitionPartition(
     row: GraftMetaSource.PartitionRow) extends InputPartition
+private[sources] case class GraftRefPartition(
+    row: GraftMetaSource.RefRow) extends InputPartition
 
 private[sources] class GraftMetaReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
@@ -365,6 +394,11 @@ private[sources] class GraftMetaReaderFactory(fields: Array[String])
           case "n_files" => r.nFiles
           case "total_bytes" => r.totalBytes
           case "n_rows" => r.nRows.map(Long.box).orNull
+        }.toArray[Any]))
+      case GraftRefPartition(r) => Iterator.single(
+        new GenericInternalRow(fields.map {
+          case "ref_name" => UTF8String.fromString(r.name)
+          case "snapshot_id" => r.snap
         }.toArray[Any]))
     }
 

@@ -126,6 +126,21 @@ class MetaSourceSpec extends SparkSpecBase {
     assert(snaps.forall(_.isNullAt(5)))
   }
 
+  test("refs table: one row per named ref; snapshot_id pushdown prunes " +
+      "a ref to zero input partitions at planning") {
+    import spark.implicits._
+    graft.sources.LakeOps.metaRefs(spark, sf).collect() // builds the layout
+    val root = graft.sources.IngestOps.tmp("events_meta_refs")
+    val refs = spark.read.format("graft.sources.GraftMetaSource")
+      .option("root", root).option("table", "refs").load()
+    assert(refs.rdd.getNumPartitions == 3) // main, audit, v1
+    assert(refs.collect().map(r => r.getString(0) -> r.getInt(1)).toMap ==
+      Map("main" -> 3, "audit" -> 2, "v1" -> 1))
+    // a ref outside the predicate never becomes an InputPartition
+    assert(refs.filter($"snapshot_id" <= 2).rdd.getNumPartitions == 2)
+    assert(refs.filter($"snapshot_id" === 3).rdd.getNumPartitions == 1)
+  }
+
   test("column pruning reaches the reader") {
     import spark.implicits._
     val df = filesDf.select($"rel_path")
