@@ -31,6 +31,7 @@ object Bench {
       graft.sources.IngestOps.snapshotLayout(spark, sfDir)
       graft.operators.SimilarityOps.ivfIndexLayout(spark, sfDir)
       graft.operators.SimilarityOps.ivfpqIndexLayout(spark, sfDir)
+      graft.operators.SimilarityOps.ivfpqrIndexLayout(spark, sfDir)
       graft.sources.IngestOps.nullStatsLayout(spark, sfDir)
     } catch { case _: Throwable => }
     val setupSec = (System.nanoTime() - setup0) / 1e9

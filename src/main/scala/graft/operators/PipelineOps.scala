@@ -589,6 +589,116 @@ object PipelineOps {
           element_at(codes, s + 1) + 1)).reduce(_ + _)
   }
 
+  /** RESIDUAL-PQ model — FAISS IVF-PQ proper, one fidelity step past
+    * [[PqModel]]'s raw-vector codes: what gets quantized is the residual
+    * `v − centroid(bucket(v))`, so the codebook only has to cover the
+    * spread WITHIN a coarse cell instead of the whole space, and the
+    * query builds one ADC table PER PROBED BUCKET from its own residual.
+    * Coarse centroids = vectors 0-7 (the [[PqModel]] convention);
+    * residual codebook = the residuals of seed vectors 8-15 w.r.t.
+    * their own coarse cells. A vector whose residual IS a codebook
+    * entry has EXACT ADC distance (the lookups reconstruct
+    * ‖q − v‖² identically — PipelineSpec/SimilaritySpec assert), which
+    * is the property that makes residual coding strictly more faithful
+    * near codebook mass. All folds chain left-to-right for DuckDB twin
+    * bit-identity. */
+  private[graft] final case class PqrModel(
+      centroids: IndexedSeq[IndexedSeq[Double]],
+      bookR: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      q: IndexedSeq[Double]) {
+    val m = 8; val sub = 8; val k = 8
+
+    /** query residual w.r.t. probed bucket `b` (driver-side doubles). */
+    def qResidual(b: Int): IndexedSeq[Double] =
+      q.indices.map(i => q(i) - centroids(b)(i))
+
+    /** ADC table literal: d² of the bucket-`b` query residual's subspace
+      * `s` slice to residual-codebook entry `c`, oracle fold order. */
+    def qd2(b: Int, s: Int, c: Int): Double = {
+      val qr = qResidual(b)
+      var acc = 0.0
+      var i = 0
+      while (i < sub) {
+        val d = qr(s * sub + i) - bookR(s)(c)(i); acc += d * d; i += 1
+      }
+      acc
+    }
+
+    /** per-subspace centroid-slice table: `element_at(..., bucket+1)`
+      * resolves a row's own centroid slice inside the projection. */
+    private def centSlices(s: Int): org.apache.spark.sql.Column =
+      array((0 until k).map(c =>
+        array(centroids(c).slice(s * sub, (s + 1) * sub).map(lit): _*)): _*)
+
+    /** residual slice s of vector column `v` given its `bucket` col. */
+    def resSlice(v: org.apache.spark.sql.Column,
+        bucket: org.apache.spark.sql.Column,
+        s: Int): org.apache.spark.sql.Column =
+      zip_with(slice(v, s * sub + 1, sub),
+        element_at(centSlices(s), bucket + 1), (a, b) => a - b)
+
+    /** residual-PQ code of subspace s: argmin residual-codebook entry. */
+    def codeCol(v: org.apache.spark.sql.Column,
+        bucket: org.apache.spark.sql.Column,
+        s: Int): org.apache.spark.sql.Column = {
+      val rs = resSlice(v, bucket, s)
+      array_min(array((0 until k).map(c =>
+        struct(aggregate(zip_with(rs, array(bookR(s)(c).map(lit): _*),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+          .as("d2"), lit(c).as("cid"))): _*))
+        .getField("cid")
+    }
+
+    /** all m residual codes as one array column. */
+    def codesCol(v: org.apache.spark.sql.Column,
+        bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array((0 until m).map(codeCol(v, bucket, _)): _*)
+
+    /** ADC from STORED codes for probed bucket `b`: 8 lookups in that
+      * bucket's own table — never decodes a corpus float. */
+    def adcFromCodes(codes: org.apache.spark.sql.Column,
+        b: Int): org.apache.spark.sql.Column =
+      (0 until m).map(s =>
+        element_at(array((0 until k).map(c => lit(qd2(b, s, c))): _*),
+          element_at(codes, s + 1) + 1)).reduce(_ + _)
+  }
+
+  /** Build the residual model: 17 driver-side rows (centroid seeds 0-7,
+    * residual-book seeds 8-15, query 5). Seed coarse assignment runs in
+    * driver doubles with the same chained fold the engine plans, so the
+    * residual book matches the oracle's bit-for-bit. */
+  private[graft] def pqrModel(spark: SparkSession, dir: String): PqrModel = {
+    import spark.implicits._
+    val rows = Tables.embeddings(spark, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .filter($"vec_id" < 16 || $"vec_id" === 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .toMap
+    val cents = (0 until 8).map(c => rows(c.toLong))
+    def d2Full(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var total = 0.0
+      var s = 0
+      while (s < 8) {
+        var acc = 0.0
+        var i = 0
+        while (i < 8) { val d = a(s * 8 + i) - b(s * 8 + i); acc += d * d; i += 1 }
+        total += acc
+        s += 1
+      }
+      total
+    }
+    val bookR = {
+      val res = (8 until 16).map { j =>
+        val v = rows(j.toLong)
+        val b = (0 until 8).map(c => (d2Full(v, cents(c)), c)).min._2
+        v.indices.map(i => v(i) - cents(b)(i))
+      }
+      (0 until 8).map(s => (0 until 8).map(c =>
+        res(c).slice(s * 8, (s + 1) * 8)))
+    }
+    PqrModel(cents, bookR, rows(5L))
+  }
+
   /** Build the PQ model: codebook seeds + query are 9 driver-side rows —
     * metadata cardinality, like Iceberg's manifest planning. */
   private[graft] def pqModel(spark: SparkSession, dir: String): PqModel = {

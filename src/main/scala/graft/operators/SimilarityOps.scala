@@ -149,6 +149,64 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** Write-once RESIDUAL IVF-PQ layout (FAISS IVF-PQ proper — see
+    * [[graft.operators.PipelineOps.PqrModel]]): same bucket-partitioned
+    * codes-only shape as [[ivfpqIndexLayout]], but the codes quantize
+    * `v − centroid(bucket(v))` against a residual codebook, so the 8
+    * codebook entries only span one coarse cell's spread. */
+  private[graft] def ivfpqrIndexLayout(spark: SparkSession,
+      dir: String): String = {
+    import spark.implicits._
+    val out = graft.sources.IngestOps.shared("ivfpqr_index_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
+      graft.sources.IngestOps.sourceFingerprint(spark, dir))
+    graft.sources.IngestOps.buildShared(spark, out, root =>
+      graft.sources.IngestOps.fsExists(spark, s"$root/_DONE")) { tmpRoot =>
+      val pq = PipelineOps.pqModel(spark, dir)   // coarse assignment
+      val pqr = PipelineOps.pqrModel(spark, dir) // residual encoding
+      Tables.embeddings(spark, dir)
+        .select($"vec_id",
+          transform($"embedding", x => x.cast("double")).as("v"))
+        .withColumn("bucket", pq.bucketCol($"v"))
+        .select($"vec_id", pqr.codesCol($"v", $"bucket").as("codes"),
+          $"bucket")
+        .repartition($"bucket")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .partitionBy("bucket").parquet(s"$tmpRoot/data")
+      val done = new org.apache.hadoop.fs.Path(tmpRoot, "_DONE")
+      done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(done, true).close()
+    }
+  }
+
+  /** `sim_ivfpq_residual` — ANN against the RESIDUAL IVF-PQ index, the
+    * exact algorithm FAISS ships as IVFPQ: quantize residuals (not raw
+    * vectors), probe 2 of 8 inverted-list directories, and rank by ADC
+    * with a DISTINCT lookup table per probed bucket (the query's
+    * residual differs per cell). Strictly more faithful than
+    * [[simIvfpqIndex]] near codebook mass: a vector whose residual IS a
+    * codebook entry gets its EXACT distance from the lookups
+    * (SimilaritySpec asserts on the book seeds). Same 100 TB posture —
+    * codes-only scan, static dir pruning, zero float decode. */
+  def simIvfpqResidual(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ivfpqrIndexLayout(spark, dir)
+    val pq = PipelineOps.pqModel(spark, dir)
+    val pqr = PipelineOps.pqrModel(spark, dir)
+    val probeIds = (0 until pq.k).map(c => (pq.qd2Full(c), c))
+      .sorted.take(2).map(_._2)
+    val adc = when($"bucket" === probeIds.head,
+      pqr.adcFromCodes($"codes", probeIds.head))
+      .otherwise(pqr.adcFromCodes($"codes", probeIds(1)))
+    spark.read.parquet(s"$root/data")
+      .filter($"bucket".isin(probeIds.map(Int.box): _*) && $"vec_id" =!= 5)
+      .select($"vec_id", $"bucket".cast("long").as("bucket"),
+        round(adc, 6).as("adc_d2"))
+      .orderBy($"adc_d2", $"vec_id")
+      .limit(10)
+  }
+
   /** `sim_ivfpq_rerank` — the REFINE stage of two-stage retrieval (the
     * FAISS IVFPQR / production ANN-service shape): the persisted IVF-PQ
     * index shortlists the top-32 candidates by ADC — codes only, no
@@ -373,6 +431,7 @@ object SimilarityOps {
     "sim_ivfpq_index" -> (simIvfpqIndex _),
     "sim_ivfpq_recall" -> (simIvfpqRecall _),
     "sim_ivfpq_rerank" -> (simIvfpqRerank _),
+    "sim_ivfpq_residual" -> (simIvfpqResidual _),
     "sim_ivf_recall" -> (simIvfRecall _),
     "sim_ivf_knn" -> (simIvfKnn _),
     "sim_ivf_index" -> (simIvfIndex _),
@@ -427,7 +486,65 @@ object SimilarityOps {
        |  FROM assigned a JOIN adc x USING (vec_id)
        |  JOIN probe p ON a.bucket = p.c)""".stripMargin
 
+  /** Residual-PQ oracle CTEs on top of [[IVFPQ_CTES]] (which supplies
+    * e/book/qv/assigned/qd/probe): residuals against the assigned
+    * centroid, residual codebook from seeds 8-15, per-probed-bucket
+    * query tables, and the residual-ADC ranking. */
+  private val IVFPQR_CTES =
+    s"""$IVFPQ_CTES,
+       |sss AS (SELECT unnest(range(0, 8)) AS s),
+       |resid AS (
+       |  SELECT a.vec_id, a.bucket,
+       |    list_transform(range(1, 65),
+       |      i -> e.v[i::INT] - b.cv[i::INT]) AS r
+       |  FROM assigned a JOIN e USING (vec_id)
+       |  JOIN book b ON a.bucket = b.c),
+       |bookr AS (
+       |  SELECT vec_id - 8 AS rc, r AS rv FROM resid
+       |  WHERE vec_id BETWEEN 8 AND 15),
+       |rvd AS (
+       |  SELECT resid.vec_id, sss.s, br.rc,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> (resid.r[(sss.s * 8 + i)::INT] - br.rv[(sss.s * 8 + i)::INT])
+       |         * (resid.r[(sss.s * 8 + i)::INT] - br.rv[(sss.s * 8 + i)::INT])))
+       |      AS d2v
+       |  FROM resid CROSS JOIN sss CROSS JOIN bookr br),
+       |rcodes AS (
+       |  SELECT vec_id, s, rc FROM (
+       |    SELECT *, row_number()
+       |      OVER (PARTITION BY vec_id, s ORDER BY d2v, rc) AS rn FROM rvd)
+       |  WHERE rn = 1),
+       |qres AS (
+       |  SELECT b.c AS bkt,
+       |    list_transform(range(1, 65),
+       |      i -> qv.qvec[i::INT] - b.cv[i::INT]) AS qr
+       |  FROM book b JOIN probe p ON b.c = p.c CROSS JOIN qv),
+       |qtab AS (
+       |  SELECT qres.bkt, sss.s, br.rc,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> (qres.qr[(sss.s * 8 + i)::INT] - br.rv[(sss.s * 8 + i)::INT])
+       |         * (qres.qr[(sss.s * 8 + i)::INT] - br.rv[(sss.s * 8 + i)::INT])))
+       |      AS d2q
+       |  FROM qres CROSS JOIN sss CROSS JOIN bookr br),
+       |radc AS (
+       |  SELECT k.vec_id, a.bucket, round(
+       |      MAX(CASE WHEN k.s = 0 THEN t.d2q END)
+       |    + MAX(CASE WHEN k.s = 1 THEN t.d2q END)
+       |    + MAX(CASE WHEN k.s = 2 THEN t.d2q END)
+       |    + MAX(CASE WHEN k.s = 3 THEN t.d2q END)
+       |    + MAX(CASE WHEN k.s = 4 THEN t.d2q END)
+       |    + MAX(CASE WHEN k.s = 5 THEN t.d2q END)
+       |    + MAX(CASE WHEN k.s = 6 THEN t.d2q END)
+       |    + MAX(CASE WHEN k.s = 7 THEN t.d2q END), 6) AS adc_d2
+       |  FROM rcodes k JOIN assigned a USING (vec_id)
+       |  JOIN qtab t ON t.bkt = a.bucket AND t.s = k.s AND t.rc = k.rc
+       |  GROUP BY k.vec_id, a.bucket)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sim_ivfpq_residual" ->
+      s"""WITH $IVFPQR_CTES
+         |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket, adc_d2
+         |FROM radc ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin,
     "sim_ivfpq_index" ->
       s"""WITH $IVFPQ_CTES
          |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket, adc_d2

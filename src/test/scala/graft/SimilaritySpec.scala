@@ -153,6 +153,45 @@ class SimilaritySpec extends SparkSpecBase {
       s"exact re-rank lowered recall: adc=$rAdc rerank=$rRerank")
   }
 
+  test("sim_ivfpq_residual: ADC is EXACT for residual-codebook seeds " +
+      "in probed buckets, and the index stays codes-only") {
+    import spark.implicits._
+    assert(operators.SimilarityOps.simIvfpqResidual(spark, sf)
+      .collect().length == 10)
+    val root = operators.SimilarityOps.ivfpqrIndexLayout(spark, sf)
+    val idx = spark.read.parquet(s"$root/data")
+    assert(idx.schema.fields.map(_.name).sorted.toSeq ==
+      Seq("bucket", "codes", "vec_id"), "residual index leaks columns")
+    val pq = operators.PipelineOps.pqModel(spark, sf)
+    val pqr = operators.PipelineOps.pqrModel(spark, sf)
+    val probeIds = (0 until pq.k).map(c => (pq.qd2Full(c), c))
+      .sorted.take(2).map(_._2)
+    // the load-bearing property of residual coding: a vector whose
+    // residual IS a codebook entry reconstructs its TRUE distance from
+    // the 8 lookups — ‖q−v‖² exactly, not an approximation
+    val adcOfSeeds = idx
+      .filter($"bucket".isin(probeIds.map(Int.box): _*) &&
+        $"vec_id".between(8, 15))
+      .select($"vec_id", $"bucket",
+        when($"bucket" === probeIds.head,
+          pqr.adcFromCodes($"codes", probeIds.head))
+          .otherwise(pqr.adcFromCodes($"codes", probeIds(1))).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(adcOfSeeds.nonEmpty, "no residual seed landed in a probed list")
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .filter($"vec_id".between(8, 15))
+      .select($"vec_id", transform($"embedding", x => x.cast("double"))
+        .as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    adcOfSeeds.foreach { case (id, adc) =>
+      val v = vecs(id)
+      val exact = v.indices.map(i =>
+        (pqr.q(i) - v(i)) * (pqr.q(i) - v(i))).sum
+      assert(math.abs(adc - exact) < 1e-9,
+        s"seed $id ADC $adc != exact $exact — residual coding broken")
+    }
+  }
+
   test("sign-LSH candidates only pair vectors from the same bucket") {
     import spark.implicits._
     val rows = SimilarityOps.simAnnLsh(spark, sf).collect()
