@@ -207,6 +207,32 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** `sim_ivfpqr_recall` — recall@10 of the RESIDUAL index's probed-ADC
+    * top-10 vs the exact L2 top-10 ([[simIvfpqRecall]]'s twin for
+    * [[simIvfpqResidual]]): the number that answers "did residual
+    * coding buy fidelity over raw-vector codes at the same probe
+    * budget" — measured, not assumed. */
+  def simIvfpqrRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 10
+    val pq = PipelineOps.pqModel(spark, dir)
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+    val exactD2 = aggregate(
+      zip_with($"v", array(pq.q.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val exactTop = vecs.filter($"vec_id" =!= 5)
+      .select($"vec_id", round(exactD2, 6).as("d2"))
+      .orderBy($"d2", $"vec_id").limit(k)
+      .select($"vec_id")
+    simIvfpqResidual(spark, dir).select($"vec_id")
+      .join(exactTop, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(k.toLong).as("k"), lit(2L).as("probes"), $"n_hits",
+        round($"n_hits".cast("double") / k, 6).as("recall"))
+  }
+
   /** `sim_ivfpq_rerank` — the REFINE stage of two-stage retrieval (the
     * FAISS IVFPQR / production ANN-service shape): the persisted IVF-PQ
     * index shortlists the top-32 candidates by ADC — codes only, no
@@ -432,6 +458,7 @@ object SimilarityOps {
     "sim_ivfpq_recall" -> (simIvfpqRecall _),
     "sim_ivfpq_rerank" -> (simIvfpqRerank _),
     "sim_ivfpq_residual" -> (simIvfpqResidual _),
+    "sim_ivfpqr_recall" -> (simIvfpqrRecall _),
     "sim_ivf_recall" -> (simIvfRecall _),
     "sim_ivf_knn" -> (simIvfKnn _),
     "sim_ivf_index" -> (simIvfIndex _),
@@ -541,6 +568,20 @@ object SimilarityOps {
        |  GROUP BY k.vec_id, a.bucket)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_ivfpqr_recall" ->
+      s"""WITH $IVFPQR_CTES,
+         |rtop AS (
+         |  SELECT vec_id FROM radc ORDER BY adc_d2, vec_id LIMIT 10),
+         |ex AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, round(list_sum(list_transform(range(1, 65),
+         |        i -> (e.v[i::INT] - qv.qvec[i::INT])
+         |           * (e.v[i::INT] - qv.qvec[i::INT]))), 6) AS d2
+         |    FROM e CROSS JOIN qv WHERE e.vec_id <> 5)
+         |  ORDER BY d2, vec_id LIMIT 10)
+         |SELECT CAST(10 AS BIGINT) AS k, CAST(2 AS BIGINT) AS probes,
+         |  COUNT(*) AS n_hits, round(COUNT(*) / 10.0, 6) AS recall
+         |FROM rtop JOIN ex USING (vec_id)""".stripMargin,
     "sim_ivfpq_residual" ->
       s"""WITH $IVFPQR_CTES
          |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket, adc_d2

@@ -130,6 +130,48 @@ object StreamingOps {
     spark.table(queryName).orderBy($"user_id", $"event_type")
   }
 
+  /** `stream_dedup_watermark` — BOUNDED-STATE streaming dedup
+    * (`dropDuplicatesWithinWatermark`), the scale-safe twin of
+    * [[streamDedup]]: that one's keyed state grows with distinct keys
+    * FOREVER (fine for its 5×150 domain, fatal for event-id dedup at
+    * 100 TB); here dedup runs on the high-cardinality event_id and the
+    * state store evicts keys older than the 2-hour watermark horizon —
+    * exactly the at-least-once-ingest dedup contract (a redelivery
+    * arrives near its original; state is bounded by horizon × rate, not
+    * by corpus cardinality). The stream carries REAL duplicates (every
+    * event delivered twice via explode); drained, the dedup collapses
+    * them and the per-day rollup equals the batch answer over the
+    * ORIGINAL events. */
+  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val queryName = s"stream_dedup_wm_${System.nanoTime()}"
+    withStatePartitions(spark, 8) {
+      val q = spark.readStream
+        .schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "2 hours")
+        // at-least-once delivery: every event arrives twice
+        .withColumn("delivery", explode(array(lit(1), lit(2))))
+        .select($"event_id", $"ts", $"value")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(dayofmonth($"ts").as("day"))
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+      .select($"day".cast("long").as("day"), $"n", $"sum_value")
+      .orderBy($"day")
+  }
+
   /** `agg_session_window` — gap-based session windows (Spark's
     * session_window, the streaming-native sessionization primitive, run in
     * batch mode); oracle = first-principles gaps-and-islands SQL. */
@@ -596,6 +638,7 @@ object StreamingOps {
     "stream_custom_state" -> (streamCustomState _),
     "stream_hourly_rollup" -> (streamHourlyRollup _),
     "stream_dedup" -> (streamDedup _),
+    "stream_dedup_watermark" -> (streamDedupWatermark _),
     "agg_session_window" -> (aggSessionWindow _))
 
   val oracles: Map[String, String] = Map(
@@ -681,6 +724,11 @@ object StreamingOps {
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // the doubled deliveries collapse back to the original events
+    "stream_dedup_watermark" ->
+      """SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_session_window" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
