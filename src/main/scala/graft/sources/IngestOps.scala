@@ -838,6 +838,53 @@ object IngestOps {
       .orderBy($"event_type")
   }
 
+  /** Two-era layout for column DROP: v1 files (days 1-15) carry the
+    * doomed `props` column; v2 files (days 16+) are written AFTER the
+    * drop and never contain it. Built once per JVM (_DONE-gated) so the
+    * spec can prove the drop never rewrites a v1 byte. */
+  private[graft] def dropLayout(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val out = tmp("events_dropped")
+    if (!fsExists(spark, s"$out/_DONE")) {
+      val ev = eventsWithParts(spark, dir)
+        .select($"event_id", $"event_type", $"value", $"props", $"day")
+        .localCheckpoint()
+      ev.filter($"day" <= 15)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/v1")
+      ev.filter($"day" > 15).drop("props")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/v2")
+      val done = new org.apache.hadoop.fs.Path(out, "_DONE")
+      done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(done, true).close()
+    }
+    out
+  }
+
+  /** `alter_drop_col` — column DROP, the fifth leg of schema evolution
+    * beside add ([[alterAddCols]]), nested add ([[alterNestedEvolve]]),
+    * rename ([[alterRenameCol]]) and widen ([[alterWidenType]]): parquet
+    * files are immutable, so the dropped column's bytes stay in every
+    * pre-drop footer forever — what changes is the TABLE schema, and
+    * each era's scan projects the column away (column pruning even
+    * means the dropped bytes are never READ, not just never served).
+    * Post-drop files never contain it. The drop costs one catalog
+    * write and zero data IO (IngestSpec mtime-proves); storage is
+    * reclaimed lazily by future compactions — Iceberg's drop-column
+    * contract exactly. */
+  def alterDropCol(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = dropLayout(spark, dir)
+    val cols = Seq("event_id", "event_type", "value", "day")
+    val v1 = spark.read.parquet(s"$out/v1").select(cols.map(col): _*)
+    val v2 = spark.read.parquet(s"$out/v2").select(cols.map(col): _*)
+    v1.unionByName(v2)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        count(when($"day" <= 15, 1)).as("n_v1"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   /** `snapshot_read_attime` — time-travel READ by TIMESTAMP (Iceberg's
     * `asOfTimestamp`, the twin of [[snapshotReadAsof]]'s by-id travel):
     * the cutoff resolves against the persisted commit log to the last
@@ -1334,6 +1381,7 @@ object IngestOps {
     "alter_nested_evolve" -> (alterNestedEvolve _),
     "alter_rename_col" -> (alterRenameCol _),
     "alter_widen_type" -> (alterWidenType _),
+    "alter_drop_col" -> (alterDropCol _),
     "partition_prune_scan" -> (partitionPruneScan _),
     "table_props" -> (tableProps _),
     "scan_parquet" -> (scanParquet _),
@@ -1498,6 +1546,11 @@ object IngestOps {
     "alter_rename_col" ->
       s"""SELECT event_type, COUNT(*) AS n,
          |  COUNT(DISTINCT day(ts)) AS n_days,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "alter_drop_col" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  COUNT(CASE WHEN day(ts) <= 15 THEN 1 END) AS n_v1,
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // v1 eras narrow `score` through REAL: DuckDB's double→float→double

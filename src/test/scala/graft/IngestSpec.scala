@@ -336,6 +336,40 @@ class IngestSpec extends SparkSpecBase {
       "type widening rewrote v1 data files")
   }
 
+  test("alter_drop_col: v1 footers keep the dropped column's bytes " +
+      "untouched; the table serves the narrowed schema and prunes it " +
+      "from the scan") {
+    import org.apache.spark.sql.functions._
+    val root = graft.sources.IngestOps.dropLayout(spark, sf)
+    val p = new org.apache.hadoop.fs.Path(s"$root/v1")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def v1Mtimes(): Map[String, Long] = {
+      val it = fs.listFiles(p, true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.toString.endsWith(".parquet"))
+          b += f.getPath.toString -> f.getModificationTime
+      }
+      b.result()
+    }
+    val before = v1Mtimes()
+    // the dropped column's bytes are still in the pre-drop footers;
+    // post-drop files never carried it
+    assert(spark.read.parquet(s"$root/v1").columns.contains("props"))
+    assert(!spark.read.parquet(s"$root/v2").columns.contains("props"))
+    val served = graft.sources.IngestOps.alterDropCol(spark, sf)
+    assert(!served.columns.contains("props"))
+    served.collect()
+    // column pruning: no era's executed scan even READS the dropped
+    // column — the drop is free at query time, not just at drop time
+    fileScans(served.queryExecution.executedPlan).foreach { scan =>
+      assert(!scan.schema.fieldNames.contains("props"),
+        "the dropped column survived into a scan's ReadSchema")
+    }
+    assert(v1Mtimes() == before, "column drop rewrote v1 data files")
+  }
+
   test("snapshot_mixed_format: era 1 is parquet, era 2 is ORC appended " +
       "without touching era 1, and the union answers correctly") {
     import org.apache.spark.sql.functions._
