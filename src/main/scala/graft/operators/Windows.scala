@@ -128,7 +128,28 @@ object Windows {
       .orderBy($"event_type", $"event_id")
   }
 
+  /** `win_running_median` — EXACT running median per key over the event
+    * stream (the monitoring staple "median value so far, per type"): the
+    * exact `percentile` aggregate runs as a window function over an
+    * expanding ROWS frame. Same per-key ordering shuffle every window op
+    * pays — no global sort; within a task the frame grows incrementally.
+    * A 2-day scope keeps output bounded for the gate; the plan is
+    * identical at any range. */
+  def winRunningMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir).filter(dayofmonth($"ts") <= 2)
+      .withColumn("run_median",
+        round(expr("percentile(CAST(CAST(value AS DECIMAL(18,2)) " +
+          "AS DOUBLE), 0.5)").over(w), 4))
+      .select($"event_type", $"event_id", $"run_median")
+      .orderBy($"event_type", $"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_running_median" -> (winRunningMedian _),
     "win_percent_cume" -> (winPercentCume _),
     "win_range_frame" -> (winRangeFrame _),
     "win_first_last" -> (winFirstLast _),
@@ -141,6 +162,14 @@ object Windows {
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "win_running_median" ->
+      s"""SELECT event_type, event_id,
+         |  round(quantile_cont(CAST(CAST(value AS $D) AS DOUBLE), 0.5)
+         |    OVER (PARTITION BY event_type ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         |    AS run_median
+         |FROM events WHERE day(ts) <= 2
+         |ORDER BY event_type, event_id""".stripMargin,
     "win_percent_cume" ->
       """SELECT event_type, event_id, value,
         |  round(PERCENT_RANK() OVER (PARTITION BY event_type
