@@ -107,6 +107,21 @@ class EngineSpec extends SparkSpecBase {
     }
   }
 
+  test("agg_funnel_steps: depths partition the user base — counts sum " +
+      "to the distinct users in the window") {
+    import spark.implicits._
+    val rows = graft.operators.Aggregates.queries("agg_funnel_steps")
+      .apply(spark, sf).collect()
+    val depths = rows.map(_.getLong(0))
+    assert(depths.toSet.subsetOf(Set(0L, 1L, 2L, 3L)) &&
+      depths.distinct.length == depths.length)
+    val users = graft.sources.Tables.events(spark, sf)
+      .filter(dayofmonth($"ts") <= 2)
+      .select($"user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users,
+      "funnel depths must partition the user base exactly")
+  }
+
   test("stream_join_dim: the per-batch broadcast-dim enrichment equals " +
       "the batch join exactly") {
     import spark.implicits._
