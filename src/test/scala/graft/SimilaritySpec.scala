@@ -153,6 +153,42 @@ class SimilaritySpec extends SparkSpecBase {
       s"exact re-rank lowered recall: adc=$rAdc rerank=$rRerank")
   }
 
+  test("ivfpq probe sweep: recall@10 is monotone in probes, and at 8/8 " +
+      "probes the index reproduces the pure-ADC ranking exactly") {
+    import spark.implicits._
+    val root = operators.SimilarityOps.ivfpqIndexLayout(spark, sf)
+    val pq = operators.PipelineOps.pqModel(spark, sf)
+    val ranked = (0 until pq.k).map(c => (pq.qd2Full(c), c)).sorted.map(_._2)
+    def top10(probes: Int): Seq[Long] = {
+      val bs = ranked.take(probes)
+      spark.read.parquet(s"$root/data")
+        .filter($"bucket".isin(bs.map(Int.box): _*) && $"vec_id" =!= 5)
+        .select($"vec_id", round(pq.adcFromCodes($"codes"), 6).as("d2"))
+        .orderBy($"d2", $"vec_id").limit(10)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val exactD2 = aggregate(
+      zip_with($"v", array(pq.q.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val exact = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", x => x.cast("double"))
+        .as("v"))
+      .filter($"vec_id" =!= 5)
+      .select($"vec_id", exactD2.as("d2"))
+      .orderBy($"d2", $"vec_id").limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recalls = Seq(2, 4, 8).map(p => (top10(p).toSet & exact).size / 10.0)
+    info(s"ivfpq recall@10 by probes 2/4/8: ${recalls.mkString(", ")}")
+    // more probed lists = superset of candidates = recall can only rise
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    // at full probe the IVF layer is LOSSLESS: the index must reproduce
+    // the pure-ADC ranking of the whole corpus, code for code
+    val fullAdc = operators.PipelineOps.embedPqAll(spark, sf)
+      .limit(10).collect().map(_.getLong(0)).toSeq
+    assert(top10(8) == fullAdc,
+      "full-probe index ranking diverged from pure ADC — codes corrupt")
+  }
+
   test("sim_ivfpq_residual: ADC is EXACT for residual-codebook seeds " +
       "in probed buckets, and the index stays codes-only") {
     import spark.implicits._
