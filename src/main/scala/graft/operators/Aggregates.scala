@@ -174,18 +174,23 @@ object Aggregates {
     * the report is a 4-row rollup of per-user depths. */
   def aggFunnelSteps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // a 2-day conversion window: over the full month every user
-    // completes the funnel and the report degenerates to one row
+    // TRUE sliding conversion window (ClickHouse windowFunnel contract):
+    // later steps must land within 2 days OF EACH USER'S FIRST VIEW —
+    // t_step ∈ (t_prev, t1 + 2 days] — not within a calendar-date
+    // prefix of the month (the old `dayofmonth <= 2` spelling, which
+    // was a month-boundary predicate, not a per-user window).
     val ev = Tables.events(spark, dir)
-      .filter(dayofmonth($"ts") <= 2)
       .select($"user_id", $"event_type", $"ts")
     val v = ev.filter($"event_type" === "view")
       .groupBy($"user_id").agg(min($"ts").as("t1"))
     val c = ev.filter($"event_type" === "click")
-      .join(v, "user_id").filter($"ts" > $"t1")
-      .groupBy($"user_id").agg(min($"ts").as("t2"))
+      .join(v, "user_id")
+      .filter($"ts" > $"t1" && $"ts" <= $"t1" + expr("INTERVAL 2 DAYS"))
+      .groupBy($"user_id")
+      .agg(min($"ts").as("t2"), min($"t1").as("t1"))
     val p = ev.filter($"event_type" === "purchase")
-      .join(c, "user_id").filter($"ts" > $"t2")
+      .join(c, "user_id")
+      .filter($"ts" > $"t2" && $"ts" <= $"t1" + expr("INTERVAL 2 DAYS"))
       .groupBy($"user_id").agg(min($"ts").as("t3"))
     ev.select($"user_id").distinct()
       .join(v, Seq("user_id"), "left")
@@ -554,17 +559,17 @@ object Aggregates {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "agg_funnel_steps" ->
-      """WITH src AS (SELECT user_id, event_type, ts FROM events
-        |      WHERE day(ts) <= 2),
-        |u AS (SELECT DISTINCT user_id FROM src),
-        |v AS (SELECT user_id, MIN(ts) AS t1 FROM src
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, MIN(ts) AS t1 FROM events
         |      WHERE event_type = 'view' GROUP BY 1),
-        |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM src e
-        |      JOIN v ON e.user_id = v.user_id
-        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
-        |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM src e
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2, MIN(v.t1) AS ct1
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |        AND e.ts <= v.t1 + INTERVAL 2 DAY GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
         |      JOIN c ON e.user_id = c.user_id
-        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |        AND e.ts <= c.ct1 + INTERVAL 2 DAY GROUP BY 1)
         |SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
         |  WHEN t2 IS NOT NULL THEN 2
         |  WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)

@@ -167,27 +167,21 @@ object Joins {
     * bucket transform is the sibling for high-cardinality keys). */
   def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.sql("CREATE DATABASE IF NOT EXISTS graft")
-    Seq("orders_bkt", "customer_bkt").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS graft.$t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + s"/graft.db/$t")
-      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(loc, true)
+    val orders = bucketedTable(spark, dir, "orders_bkt",
+      "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE",
+      "o_custkey") {
+      Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     }
-    Tables.orders(spark, dir)
-      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
-      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .saveAsTable("graft.orders_bkt")
-    Tables.customer(spark, dir)
-      .select($"c_custkey", $"c_mktsegment")
-      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .saveAsTable("graft.customer_bkt")
+    val customer = bucketedTable(spark, dir, "customer_bkt",
+      "c_custkey BIGINT, c_mktsegment STRING", "c_custkey") {
+      Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment")
+    }
     // MERGE hint: at test scale Catalyst would broadcast the small side,
     // never exercising the bucket layout; at 100 TB sort-merge IS the
     // chosen strategy, and the buckets erase both of its exchanges.
-    spark.table("graft.orders_bkt")
-      .join(spark.table("graft.customer_bkt").hint("merge"),
+    spark.table(orders)
+      .join(spark.table(customer).hint("merge"),
         $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
@@ -205,8 +199,7 @@ object Joins {
     * key probe reads 1/nbuckets of one partition, not the table. */
   def bucketPointLookup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    bucketLookupTable(spark, dir)
-    spark.table("graft.orders_pt")
+    spark.table(bucketLookupTable(spark, dir))
       .filter($"o_custkey" === 7L)
       .groupBy($"o_custkey")
       .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"),
@@ -216,18 +209,50 @@ object Joins {
 
   /** Bucketed orders table for point lookups (8 buckets on o_custkey). */
   private[graft] def bucketLookupTable(spark: SparkSession,
-      dir: String): Unit = {
+      dir: String): String = {
     import spark.implicits._
+    bucketedTable(spark, dir, "orders_pt",
+      "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE", "o_custkey") {
+      Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+    }
+  }
+
+  /** Write-once shared bucketed table (8 buckets, sorted, on `key`).
+    * The old spelling DROPped and rebuilt a fixed-name managed table on
+    * every invocation — unlocked, so concurrent JVMs (Verify + Bench) or
+    * repeated bench samples could race DROP/saveAsTable against an
+    * in-flight read of the same files. Now the DATA is a
+    * fingerprint-keyed layout published once through
+    * [[graft.sources.IngestOps.buildShared]] (cross-process lock,
+    * marker-last, never mutated once complete — parquet's job-commit
+    * `_SUCCESS` is the marker), and each JVM merely REGISTERS an
+    * external bucketed table over it: registration is idempotent
+    * per-catalog and touches no data files, so nothing a reader holds
+    * open is ever deleted. Bucket ids ride in the file names
+    * (Spark's `BucketingUtils` contract), so a re-registered catalog
+    * entry prunes and zip-joins exactly like the writing session's. */
+  private def bucketedTable(spark: SparkSession, dir: String, base: String,
+      ddlSchema: String, key: String)(rows: => DataFrame): String = {
+    import graft.sources.IngestOps.{buildShared, fsExists, shared,
+      sourceFingerprint}
     spark.sql("CREATE DATABASE IF NOT EXISTS graft")
-    spark.sql("DROP TABLE IF EXISTS graft.orders_pt")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + "/graft.db/orders_pt")
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(loc, true)
-    Tables.orders(spark, dir)
-      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
-      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .saveAsTable("graft.orders_pt")
+    val fp = sourceFingerprint(spark, dir)
+    val name = s"graft.${base}_$fp"
+    val loc = shared(s"${base}_$fp")
+    buildShared(spark, loc, root => fsExists(spark, s"$root/_SUCCESS")) {
+      tmpRoot =>
+        spark.sql(s"DROP TABLE IF EXISTS $name") // stale incomplete build
+        rows.write.bucketBy(8, key).sortBy(key)
+          .option("path", tmpRoot).saveAsTable(name)
+    }
+    if (!spark.catalog.tableExists(name))
+      spark.sql(s"""CREATE TABLE $name ($ddlSchema) USING PARQUET
+        CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+        LOCATION '$loc'""")
+    name
   }
 
   /** `join_skew_salted` — skew-mitigated join: `event_type` has 5 values,
@@ -255,6 +280,79 @@ object Joins {
       .agg(count(lit(1)).as("n"),
         sum(dec($"value") * $"weight").cast("double").as("weighted_value"))
       .orderBy($"event_type")
+  }
+
+  /** `join_skew_aqe` — the same skewed join healed by Spark's BUILT-IN
+    * runtime skew handling instead of [[joinSkewSalted]]'s manual salt:
+    * AQE's `OptimizeSkewedJoin` measures the shuffle's map output at the
+    * stage boundary, spots the hot `event_type` partitions (5 keys ⇒ 5
+    * live reducers, one of them holding most of a 100 TB fact table),
+    * and SPLITS each hot partition into advisory-sized reader slices,
+    * duplicating the matching dim rows per slice — the salt-and-explode
+    * transform, derived at runtime from real sizes rather than guessed
+    * at authoring time (no hand-tuned salt count to mis-guess when the
+    * skew profile drifts). The thresholds here only scale the detector
+    * down to test-scale bytes; `forceOptimizeSkewedJoin` accepts the
+    * extra post-join shuffle the groupBy then needs — the same trade the
+    * manual salt already makes. JoinSpec asserts `isSkewJoin=true` on
+    * the executed SortMergeJoin AND that the split join still equals the
+    * plain unsalted answer; the oracle is the same unsalted SQL. */
+  def joinSkewAqe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withSkewAqeConf(spark) {
+      val rows = skewAqeJoined(spark, dir).collect().toSeq
+      // materialized under the scaled-down conf (AQE reads conf at
+      // execution, not plan-build), then surfaced as a literal frame
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        skewAqeJoined(spark, dir).schema)
+    }
+  }
+
+  /** The skewed join as an inspectable plan (JoinSpec executes it under
+    * [[withSkewAqeConf]] and asserts the SMJ node reports
+    * `isSkewJoin=true`). MERGE hint for the same reason as
+    * [[joinBucketed]]: at test scale Catalyst would broadcast the 5-row
+    * dim and there would be no shuffle to heal. */
+  private[graft] def skewAqeJoined(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(("click", "0.5"), ("view", "0.1"), ("purchase", "5.0"),
+      ("signup", "2.0"), ("error", "0.25")).toDF("et", "w")
+      .withColumn("weight", $"w".cast("decimal(4,2)"))
+    // AQE splits a skewed reduce partition along MAPPER boundaries; the
+    // test corpus is one small parquet file = one map task = no seams.
+    // A 100 TB fact arrives in thousands of map tasks — recreate that
+    // topology at test bytes so the detector has something to split.
+    Tables.events(spark, dir)
+      .repartition(16, $"event_id")
+      .join(dim.hint("merge"), $"event_type" === $"et")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"value") * $"weight").cast("double").as("weighted_value"))
+      .orderBy($"event_type")
+  }
+
+  /** Scale AQE's skew detector down to test-scale bytes (at production
+    * scale the DEFAULTS fire — 256 MB threshold, 5× median; only these
+    * numbers change, not the plan shape) and restore the session conf
+    * afterwards. */
+  private[graft] def withSkewAqeConf[T](spark: SparkSession)(body: => T): T = {
+    val tuned = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "0.5",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        "1k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1k",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val saved = tuned.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   /** Full outer join: customers vs active event users, null-safe key. */
@@ -365,6 +463,7 @@ object Joins {
     "join_bucketed" -> (joinBucketed _),
     "bucket_point_lookup" -> (bucketPointLookup _),
     "join_skew_salted" -> (joinSkewSalted _),
+    "join_skew_aqe" -> (joinSkewAqe _),
     "join_asof" -> (joinAsof _),
     "join_asof_tolerance" -> (joinAsofTolerance _))
 
@@ -460,6 +559,15 @@ object Joins {
          |FROM orders WHERE o_custkey = 7
          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "join_skew_salted" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D) * CAST(weight AS DECIMAL(4,2)))
+         |    AS DOUBLE) AS weighted_value
+         |FROM events JOIN (VALUES ('click', 0.5), ('view', 0.1),
+         |    ('purchase', 5.0), ('signup', 2.0), ('error', 0.25))
+         |  AS d(et, weight) ON event_type = et
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // runtime skew-split must not change the answer: same unsalted SQL
+    "join_skew_aqe" ->
       s"""SELECT event_type, COUNT(*) AS n,
          |  CAST(SUM(CAST(value AS $D) * CAST(weight AS DECIMAL(4,2)))
          |    AS DOUBLE) AS weighted_value

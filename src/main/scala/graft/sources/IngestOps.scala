@@ -156,17 +156,43 @@ object IngestOps {
       } finally java.nio.file.Files.deleteIfExists(breaker)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        // another breaker is in flight; reap it if IT died, else yield
-        val breakerDead = try {
-          new String(java.nio.file.Files.readAllBytes(breaker),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
-            .exists { p =>
-              val h = java.lang.ProcessHandle.of(p)
-              !(h.isPresent && h.get().isAlive)
+        // Another breaker is in flight; reap it only if ITS owner died —
+        // and not by bare delete: between our dead-pid read and a delete,
+        // a faster racer can reap the dead breaker and CREATE_NEW its own
+        // live one, so the delete would remove a LIVE breaker and re-open
+        // the double-breaker hole. Reap by atomic same-dir rename into a
+        // reaper-unique grave instead: exactly one racer's move succeeds
+        // (the source vanishes for the rest), and the post-move content
+        // check catches the theft window — if the moved file no longer
+        // names the dead pid we observed, it is a racer's live breaker
+        // and is restored. (Residual: the restore itself can lose its
+        // slot to a third breaker in the same microsecond window; we
+        // then yield and the retry loop re-contends — scratch-grade.)
+        val deadPid: Option[String] = try {
+          val s = new String(java.nio.file.Files.readAllBytes(breaker),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          s.toLongOption.filter { p =>
+            val h = java.lang.ProcessHandle.of(p)
+            !(h.isPresent && h.get().isAlive)
+          }.map(_ => s)
+        } catch { case _: java.io.IOException => None }
+        deadPid match {
+          case Some(d) =>
+            val grave = breaker.resolveSibling(
+              breaker.getFileName.toString + s".reap.$d.$me")
+            try {
+              java.nio.file.Files.move(breaker, grave)
+              val moved = new String(
+                java.nio.file.Files.readAllBytes(grave),
+                java.nio.charset.StandardCharsets.UTF_8).trim
+              if (moved == d) java.nio.file.Files.delete(grave)
+              else java.nio.file.Files.move(grave, breaker)
+            } catch {
+              case _: java.nio.file.NoSuchFileException => () // racer won
+              case _: java.io.IOException => () // restore lost its slot
             }
-        } catch { case _: java.io.IOException => false }
-        if (breakerDead) java.nio.file.Files.deleteIfExists(breaker)
-        else Thread.sleep(50)
+          case None => Thread.sleep(50)
+        }
     }
   }
 
@@ -1124,7 +1150,11 @@ object IngestOps {
   def ingestQuarantine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val out = tmp("events_quarantine")
-    val bad = $"value" < 1.0 || $"value" > 300.0
+    // NULL `value` is routed explicitly: under three-valued logic both
+    // `bad` and `!bad` would be false for NULL, silently dropping the
+    // row from BOTH sinks — the one outcome a lossless split forbids.
+    // isNull first makes `bad` total (never NULL), so !bad is exact.
+    val bad = $"value".isNull || $"value" < 1.0 || $"value" > 300.0
     val src = eventsWithParts(spark, dir)
       .select($"event_id", $"event_type", $"value", $"day")
       .localCheckpoint() // one source scan feeds both sinks
@@ -1422,7 +1452,8 @@ object IngestOps {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ingest_quarantine" ->
       s"""WITH t AS (
-         |  SELECT value, (value < 1.0 OR value > 300.0) AS bad
+         |  SELECT value,
+         |    (value IS NULL OR value < 1.0 OR value > 300.0) AS bad
          |  FROM events)
          |SELECT COUNT(CASE WHEN NOT bad THEN 1 END) AS n_accepted,
          |  CAST(SUM(CASE WHEN NOT bad THEN CAST(value AS $D) END)

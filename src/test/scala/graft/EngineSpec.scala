@@ -191,6 +191,42 @@ class EngineSpec extends SparkSpecBase {
       "salting demo must not degenerate into a broadcast join")
   }
 
+  test("join_skew_aqe: the executed SortMergeJoin reports isSkewJoin " +
+      "and the runtime-split join equals the plain unsalted join") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    operators.Joins.withSkewAqeConf(spark) {
+      val df = operators.Joins.skewAqeJoined(spark, sf)
+      val rows = df.collect()
+      val dim = Seq(("click", "0.5"), ("view", "0.1"), ("purchase", "5.0"),
+        ("signup", "2.0"), ("error", "0.25")).toDF("et", "w")
+        .withColumn("weight", $"w".cast("decimal(4,2)"))
+      val plain = graft.sources.Tables.events(spark, sf)
+        .join(dim, $"event_type" === $"et")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(operators.dec($"value") * $"weight").cast("double")
+            .as("weighted_value"))
+        .orderBy($"event_type")
+      assert(rows.sameElements(plain.collect()),
+        "AQE skew split changed the join answer")
+      def smjs(p: SparkPlan): Seq[SortMergeJoinExec] = p match {
+        case a: AdaptiveSparkPlanExec => smjs(a.executedPlan)
+        case s: QueryStageExec        => smjs(s.plan)
+        case j: SortMergeJoinExec => j +: j.children.flatMap(smjs)
+        case other                => other.children.flatMap(smjs)
+      }
+      val joins = smjs(df.queryExecution.executedPlan)
+      assert(joins.nonEmpty, "expected a SortMergeJoin (merge hint)")
+      assert(joins.exists(_.isSkewJoin),
+        "AQE did not mark the SortMergeJoin as a skew join — the hot " +
+          "event_type partition was never split")
+    }
+  }
+
   test("agg_quantile_sketch: estimates land within one bin width of the " +
       "k-th order statistic, and the sketch state merges like integers") {
     import spark.implicits._

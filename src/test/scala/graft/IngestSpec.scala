@@ -202,8 +202,11 @@ class IngestSpec extends SparkSpecBase {
     val out = graft.sources.IngestOps.tmp("events_quarantine")
     val acc = spark.read.parquet(s"$out/accepted")
     val quar = spark.read.parquet(s"$out/quarantine")
-    val bad = col("value") < 1.0 || col("value") > 300.0
+    val bad = col("value").isNull || col("value") < 1.0 ||
+      col("value") > 300.0
     assert(acc.filter(bad).count() == 0, "a bad row landed in the table")
+    assert(acc.filter(col("value").isNull).count() == 0,
+      "a NULL-valued row landed in the table")
     assert(quar.filter(!bad).count() == 0, "a good row was quarantined")
     val total = graft.sources.Tables.events(spark, sf).count()
     assert(r.getLong(0) + r.getLong(2) == total,
