@@ -911,6 +911,64 @@ object IngestOps {
       .orderBy($"event_type")
   }
 
+  /** Two-era layout for DEFAULT-VALUE column add: v1 files (days 1-15)
+    * predate the column entirely; v2 files (days 16+) are written after
+    * the ALTER and store real per-row `tier` values. Built once per JVM
+    * (_DONE-gated) so the spec can prove the add never rewrites a v1
+    * byte. */
+  private[graft] def defaultColLayout(spark: SparkSession,
+      dir: String): String = {
+    import spark.implicits._
+    val out = tmp("events_defaultcol")
+    if (!fsExists(spark, s"$out/_DONE")) {
+      val ev = eventsWithParts(spark, dir)
+        .select($"event_id", $"event_type", $"value", $"day")
+        .localCheckpoint()
+      ev.filter($"day" <= 15)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/v1")
+      ev.filter($"day" > 15)
+        .withColumn("tier",
+          when($"value" >= 50.0, lit("premium")).otherwise(lit("standard")))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/v2")
+      val done = new org.apache.hadoop.fs.Path(out, "_DONE")
+      done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(done, true).close()
+    }
+    out
+  }
+
+  /** `alter_add_col_default` — ADD COLUMN ... DEFAULT, the sixth leg of
+    * schema evolution beside add ([[alterAddCols]]), nested add
+    * ([[alterNestedEvolve]]), rename ([[alterRenameCol]]), widen
+    * ([[alterWidenType]]) and drop ([[alterDropCol]]) — Iceberg v3's
+    * INITIAL-DEFAULT semantics: `ALTER TABLE ADD COLUMN tier STRING
+    * DEFAULT 'standard'` must serve `'standard'` (not NULL, which is
+    * all [[alterAddCols]]' mergeSchema read can surface) for every row
+    * written BEFORE the alter, with zero rewrite. The default is
+    * catalog metadata, applied in the pre-add era's scan projection —
+    * the same name-mapping discipline as rename/widen, with a literal
+    * instead of an alias/cast; post-add files store real values and
+    * serve them verbatim. At 100 TB adding a defaulted column costs one
+    * catalog write; the literal is constant-folded into each scan.
+    * (IngestSpec mtime-proves the zero rewrite and checks the per-era
+    * split: v1 rows all serve the default, v2 rows their stored
+    * values.) */
+  def alterAddColDefault(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = defaultColLayout(spark, dir)
+    // the initial-default mapping: pre-add files project the default
+    val v1 = spark.read.parquet(s"$out/v1")
+      .withColumn("tier", lit("standard"))
+    val v2 = spark.read.parquet(s"$out/v2")
+    v1.unionByName(v2)
+      .groupBy($"tier")
+      .agg(count(lit(1)).as("n"),
+        count(when($"day" <= 15, 1)).as("n_v1"),
+        countDistinct($"event_type").as("n_types"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"tier")
+  }
+
   /** `snapshot_read_attime` — time-travel READ by TIMESTAMP (Iceberg's
     * `asOfTimestamp`, the twin of [[snapshotReadAsof]]'s by-id travel):
     * the cutoff resolves against the persisted commit log to the last
@@ -1411,6 +1469,7 @@ object IngestOps {
     "alter_nested_evolve" -> (alterNestedEvolve _),
     "alter_rename_col" -> (alterRenameCol _),
     "alter_widen_type" -> (alterWidenType _),
+    "alter_add_col_default" -> (alterAddColDefault _),
     "alter_drop_col" -> (alterDropCol _),
     "partition_prune_scan" -> (partitionPruneScan _),
     "table_props" -> (tableProps _),
@@ -1586,6 +1645,18 @@ object IngestOps {
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // v1 eras narrow `score` through REAL: DuckDB's double→float→double
     // round-trip is the same IEEE754 conversion Spark's cast performs
+    // pre-add rows serve the declared default, post-add rows their
+    // stored values — the oracle names both eras by predicate
+    "alter_add_col_default" ->
+      s"""WITH t AS (SELECT value, event_type, day(ts) AS day,
+         |  CASE WHEN day(ts) <= 15 THEN 'standard'
+         |       WHEN value >= 50.0 THEN 'premium'
+         |       ELSE 'standard' END AS tier FROM events)
+         |SELECT tier, COUNT(*) AS n,
+         |  COUNT(CASE WHEN day <= 15 THEN 1 END) AS n_v1,
+         |  COUNT(DISTINCT event_type) AS n_types,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "alter_widen_type" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN day(ts) > 15

@@ -231,6 +231,98 @@ object LakeOps {
       .orderBy($"day")
   }
 
+  /** `delete_mor_dv` — DELETION VECTORS, the current industry form of
+    * [[deleteMorPos]]'s position deletes (Iceberg v3 / Delta Lake DVs):
+    * instead of a parquet file of (file_path, pos) PAIRS — one row per
+    * doomed row — the delete commits ONE compressed Roaring bitmap per
+    * touched data file. Membership is O(1) at scan, the sidecar is
+    * per-file metadata (cardinality = files, not rows), and a WIDE
+    * delete costs run-length-encoded ranges instead of a row per
+    * position — the delete here dooms every non-purchase row of days
+    * 3-8, exactly the shape where pair files blow up and bitmaps
+    * collapse to a handful of runs (LakeSpec measures both spellings
+    * and asserts the DV bytes are a fraction of the pair bytes; base
+    * data-file mtimes stay untouched; the answer equals the
+    * copy-on-write spelling via the shared oracle). The per-file-
+    * metadata discipline of `aig/PartitionValueDebugger.java:164-196`
+    * taken to its current standard. */
+  def deleteMorDv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = IngestOps.tmp("events_mor_dv")
+    val dvDir = IngestOps.tmp("events_mor_dv_vectors")
+    writeBase(spark, dir, out)
+    // the delete commit: one bitmap per data file, positions from the
+    // same `_metadata` columns a keyless position delete uses
+    writeDeletionVectors(spark,
+      spark.read.parquet(out)
+        .filter($"event_type" =!= "purchase" && $"day".between(3, 8))
+        .select($"_metadata.file_path".as("file"),
+          $"_metadata.row_index".as("pos")),
+      dvDir)
+    readWithDeletionVectors(spark, out, dvDir)
+      .filter($"day".between(1, 10))
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        count(when($"event_type" === "purchase", 1)).as("n_purchases"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
+  /** The DV write: aggregate each touched file's doomed positions into a
+    * run-optimized serialized RoaringBitmap (the codec Iceberg v3 and
+    * Delta both standardize on; Spark ships it). One output row per
+    * data file — building a file's bitmap holds that FILE's positions,
+    * never the table's, the same working set a production DV writer
+    * carries. 32-bit positions cover any real parquet file (row_index
+    * is bounded by rows-per-file, not table size); Iceberg's 64-bit
+    * framing is the same bitmap with extension headers. */
+  private[graft] def writeDeletionVectors(spark: SparkSession,
+      doomed: DataFrame, dvDir: String): Unit = {
+    import spark.implicits._
+    val toDv = udf { (ps: Seq[Long]) =>
+      val bm = new org.roaringbitmap.RoaringBitmap()
+      ps.foreach(p => bm.add(p.toInt))
+      bm.runOptimize()
+      val bos = new java.io.ByteArrayOutputStream()
+      bm.serialize(new java.io.DataOutputStream(bos))
+      bos.toByteArray
+    }
+    doomed.groupBy($"file")
+      .agg(collect_list($"pos").as("ps"))
+      .select($"file", toDv($"ps").as("dv"),
+        size($"ps").cast("long").as("n_deleted"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(dvDir)
+  }
+
+  /** The DV read: a production reader resolves a file's DV ONCE per
+    * scan task (Iceberg's DeleteFilter attaches the bitmap to the
+    * split); the local[n] equivalent deserializes each sidecar bitmap
+    * once on the driver — one per data file, metadata cardinality, the
+    * same planning payload the scan already ships — and broadcasts the
+    * map, so the per-row cost is a hash probe + O(1) bitmap contains,
+    * never a per-row deserialize and never a row-count-sized anti-join
+    * shuffle. */
+  private[graft] def readWithDeletionVectors(spark: SparkSession,
+      out: String, dvDir: String): DataFrame = {
+    import spark.implicits._
+    val dvs = spark.read.parquet(dvDir).select($"file", $"dv")
+      .collect().map { r =>
+        val bm = new org.roaringbitmap.RoaringBitmap()
+        bm.deserialize(new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+        r.getString(0) -> bm
+      }.toMap
+    val bc = spark.sparkContext.broadcast(dvs)
+    val live = udf((file: String, pos: Long) =>
+      !bc.value.get(file).exists(_.contains(pos.toInt)))
+    spark.read.parquet(out)
+      .withColumn("__dv_file", $"_metadata.file_path")
+      .withColumn("__dv_pos", $"_metadata.row_index")
+      .filter(live($"__dv_file", $"__dv_pos"))
+      .drop("__dv_file", "__dv_pos")
+  }
+
   /** `delete_mor_seq` — SEQUENCE-NUMBER-correct merge-on-read (Iceberg
     * v2's data-sequence contract): an equality delete applies only to
     * data files with a LOWER sequence number than the delete file.
@@ -945,6 +1037,7 @@ object LakeOps {
     "delete_mor_seq" -> (deleteMorSeq _),
     "meta_refs" -> (metaRefs _),
     "delete_mor_pos" -> (deleteMorPos _),
+    "delete_mor_dv" -> (deleteMorDv _),
     "compact_mor" -> (compactMor _),
     "table_clone" -> (tableClone _),
     "manifest_rewrite" -> (manifestRewrite _),
@@ -1055,6 +1148,16 @@ object LakeOps {
          |FROM events
          |WHERE day(ts) BETWEEN 1 AND 10
          |  AND NOT (event_type = 'view' AND day(ts) BETWEEN 4 AND 6)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // deletion vectors must not change the answer vs copy-on-write
+    "delete_mor_dv" ->
+      s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
+         |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+         |    AS n_purchases,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events
+         |WHERE day(ts) BETWEEN 1 AND 10
+         |  AND NOT (event_type <> 'purchase' AND day(ts) BETWEEN 3 AND 8)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "compact_mor" ->
       s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,

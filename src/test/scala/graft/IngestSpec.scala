@@ -339,6 +339,47 @@ class IngestSpec extends SparkSpecBase {
       "type widening rewrote v1 data files")
   }
 
+  test("alter_add_col_default: pre-add rows serve the declared default " +
+      "with zero rewrite; post-add rows serve their stored values") {
+    import org.apache.spark.sql.functions._
+    val root = graft.sources.IngestOps.defaultColLayout(spark, sf)
+    val p = new org.apache.hadoop.fs.Path(s"$root/v1")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def v1Mtimes(): Map[String, Long] = {
+      val it = fs.listFiles(p, true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.toString.endsWith(".parquet"))
+          b += f.getPath.toString -> f.getModificationTime
+      }
+      b.result()
+    }
+    val before = v1Mtimes()
+    assert(before.nonEmpty)
+    // the pre-add footers genuinely lack the column
+    assert(!spark.read.parquet(s"$root/v1").columns.contains("tier"))
+    val rows = graft.sources.IngestOps.alterAddColDefault(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(v1Mtimes() == before,
+      "adding a defaulted column rewrote pre-add data files")
+    // per-era split: every v1 row serves the default; v2 rows serve
+    // BOTH stored values (the default is initial, not a constant)
+    val v1n = spark.read.parquet(s"$root/v1").count()
+    val v2 = spark.read.parquet(s"$root/v2")
+    val v2premium = v2.filter(col("tier") === "premium").count()
+    val v2standard = v2.filter(col("tier") === "standard").count()
+    assert(v2premium > 0 && v2standard > 0,
+      "fixture should exercise both stored values post-add")
+    val byTier = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    assert(byTier("standard")._2 == v1n,
+      "every pre-add row must serve the default")
+    assert(byTier("premium")._1 == v2premium)
+    assert(byTier("standard")._1 == v1n + v2standard)
+  }
+
   test("alter_drop_col: v1 footers keep the dropped column's bytes " +
       "untouched; the table serves the narrowed schema and prunes it " +
       "from the scan") {

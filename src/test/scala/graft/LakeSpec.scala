@@ -344,6 +344,78 @@ class LakeSpec extends SparkSpecBase {
     assert(rows.toSeq == direct.toSeq)
   }
 
+  test("delete_mor_dv: the delete is one compressed bitmap per file — " +
+      "no data file rewritten, answer equals copy-on-write, and a wide " +
+      "delete's DV bytes are a fraction of the pair-file spelling") {
+    import spark.implicits._
+    val rows = sources.LakeOps.deleteMorDv(spark, sf).collect()
+    val root = graft.sources.IngestOps.tmp("events_mor_dv")
+    val dv = graft.sources.IngestOps.tmp("events_mor_dv_vectors")
+    def parquetFiles(p: String) = {
+      val path = new Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(path, true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.toString.endsWith(".parquet")) b += f
+      }
+      b.result()
+    }
+    // the DV commit rewrote no data file
+    assert(partMtimes(root).values.max <=
+      parquetFiles(dv).map(_.getModificationTime).min,
+      "a data file was rewritten by the deletion-vector delete")
+    // sidecar cardinality = touched data files, never doomed rows; the
+    // recorded cardinalities reconcile with the doomed count
+    val dvDf = spark.read.parquet(dv)
+    val base = spark.read.parquet(root)
+    val doomedPred = col("event_type") =!= "purchase" &&
+      col("day").between(3, 8)
+    val touched = base.filter(doomedPred)
+      .select(col("_metadata.file_path")).distinct().count()
+    val doomed = base.filter(doomedPred).count()
+    assert(dvDf.count() == touched && touched > 0)
+    assert(dvDf.agg(sum($"n_deleted")).head.getLong(0) == doomed)
+    // the DV read equals the plain filtered aggregate
+    val direct = base.filter(!doomedPred)
+      .filter(col("day").between(1, 10))
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        graft.operators.dsum(col("value")).as("sum_value"))
+      .orderBy(col("day")).collect()
+    assert(rows.toSeq == direct.toSeq)
+    // the wide-delete economics: one 200k-row file, a 150k-row doomed
+    // span (retention purge shape). The pair-file spelling writes a row
+    // per doomed position; the DV collapses the span to a handful of
+    // runs. Require a ≥10× gap, not a whisker.
+    val wideRoot = graft.sources.IngestOps.tmp("dv_wide_base")
+    val wideDv = graft.sources.IngestOps.tmp("dv_wide_vectors")
+    val widePairs = graft.sources.IngestOps.tmp("dv_wide_pairs")
+    spark.range(200000).select($"id", ($"id" % 1000).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(wideRoot)
+    val doomedWide = spark.read.parquet(wideRoot)
+      .filter($"id" >= 25000 && $"id" < 175000)
+      .select($"_metadata.file_path".as("file"),
+        $"_metadata.row_index".as("pos"))
+    sources.LakeOps.writeDeletionVectors(spark, doomedWide, wideDv)
+    doomedWide.withColumnRenamed("file", "d_file")
+      .withColumnRenamed("pos", "d_pos")
+      .coalesce(1).write.mode("overwrite").parquet(widePairs)
+    val dvBytes = parquetFiles(wideDv).map(_.getLen).sum
+    val pairBytes = parquetFiles(widePairs).map(_.getLen).sum
+    assert(dvBytes * 10 < pairBytes,
+      s"DV sidecar ($dvBytes B) should be a fraction of the pair file " +
+        s"($pairBytes B) for a wide delete")
+    // and the DV read serves exactly the survivors
+    val survivors = sources.LakeOps
+      .readWithDeletionVectors(spark, wideRoot, wideDv)
+    assert(survivors.count() == 50000)
+    assert(survivors
+      .filter($"id" >= 25000 && $"id" < 175000).count() == 0)
+  }
+
   test("manifest_rewrite compacts planning to one manifest without " +
       "touching data or history") {
     import spark.implicits._
