@@ -20,6 +20,18 @@ object DedupOps {
       sequence(lit(1), greatest(length(text) - 2, lit(1))),
       i => text.substr(i, lit(3))))
 
+  /** PORTABLE 60-bit hash: the top 15 hex chars of md5, read base-16.
+    * Every engine with md5 computes this bit-identically (DuckDB:
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`), which is what
+    * lets the MinHash-LSH and SimHash keys carry FULL DuckDB oracles —
+    * xxhash64 is Spark-specific, so the xx-based spellings could only
+    * ever be rows-checked. 60 uniform bits lose nothing an LSH family
+    * cares about; the fused XXH64 signature expression
+    * (functions/MinHashSignature.scala) remains the single-engine fast
+    * path and is property-tested separately. */
+  private[operators] def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** `dedup_exact` — exact duplicate removal on raw text: keep min doc_id
     * per identical text, report group sizes. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
@@ -111,16 +123,20 @@ object DedupOps {
         round($"jaccard", 6).as("jaccard"))
   }
 
-  /** `dedup_minhash_lsh` — MinHash signatures (16 xxhash64 permutations
-    * over shingles) banded 4×4 into LSH buckets; candidate pairs share ≥1
-    * band bucket, then exact Jaccard confirms ≥ 0.4. No DuckDB oracle
-    * (xxhash64 is Spark-specific) — MinHashSpec property-tests it against
-    * exact Jaccard with planted duplicates. */
+  /** `dedup_minhash_lsh` — MinHash signatures (16 hash permutations over
+    * character 3-gram shingles) banded 4×4 into LSH buckets; candidate
+    * pairs share ≥1 band bucket, then exact Jaccard confirms ≥ 0.4.
+    * Runs the PORTABLE [[portableHash]] family so the whole pipeline —
+    * shingling, 16 signature lanes, band buckets, candidate join,
+    * Jaccard confirm — has an exact DuckDB twin and the key is fully
+    * hash-oracle-checked (it was rows-only while on xxhash64);
+    * DedupSpec's planted-duplicate recall tests cover the xx fast path
+    * through the same pipeline. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     minhashPipeline(
       Tables.documents(spark, dir).filter($"doc_id" < 200),
-      nHashes = 16, bandSize = 4, threshold = 0.4)
+      nHashes = 16, bandSize = 4, threshold = 0.4, portable = true)
   }
 
   /** Reusable MinHash-LSH pipeline over any (doc_id, text) DataFrame:
@@ -137,7 +153,7 @@ object DedupOps {
     * rows a co-shingle self-join would emit. The only wide stages are the
     * band-bucket self-join and the two pair→set hash joins. */
   def minhashPipeline(docs: DataFrame, nHashes: Int, bandSize: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, portable: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // per-doc distinct shingle set, carried as an array column. Eager
@@ -147,19 +163,26 @@ object DedupOps {
     val sets = docs.select($"doc_id", shingles3($"text").as("ss"))
       .filter(size($"ss") > 0)
       .localCheckpoint()
-    // the whole k-lane signature in one fused codegen'd Expression
-    // (functions/MinHashSignature.scala): a map-only narrow stage — no
-    // explode blowup, no k aggregate buffers, no exchange. Lane j is
-    // bit-identical to min(xxhash64(lit(j), s)) (MinHashSpec proves it),
-    // so buckets and candidates match the aggregate spelling exactly.
-    val sig = sets.select($"doc_id",
-      graft.functions.MinHashFunctions
-        .minhashSignature($"ss", nHashes).as("sig"))
+    // the k-lane signature. Fast path: one fused codegen'd Expression
+    // (functions/MinHashSignature.scala) — a map-only narrow stage, no
+    // explode blowup, no k aggregate buffers, no exchange; lane j is
+    // bit-identical to min(xxhash64(lit(j), s)) (DedupSpec proves it).
+    // Portable path: the same lanes from [[portableHash]] over `j:s` —
+    // still a narrow array_min/transform pass, engine-replayable.
+    val sig =
+      if (portable) sets.select($"doc_id",
+        array((0 until nHashes).map(j => array_min(transform($"ss",
+          s => portableHash(concat(lit(j), lit(":"), s))))): _*).as("sig"))
+      else sets.select($"doc_id",
+        graft.functions.MinHashFunctions
+          .minhashSignature($"ss", nHashes).as("sig"))
     // bands: bucket key = hash of the bandSize signature slice
     val bandCols = (0 until nHashes / bandSize).map { b =>
+      val lanes = (b * bandSize until (b + 1) * bandSize)
+        .map(i => $"sig".getItem(i))
       struct(lit(b).as("band"),
-        xxhash64(lit(b) +: (b * bandSize until (b + 1) * bandSize)
-          .map(i => $"sig".getItem(i)): _*).as("bucket"))
+        (if (portable) portableHash(concat_ws(":", lit(b) +: lanes: _*))
+         else xxhash64(lit(b) +: lanes: _*)).as("bucket"))
     }
     // cut before the self-join: both sides read the materialized buckets
     // (docs × bands rows) instead of re-hashing the corpus per branch
@@ -186,27 +209,40 @@ object DedupOps {
       .orderBy($"da", $"db")
   }
 
-  /** `dedup_simhash` — 64-bit SimHash over whitespace tokens (per-bit
-    * majority vote of token hashes); near-dups = hamming distance ≤ 3 via
-    * self-join on 8 rotated 8-bit blocks (a ≤7-bit-distant pair shares ≥1
-    * exact block — pigeonhole). No DuckDB oracle (xxhash64); the scalatest
-    * suite covers it with planted duplicates. */
+  /** `dedup_simhash` — SimHash over whitespace tokens (per-bit majority
+    * vote of token hashes); near-dups = hamming distance ≤ 3 via
+    * self-join on equal-width signature blocks (a pair within hamming
+    * h < nBlocks shares ≥1 exact block — pigeonhole). Runs the PORTABLE
+    * [[portableHash]] family (60 signature bits, 4×15-bit blocks) so
+    * tokenization, votes, blocks, candidate join and hamming confirm
+    * all have an exact DuckDB twin and the key is fully
+    * hash-oracle-checked (rows-only while on xxhash64); DedupSpec's
+    * planted-duplicate tests cover the 64-bit xx fast path (8×8-bit
+    * blocks) through the same pipeline. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     simhashPipeline(Tables.documents(spark, dir).filter($"doc_id" < 500),
-      maxHamming = 3)
+      maxHamming = 3, portable = true)
   }
 
-  /** Reusable 64-bit SimHash near-dup pipeline over any (doc_id, text)
-    * DataFrame; candidate generation via 8×8-bit block equality. */
-  def simhashPipeline(docs: DataFrame, maxHamming: Int): DataFrame = {
+  /** Reusable SimHash near-dup pipeline over any (doc_id, text)
+    * DataFrame; candidate generation via equal-width block equality
+    * (64-bit xxhash64 / 8×8-bit blocks, or the portable 60-bit family /
+    * 4×15-bit blocks). */
+  def simhashPipeline(docs: DataFrame, maxHamming: Int,
+      portable: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bits = 64
+    val bits = if (portable) 60 else 64
+    val (nBlocks, blockBits) = if (portable) (4, 15) else (8, 8)
+    require(maxHamming < nBlocks,
+      s"pigeonhole needs maxHamming < $nBlocks blocks")
+    val blockMask = (1L << blockBits) - 1
     val toks = filter(split($"text", " "), t => t =!= "")
     val th = docs
       .select($"doc_id", explode(array_distinct(toks)).as("t"))
-      .select($"doc_id", xxhash64($"t").as("h"))
+      .select($"doc_id",
+        (if (portable) portableHash($"t") else xxhash64($"t")).as("h"))
     // per-bit vote: +1 if bit set else -1; simhash bit = vote > 0
     val voteCols = (0 until bits).map(i =>
       sum(when(($"h".bitwiseAND(lit(1L << i))) =!= 0L, 1).otherwise(-1))
@@ -216,18 +252,21 @@ object DedupOps {
       (0 until bits).map(i =>
         when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
-    val withBytes = sim.select($"doc_id", $"simhash",
-      explode(array((0 until 8).map(b => struct(lit(b).as("byte_idx"),
-        shiftright($"simhash", b * 8).bitwiseAND(lit(0xFFL))
-          .as("byte_val"))): _*)).as("p"))
-      .select($"doc_id", $"simhash", $"p.byte_idx", $"p.byte_val")
-    val cand = withBytes.as("x").join(withBytes.as("y"),
-        $"x.byte_idx" === $"y.byte_idx" && $"x.byte_val" === $"y.byte_val" &&
+    val withBlocks = sim.select($"doc_id", $"simhash",
+      explode(array((0 until nBlocks).map(b =>
+        struct(lit(b).as("block_idx"),
+          shiftright($"simhash", b * blockBits).bitwiseAND(lit(blockMask))
+            .as("block_val"))): _*)).as("p"))
+      .select($"doc_id", $"simhash", $"p.block_idx", $"p.block_val")
+    val cand = withBlocks.as("x").join(withBlocks.as("y"),
+        $"x.block_idx" === $"y.block_idx" &&
+          $"x.block_val" === $"y.block_val" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("da"), $"x.simhash".as("ha"),
         $"y.doc_id".as("db"), $"y.simhash".as("hb")).distinct()
     cand
-      .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")))
+      .withColumn("hamming",
+        bit_count($"ha".bitwiseXOR($"hb")).cast("long"))
       .filter($"hamming" <= maxHamming)
       .select($"da", $"db", $"hamming")
       .orderBy($"da", $"db")
@@ -324,6 +363,77 @@ object DedupOps {
   private val SH = "list_distinct(list_transform(range(1, " +
     "greatest(len(text) - 1, 2)), i -> substr(text, i::INT, 3)))"
 
+  /** DuckDB twin of [[portableHash]] — bit-identical 60-bit values. */
+  private def PH(x: String) =
+    s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  /** Full DuckDB replay of [[dedupMinhashLsh]]: same shingles, 16
+    * portable-hash signature lanes, 4 band buckets, candidate join and
+    * exact-Jaccard confirm — generated, not hand-kept, so the lane and
+    * band constants can never drift from the Spark side. */
+  private def minhashOracle: String = {
+    val n = 16; val bs = 4
+    val lanes = (0 until n).map(j =>
+      s"list_min(list_transform(ss, s -> ${PH(s"'$j:' || s")}))")
+      .mkString(",\n  ")
+    val bands = (0 until n / bs).map { b =>
+      val items = (b * bs until (b + 1) * bs).map(i => s"sig[${i + 1}]")
+      s"SELECT doc_id, $b AS band, " +
+        PH(s"concat_ws(':', $b, ${items.mkString(", ")})") +
+        " AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH nsets AS (
+       |  SELECT doc_id, ss FROM (
+       |    SELECT doc_id, $SH AS ss FROM documents WHERE doc_id < 200)
+       |  WHERE len(ss) > 0),
+       |sig AS (SELECT doc_id, [$lanes] AS sig FROM nsets),
+       |buckets AS ($bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |  FROM buckets x JOIN buckets y ON x.band = y.band
+       |    AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |sc AS (SELECT da, db,
+       |    CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) AS inter,
+       |    len(a.ss) AS na, len(b.ss) AS nb
+       |  FROM cand JOIN nsets a ON da = a.doc_id
+       |  JOIN nsets b ON db = b.doc_id)
+       |SELECT da, db,
+       |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+       |FROM sc WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.4
+       |ORDER BY da, db""".stripMargin
+  }
+
+  /** Full DuckDB replay of [[dedupSimhash]]: same tokens, 60 portable
+    * signature bits, 4×15-bit blocks, candidate join and hamming
+    * confirm — generated like [[minhashOracle]]. */
+  private def simhashOracle: String = {
+    val bits = 60; val nBlocks = 4; val blockBits = 15
+    val mask = (1L << blockBits) - 1
+    val votes = (0 until bits).map(i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(", ")
+    val simexpr = (0 until bits).map(i =>
+      s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    val blocks = (0 until nBlocks).map(b =>
+      s"SELECT doc_id, simhash, $b AS block_idx, " +
+        s"(simhash >> ${b * blockBits}) & $mask AS block_val FROM sim")
+      .mkString("\n  UNION ALL ")
+    s"""WITH th AS (
+       |  SELECT doc_id, ${PH("t")} AS h FROM (
+       |    SELECT doc_id, unnest(list_distinct(
+       |      list_filter(string_split(text, ' '), x -> x <> ''))) AS t
+       |    FROM documents WHERE doc_id < 500)),
+       |votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $simexpr AS simhash FROM votes),
+       |blocks AS ($blocks),
+       |cand AS (SELECT DISTINCT x.doc_id AS da, x.simhash AS ha,
+       |    y.doc_id AS db, y.simhash AS hb
+       |  FROM blocks x JOIN blocks y ON x.block_idx = y.block_idx
+       |    AND x.block_val = y.block_val AND x.doc_id < y.doc_id)
+       |SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+       |ORDER BY da, db""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_substring" ->
       """WITH toks AS (
@@ -397,5 +507,7 @@ object DedupOps {
          |FROM pairs
          |JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
          |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5
-         |ORDER BY da, db""".stripMargin)
+         |ORDER BY da, db""".stripMargin,
+    "dedup_minhash_lsh" -> minhashOracle,
+    "dedup_simhash" -> simhashOracle)
 }
