@@ -857,6 +857,96 @@ object LakeOps {
       .orderBy($"ref_name")
   }
 
+  /** `meta_history` — the HISTORY metadata table (Iceberg's `history`:
+    * one row per time a snapshot became current, rollbacks included,
+    * with the is-current-ancestor flag), served by the DSv2 connector
+    * (`.option("table","history")`). The fixture replays
+    * [[rollbackSnapshot]]'s lifecycle — commits 1→2→3, roll back to 2,
+    * divergent 4 on top of 2 — while persisting what that op leaves
+    * implicit: the made-current log (`ref-log.txt`) and parentage
+    * (`parents.txt`). The served rows expose the rollback as DATA:
+    * snapshot 2 appears twice (made current at seq 2 and again at seq
+    * 4), and orphaned snapshot 3 reads `is_current_ancestor = false` —
+    * the audit surface for "which history survived". Pushdown on
+    * `snapshot_id` prunes entries at PLANNING (MetaSourceSpec asserts
+    * by partition count), while ancestry is computed over the full log
+    * — pruning output never rewrites history. */
+  def metaHistory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = IngestOps.tmp("events_meta_history")
+    writeVersioned(spark, dir, out)
+    val data = s"$out/data"
+    val before = listData(spark, data)
+    IngestOps.eventsWithParts(spark, dir)
+      .filter($"day".between(11, 12) && $"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+      .repartition($"day")
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .partitionBy("day").parquet(data)
+    writeManifest(spark, out, "snap-4.txt", listData(spark, data) -- before)
+    writeManifest(spark, out, "parents.txt", Seq("2=1", "3=2", "4=2"))
+    // the made-current log (seq=snap): 1, 2, 3 committed; rollback to
+    // 2; divergent 4 lands
+    writeManifest(spark, out, "ref-log.txt",
+      Seq("1=1", "2=2", "3=3", "4=2", "5=4"))
+    setRef(spark, out, "main", 4)
+    spark.read.format("graft.sources.GraftMetaSource")
+      .option("root", out).option("table", "history").load()
+      .select($"seq".cast("long").as("seq"),
+        $"snapshot_id".cast("long").as("snapshot_id"),
+        $"parent_id".cast("long").as("parent_id"),
+        $"is_current_ancestor")
+      .orderBy($"seq")
+  }
+
+  /** `meta_manifests` — the MANIFESTS metadata table (Iceberg's
+    * `manifests`: which physical metadata files a planner unions per
+    * snapshot, by kind), served by the DSv2 connector
+    * (`.option("table","manifests")`). The fixture commits three
+    * appends (one file per day: 5+5+5) and then a day≤3 compaction
+    * whose commit is an adds manifest (3 rewritten files) PLUS a
+    * removes manifest (the 3 replaced files) — so the table surfaces
+    * both manifest kinds with entry counts a reader can reconcile
+    * against the partition layout. The projection keeps only
+    * engine-independent columns (ids, kinds, entry counts — paths and
+    * byte sizes stay prunable columns the connector never
+    * materializes here: `SupportsPushDownRequiredColumns` at work). */
+  def metaManifests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = IngestOps.tmp("events_meta_manifests")
+    hfs(spark, out).delete(new org.apache.hadoop.fs.Path(out), true)
+    val data = s"$out/data"
+    val ev = IngestOps.eventsWithParts(spark, dir)
+      .filter($"day".between(1, 15))
+      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+      .localCheckpoint()
+    var seen = Set.empty[String]
+    Seq((1, 5), (6, 10), (11, 15)).zipWithIndex.foreach {
+      case ((lo, hi), idx) =>
+        val mode = if (idx == 0) SaveMode.Overwrite else SaveMode.Append
+        ev.filter($"day".between(lo, hi)).repartition($"day")
+          .write.mode(mode).option("compression", "zstd")
+          .partitionBy("day").parquet(data)
+        val now = listData(spark, data)
+        writeManifest(spark, out, s"snap-${idx + 1}.txt", now -- seen)
+        seen = now
+    }
+    // snapshot 4: compact days 1-3 — new files in, old files removed
+    val oldDays = liveFiles(spark, out, 1 to 3)
+      .filter(rel => "day=(\\d+)/".r.findFirstMatchIn(rel)
+        .exists(_.group(1).toInt <= 3))
+    ev.filter($"day" <= 3).repartition($"day")
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .partitionBy("day").parquet(data)
+    writeManifest(spark, out, "snap-4.txt", listData(spark, data) -- seen)
+    writeManifest(spark, out, "snap-4.removed.txt", oldDays)
+    spark.read.format("graft.sources.GraftMetaSource")
+      .option("root", out).option("table", "manifests").load()
+      .select($"snapshot_id".cast("long").as("snapshot_id"), $"kind",
+        $"n_entries")
+      .orderBy($"snapshot_id", $"kind")
+  }
+
   /** `rollback_snapshot` — time-travel WRITE (`TimeEx:198-230` lists
     * snapshots precisely so one can be rolled back to): current moves
     * from snapshot 3 back to 2 (a metadata pointer write — no data IO),
@@ -1036,6 +1126,8 @@ object LakeOps {
     "delete_mor" -> (deleteMor _),
     "delete_mor_seq" -> (deleteMorSeq _),
     "meta_refs" -> (metaRefs _),
+    "meta_history" -> (metaHistory _),
+    "meta_manifests" -> (metaManifests _),
     "delete_mor_pos" -> (deleteMorPos _),
     "delete_mor_dv" -> (deleteMorDv _),
     "compact_mor" -> (compactMor _),
@@ -1120,6 +1212,36 @@ object LakeOps {
         |  ('audit', CAST(2 AS BIGINT)),
         |  ('v1', CAST(1 AS BIGINT))
         |) AS t(ref_name, snapshot_id) ORDER BY ref_name""".stripMargin,
+    // the lifecycle (1→2→3, rollback to 2, divergent 4) is deterministic
+    // lake METADATA, not derivable from the events rows — the oracle
+    // pins the served history: snapshot 2 current twice, orphaned 3
+    // flagged non-ancestor
+    "meta_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true),
+        |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), true),
+        |  (CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT), false),
+        |  (CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), true),
+        |  (CAST(5 AS BIGINT), CAST(4 AS BIGINT), CAST(2 AS BIGINT), true)
+        |) AS t(seq, snapshot_id, parent_id, is_current_ancestor)
+        |ORDER BY seq""".stripMargin,
+    // manifest entry counts reconcile against the partition layout the
+    // fixture wrote: one file per day per commit, 3 compacted days
+    "meta_manifests" ->
+      """WITH d AS (SELECT DISTINCT day(ts) AS day FROM events
+        |  WHERE day(ts) BETWEEN 1 AND 15)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS snapshot_id, 'adds' AS kind,
+        |    (SELECT COUNT(*) FROM d WHERE day BETWEEN 1 AND 5) AS n_entries
+        |  UNION ALL SELECT 2, 'adds',
+        |    (SELECT COUNT(*) FROM d WHERE day BETWEEN 6 AND 10)
+        |  UNION ALL SELECT 3, 'adds',
+        |    (SELECT COUNT(*) FROM d WHERE day BETWEEN 11 AND 15)
+        |  UNION ALL SELECT 4, 'adds',
+        |    (SELECT COUNT(*) FROM d WHERE day <= 3)
+        |  UNION ALL SELECT 4, 'removes',
+        |    (SELECT COUNT(*) FROM d WHERE day <= 3)
+        |) ORDER BY snapshot_id, kind""".stripMargin,
     // the delete (seq 2) applies only to seq-1 data: doomed keys vanish
     // from base, the seq-3 re-inserts under the SAME keys survive
     "delete_mor_seq" ->

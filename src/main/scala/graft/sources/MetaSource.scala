@@ -26,7 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   *   spark.read.format("graft.sources.GraftMetaSource")
   *     .option("root", tableRoot)
-  *     .option("table", "files" | "snapshots" | "partitions" | "refs")
+  *     .option("table",
+  *       "files" | "snapshots" | "partitions" | "refs" |
+  *       "history" | "manifests")
   *     .load()
   * }}}
   *
@@ -40,6 +42,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    bytes still exist for time travel.
   *  - `refs`: one row per named branch/tag (`metadata/refs.txt`) — the
   *    map readers resolve against and ref-aware expiry walks.
+  *  - `history`: one row per made-current event (`metadata/ref-log.txt`,
+  *    rollbacks included) with parentage and the is-current-ancestor
+  *    flag (Iceberg's `history` table).
+  *  - `manifests`: one row per physical manifest file — adds / removes /
+  *    stats / full-rewrite, entry counts, bytes (Iceberg's `manifests`
+  *    table).
   *
   * The rows come from the manifests + a driver-side listing — metadata
   * scale, like the system it mirrors — but the CONNECTOR mechanics are
@@ -111,14 +119,42 @@ object GraftMetaSource {
     StructField("ref_name", StringType, nullable = false),
     StructField("snapshot_id", IntegerType, nullable = false)))
 
+  /** One row per time a snapshot BECAME CURRENT — Iceberg's `history`
+    * metadata table: the made-current log (`metadata/ref-log.txt`, one
+    * snapshot id per move, rollbacks included), each row carrying the
+    * snapshot's parent (`metadata/parents.txt`; absent file = linear
+    * ancestry) and whether it is an ancestor of the CURRENT state —
+    * the flag that tells audits which rows of history survived a
+    * rollback. `seq` is the move's position in the log (the engine's
+    * deterministic stand-in for Iceberg's `made_current_at` wall
+    * clock). */
+  val HISTORY_SCHEMA: StructType = StructType(Seq(
+    StructField("seq", IntegerType, nullable = false),
+    StructField("snapshot_id", IntegerType, nullable = false),
+    StructField("parent_id", IntegerType, nullable = true),
+    StructField("is_current_ancestor", BooleanType, nullable = false)))
+
+  /** One row per physical MANIFEST file — Iceberg's `manifests` table:
+    * which metadata files a planner must union per snapshot, their kind
+    * (adds / removes / stats / full rewrite), entry counts and bytes. */
+  val MANIFESTS_SCHEMA: StructType = StructType(Seq(
+    StructField("snapshot_id", IntegerType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_entries", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
+
   private[sources] def schemaFor(table: String): StructType = table match {
     case "files" => FILES_SCHEMA
     case "snapshots" => SNAPSHOTS_SCHEMA
     case "partitions" => PARTITIONS_SCHEMA
     case "refs" => REFS_SCHEMA
+    case "history" => HISTORY_SCHEMA
+    case "manifests" => MANIFESTS_SCHEMA
     case other => throw new IllegalArgumentException(
       s"graft.sources.GraftMetaSource: unknown table '$other' " +
-        "(expected files | snapshots | partitions | refs)")
+        "(expected files | snapshots | partitions | refs | history | " +
+        "manifests)")
   }
 
   private[sources] case class MetaEntry(snap: Int, day: Int, rel: String,
@@ -133,10 +169,76 @@ object GraftMetaSource {
 
   private[sources] case class RefRow(name: String, snap: Int)
 
+  private[sources] case class HistoryRow(seq: Int, snap: Int,
+      parent: Option[Int], isCurrentAncestor: Boolean)
+
+  private[sources] case class ManifestRow(snap: Int, path: String,
+      kind: String, nEntries: Long, sizeBytes: Long)
+
   /** One [[RefRow]] per `metadata/refs.txt` entry, name-sorted. */
   private[sources] def refRows(root: String): Seq[RefRow] =
     LakeOps.readRefs(SparkSession.active, root).toSeq.sortBy(_._1)
       .map { case (n, s) => RefRow(n, s) }
+
+  /** One [[HistoryRow]] per made-current log entry. Ancestry of the
+    * CURRENT state (the log's last entry) is walked through the parent
+    * map — a snapshot orphaned by a rollback stays in history but
+    * reads `is_current_ancestor = false`, exactly Iceberg's flag. A
+    * missing parents file means the timeline never diverged: parent =
+    * previous id. */
+  private[sources] def historyRows(root: String): Seq[HistoryRow] = {
+    val spark = SparkSession.active
+    // `seq=snap` lines: the manifest writer normalizes line order, so
+    // the move sequence is explicit in the data, not the file order
+    val log = IngestOps.readMetaLines(spark, root, "metadata/ref-log.txt")
+      .map { l => val Array(i, s) = l.split("=", 2); i.toInt -> s.toInt }
+      .sortBy(_._1)
+    if (log.isEmpty) return Seq.empty
+    val snaps = log.map(_._2)
+    val parents: Map[Int, Int] =
+      IngestOps.readMetaLines(spark, root, "metadata/parents.txt") match {
+        case Seq() => snaps.distinct.sorted.sliding(2)
+          .collect { case Seq(p, c) => c -> p }.toMap
+        case lines => lines.map { l =>
+          val Array(c, p) = l.split("=", 2); c.toInt -> p.toInt
+        }.toMap
+      }
+    val ancestors = Iterator.iterate(Option(snaps.last))(
+      _.flatMap(parents.get)).takeWhile(_.isDefined).flatten.toSet
+    log.map { case (seq, s) =>
+      HistoryRow(seq, s, parents.get(s), ancestors(s))
+    }
+  }
+
+  /** One [[ManifestRow]] per physical manifest under `metadata/` —
+    * adds (`snap-N.txt`, kind `full` when the `snap-N.FULL` rewrite
+    * marker is present), removes (`snap-N.removed.txt`) and stats
+    * sidecars (`snap-N.stats.txt`), with non-empty line counts and
+    * byte sizes. */
+  private[sources] def manifestRows(root: String): Seq[ManifestRow] = {
+    val spark = SparkSession.active
+    val metaDir = new org.apache.hadoop.fs.Path(root, "metadata")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val adds = "snap-(\\d+)\\.txt".r
+    val removes = "snap-(\\d+)\\.removed\\.txt".r
+    val stats = "snap-(\\d+)\\.stats\\.txt".r
+    fs.listStatus(metaDir).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      val kind = name match {
+        case adds(n) =>
+          Some(n.toInt -> (if (fs.exists(new org.apache.hadoop.fs.Path(
+            metaDir, s"snap-$n.FULL"))) "full" else "adds"))
+        case removes(n) => Some(n.toInt -> "removes")
+        case stats(n) => Some(n.toInt -> "stats")
+        case _ => None
+      }
+      kind.map { case (n, k) =>
+        val lines = IngestOps
+          .readMetaLines(spark, root, s"metadata/$name").size
+        ManifestRow(n, s"metadata/$name", k, lines.toLong, st.getLen)
+      }
+    }.sortBy(r => (r.snap, r.kind))
+  }
 
   /** Planning-time evaluation of a filter against one row's prune
     * columns, supplied by `v` (attr → value; None = not a prune column
@@ -176,6 +278,14 @@ object GraftMetaSource {
       case _ => None
     }
     case "refs" => {
+      case "snapshot_id" => Some(snap)
+      case _ => None
+    }
+    case "history" => {
+      case "snapshot_id" => Some(snap)
+      case _ => None
+    }
+    case "manifests" => {
       case "snapshot_id" => Some(snap)
       case _ => None
     }
@@ -347,6 +457,17 @@ private[sources] class GraftMetaScan(root: String, table: String,
       GraftMetaSource.refRows(root)
         .filter(r => pushed.forall(keep(r.snap, -1)))
         .map(r => GraftRefPartition(r): InputPartition).toArray
+    case "history" =>
+      // a made-current entry outside the snapshot predicate is pruned
+      // at planning (ancestry is still computed over the FULL log —
+      // pruning the output must not rewrite history)
+      GraftMetaSource.historyRows(root)
+        .filter(r => pushed.forall(keep(r.snap, -1)))
+        .map(r => GraftHistoryPartition(r): InputPartition).toArray
+    case "manifests" =>
+      GraftMetaSource.manifestRows(root)
+        .filter(r => pushed.forall(keep(r.snap, -1)))
+        .map(r => GraftManifestPartition(r): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -361,6 +482,10 @@ private[sources] case class GraftPartitionPartition(
     row: GraftMetaSource.PartitionRow) extends InputPartition
 private[sources] case class GraftRefPartition(
     row: GraftMetaSource.RefRow) extends InputPartition
+private[sources] case class GraftHistoryPartition(
+    row: GraftMetaSource.HistoryRow) extends InputPartition
+private[sources] case class GraftManifestPartition(
+    row: GraftMetaSource.ManifestRow) extends InputPartition
 
 private[sources] class GraftMetaReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
@@ -399,6 +524,21 @@ private[sources] class GraftMetaReaderFactory(fields: Array[String])
         new GenericInternalRow(fields.map {
           case "ref_name" => UTF8String.fromString(r.name)
           case "snapshot_id" => r.snap
+        }.toArray[Any]))
+      case GraftHistoryPartition(r) => Iterator.single(
+        new GenericInternalRow(fields.map {
+          case "seq" => r.seq
+          case "snapshot_id" => r.snap
+          case "parent_id" => r.parent.map(Int.box).orNull
+          case "is_current_ancestor" => r.isCurrentAncestor
+        }.toArray[Any]))
+      case GraftManifestPartition(r) => Iterator.single(
+        new GenericInternalRow(fields.map {
+          case "snapshot_id" => r.snap
+          case "path" => UTF8String.fromString(r.path)
+          case "kind" => UTF8String.fromString(r.kind)
+          case "n_entries" => r.nEntries
+          case "size_bytes" => r.sizeBytes
         }.toArray[Any]))
     }
 

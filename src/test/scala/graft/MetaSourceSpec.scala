@@ -141,6 +141,54 @@ class MetaSourceSpec extends SparkSpecBase {
     assert(refs.filter($"snapshot_id" === 3).rdd.getNumPartitions == 1)
   }
 
+  test("history table: made-current log surfaces the rollback, the " +
+      "orphan reads non-ancestor, and snapshot_id pushdown prunes") {
+    import spark.implicits._
+    graft.sources.LakeOps.metaHistory(spark, sf).collect() // builds layout
+    val root = graft.sources.IngestOps.tmp("events_meta_history")
+    val h = spark.read.format("graft.sources.GraftMetaSource")
+      .option("root", root).option("table", "history").load()
+    assert(h.rdd.getNumPartitions == 5) // one per made-current event
+    val rows = h.orderBy($"seq").collect().map(r =>
+      (r.getInt(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)), r.getBoolean(3)))
+    assert(rows.toSeq == Seq(
+      (1, 1, None, true), (2, 2, Some(1), true), (3, 3, Some(2), false),
+      (4, 2, Some(1), true), (5, 4, Some(2), true)),
+      s"history rows wrong: ${rows.toSeq}")
+    // pushdown: snapshot 2's two made-current entries plan exactly 2
+    // input partitions; the orphan alone plans 1
+    assert(h.filter($"snapshot_id" === 2).rdd.getNumPartitions == 2)
+    assert(h.filter($"snapshot_id" === 3).rdd.getNumPartitions == 1)
+    // output pruning must not rewrite history: ancestry flags computed
+    // over the FULL log even when the orphan is pruned out
+    assert(h.filter($"snapshot_id" <= 2).collect().forall(_.getBoolean(3)))
+  }
+
+  test("manifests table: adds and removes kinds with entry counts that " +
+      "reconcile against the physical manifests; pushdown prunes") {
+    import spark.implicits._
+    val got = graft.sources.LakeOps.metaManifests(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val root = graft.sources.IngestOps.tmp("events_meta_manifests")
+    val m = spark.read.format("graft.sources.GraftMetaSource")
+      .option("root", root).option("table", "manifests").load()
+    assert(m.rdd.getNumPartitions == 5) // 4 adds + 1 removes
+    assert(m.filter($"snapshot_id" === 4).rdd.getNumPartitions == 2)
+    // entry counts reconcile with the raw manifest line counts
+    (1 to 4).foreach { n =>
+      val exp = graft.sources.IngestOps
+        .readMetaLines(spark, root, s"metadata/snap-$n.txt").size.toLong
+      assert(got.contains((n.toLong, "adds", exp)),
+        s"adds manifest $n: expected $exp entries in $got")
+    }
+    val expRm = graft.sources.IngestOps
+      .readMetaLines(spark, root, "metadata/snap-4.removed.txt").size.toLong
+    assert(got.contains((4L, "removes", expRm)) && expRm > 0)
+    // full schema serves real byte sizes
+    assert(m.collect().forall(_.getLong(4) > 0))
+  }
+
   test("column pruning reaches the reader") {
     import spark.implicits._
     val df = filesDf.select($"rel_path")
