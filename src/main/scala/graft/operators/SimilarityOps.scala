@@ -233,6 +233,49 @@ object SimilarityOps {
         round($"n_hits".cast("double") / k, 6).as("recall"))
   }
 
+  /** `sim_ivfpqr_rerank` — the COMPLETE FAISS IVFPQR: the refine stage
+    * of [[simIvfpqRerank]] composed over the RESIDUAL index of
+    * [[simIvfpqResidual]] (round 8 shipped the two pieces separately;
+    * this is their composition). Stage 1 shortlists the top-32 by
+    * residual ADC — per-probed-bucket lookup tables over codes that
+    * only span one coarse cell's spread, the best quantized ordering
+    * the index family offers — and stage 2 fetches ONLY those 32 true
+    * vectors (broadcast semi-join) for the exact final top-10. Both
+    * improvements stack: the shortlist misses less (residual coding),
+    * and what it ranks wrongly the refine repairs
+    * (SimilaritySpec asserts recall ≥ the unrefined residual recall).
+    * Same 100 TB posture: corpus-scale work stays codes-only and
+    * dir-pruned; exact work is O(shortlist). */
+  def simIvfpqrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ivfpqrIndexLayout(spark, dir)
+    val pq = PipelineOps.pqModel(spark, dir)
+    val pqr = PipelineOps.pqrModel(spark, dir)
+    val probeIds = (0 until pq.k).map(c => (pq.qd2Full(c), c))
+      .sorted.take(2).map(_._2)
+    val adc = when($"bucket" === probeIds.head,
+      pqr.adcFromCodes($"codes", probeIds.head))
+      .otherwise(pqr.adcFromCodes($"codes", probeIds(1)))
+    // stage 1: residual-ADC shortlist from the codes-only index
+    val shortlist = spark.read.parquet(s"$root/data")
+      .filter($"bucket".isin(probeIds.map(Int.box): _*) && $"vec_id" =!= 5)
+      .select($"vec_id", round(adc, 6).as("adc_d2"))
+      .orderBy($"adc_d2", $"vec_id")
+      .limit(32)
+      .select($"vec_id")
+    // stage 2: exact re-rank of ONLY the shortlisted vectors
+    val exactD2 = aggregate(
+      zip_with($"v", array(pq.q.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .join(broadcast(shortlist), Seq("vec_id"), "left_semi")
+      .select($"vec_id", round(exactD2, 6).as("d2"))
+      .orderBy($"d2", $"vec_id")
+      .limit(10)
+  }
+
   /** `sim_ivfpq_rerank` — the REFINE stage of two-stage retrieval (the
     * FAISS IVFPQR / production ANN-service shape): the persisted IVF-PQ
     * index shortlists the top-32 candidates by ADC — codes only, no
@@ -459,6 +502,7 @@ object SimilarityOps {
     "sim_ivfpq_rerank" -> (simIvfpqRerank _),
     "sim_ivfpq_residual" -> (simIvfpqResidual _),
     "sim_ivfpqr_recall" -> (simIvfpqrRecall _),
+    "sim_ivfpqr_rerank" -> (simIvfpqrRerank _),
     "sim_ivf_recall" -> (simIvfRecall _),
     "sim_ivf_knn" -> (simIvfKnn _),
     "sim_ivf_index" -> (simIvfIndex _),
@@ -586,6 +630,15 @@ object SimilarityOps {
       s"""WITH $IVFPQR_CTES
          |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket, adc_d2
          |FROM radc ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin,
+    "sim_ivfpqr_rerank" ->
+      s"""WITH $IVFPQR_CTES,
+         |short AS (
+         |  SELECT vec_id FROM radc ORDER BY adc_d2, vec_id LIMIT 32)
+         |SELECT e.vec_id, round(list_sum(list_transform(range(1, 65),
+         |    i -> (e.v[i::INT] - qv.qvec[i::INT])
+         |       * (e.v[i::INT] - qv.qvec[i::INT]))), 6) AS d2
+         |FROM e JOIN short USING (vec_id) CROSS JOIN qv
+         |ORDER BY d2, vec_id LIMIT 10""".stripMargin,
     "sim_ivfpq_index" ->
       s"""WITH $IVFPQ_CTES
          |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket, adc_d2

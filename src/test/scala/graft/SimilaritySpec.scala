@@ -153,6 +153,34 @@ class SimilaritySpec extends SparkSpecBase {
       s"exact re-rank lowered recall: adc=$rAdc rerank=$rRerank")
   }
 
+  test("sim_ivfpqr_rerank: the composed IVFPQR (refine over residual " +
+      "codes) never drops recall vs the unrefined residual ranking") {
+    import spark.implicits._
+    val pq = operators.PipelineOps.pqModel(spark, sf)
+    val exactD2 = aggregate(
+      zip_with($"v", array(pq.q.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val exact = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", x => x.cast("double"))
+        .as("v"))
+      .filter($"vec_id" =!= 5)
+      .select($"vec_id", exactD2.as("d2"))
+      .orderBy($"d2", $"vec_id").limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val residual = operators.SimilarityOps.simIvfpqResidual(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val composed = operators.SimilarityOps.simIvfpqrRerank(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val (rRes, rComp) =
+      ((residual & exact).size / 10.0, (composed & exact).size / 10.0)
+    info(s"recall@10: residual=$rRes ivfpqr=$rComp")
+    // the refine draws from a 32-deep shortlist of the same probed
+    // lists under the same residual ranking: it can only repair
+    // quantized ordering errors, never introduce new ones
+    assert(rComp >= rRes,
+      s"IVFPQR composition lowered recall: residual=$rRes ivfpqr=$rComp")
+  }
+
   test("ivfpq probe sweep: recall@10 is monotone in probes, and at 8/8 " +
       "probes the index reproduces the pure-ADC ranking exactly") {
     import spark.implicits._
