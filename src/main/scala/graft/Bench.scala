@@ -37,7 +37,14 @@ object Bench {
     val setupSec = (System.nanoTime() - setup0) / 1e9
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val wall0 = System.nanoTime()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local-iteration filter (mirrors Verify's SPARK_GRAFT_ONLY): time
+    // a subset in ISOLATION — e.g. to separate a query's own cost from
+    // suite-level IO contention. Unset for the driver's full run.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       // two samples, report the min: a single sample is dominated by
       // machine-load noise for the slow tail (r6 verdict measured 4-6×
       // inflation on singly-sampled queries under load spikes)

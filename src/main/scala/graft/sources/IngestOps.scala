@@ -306,10 +306,15 @@ object IngestOps {
   def appendCommit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val out = tmp("events_append")
+    // one source scan feeds both commits (the localCheckpoint lineage
+    // cut used throughout), and each commit clusters by its partition
+    // column first — without that, every one of the 32 write tasks
+    // opens a file per day and the commit cost is files, not bytes
     val ev = eventsWithParts(spark, dir)
-    ev.filter($"day".between(1, 5))
+      .filter($"day".between(1, 10)).localCheckpoint()
+    ev.filter($"day".between(1, 5)).repartition($"day")
       .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(out)
-    ev.filter($"day".between(6, 10))
+    ev.filter($"day".between(6, 10)).repartition($"day")
       .write.mode(SaveMode.Append).partitionBy("day").parquet(out)
     spark.read.parquet(out)
       .groupBy($"day".cast("long").as("day"))
