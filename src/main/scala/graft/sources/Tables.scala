@@ -46,18 +46,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects (SPARK-40819). Read it as long nanos and floor-convert
-    * to micros — exactly DuckDB's truncation — so downstream operators and
-    * oracles see an identical TimestampType column. */
+  /** `events.ts` has shipped in several physical parquet encodings across
+    * corpus generations; normalize every one of them to the same
+    * TimestampType (UTC-instant) column so downstream operators and the
+    * DuckDB oracles agree:
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *     (SPARK-40819) — read as long nanos and floor-convert to micros
+    *     (exactly DuckDB's truncation);
+    *   - timestamp[us] isAdjustedToUTC=false → Spark's TIMESTAMP_NTZ:
+    *     cast to TimestampType — the session TZ is pinned UTC, so the
+    *     NTZ→instant mapping is bijective and hashes are unchanged;
+    *   - timestamp[us] UTC → already TimestampType, untouched. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = apply(s, d, "events")
+    normalizeTs(apply(s, d, "events"))
+  }
+
+  /** Normalize a `ts` column to TimestampType across the three physical
+    * encodings the corpus has shipped (see [[events]]). Used by the batch
+    * loader and every streaming file source over the events parquet. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
         df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -41,16 +41,11 @@ object StreamingOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val queryName = s"hourly_rollup_${System.nanoTime()}"
-    val stream = spark.readStream
+    val stream = Tables.normalizeTs(spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val withTs = stream.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => stream
-    }
-    val agg = withTs
+      .parquet(dir))
+    val agg = stream
       .withWatermark("ts", "2 hours")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
@@ -148,11 +143,10 @@ object StreamingOps {
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val queryName = s"stream_dedup_wm_${System.nanoTime()}"
     withStatePartitions(spark, 8) {
-      val q = spark.readStream
+      val q = Tables.normalizeTs(spark.readStream
         .schema(batchSchema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .parquet(dir))
         .withWatermark("ts", "2 hours")
         // at-least-once delivery: every event arrives twice
         .withColumn("delivery", explode(array(lit(1), lit(2))))
@@ -196,14 +190,14 @@ object StreamingOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val queryName = s"stream_state_${System.nanoTime()}"
-    val src = spark.readStream
+    val src = Tables.normalizeTs(spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .parquet(dir))
       .select($"user_id", $"value", $"event_type",
         // micros ordinal (matches DuckDB's truncated timestamps exactly;
         // raw nanos would win ties DuckDB can't see)
-        expr("ts div 1000").as("ts_ord"), $"event_id")
+        unix_micros($"ts").as("ts_ord"), $"event_id")
       .as[(Long, Double, String, Long, Long)]
     val stateStream = src.groupByKey(_._1)
       .mapGroupsWithState[UserState, (Long, Long, Double, String)](
@@ -255,16 +249,10 @@ object StreamingOps {
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val queryName = s"stream_join_${System.nanoTime()}"
     def side(eventType: String, prefix: String) = {
-      val stream = spark.readStream
+      Tables.normalizeTs(spark.readStream
         .schema(batchSchema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-      val withTs = stream.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => stream
-      }
-      withTs
+        .parquet(dir))
         .filter($"event_type" === eventType && dayofmonth($"ts") <= 3)
         .select($"user_id".as(s"${prefix}_user"), $"ts".as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", "2 hours")
@@ -380,11 +368,11 @@ object StreamingOps {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("compression", "zstd").partitionBy("day").parquet(out)
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val updates = spark.readStream
+    val updates = Tables.normalizeTs(spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("day", dayofmonth(timestamp_micros(expr("ts div 1000"))))
+      .parquet(dir))
+      .withColumn("day", dayofmonth($"ts"))
       .filter($"day".between(8, 12) && $"event_type" === "purchase")
       .select($"event_id", $"user_id", $"event_type",
         ($"value" + 1000.0).as("value"), $"day")
@@ -461,11 +449,11 @@ object StreamingOps {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("compression", "zstd").partitionBy("day").parquet(base)
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val updates = spark.readStream
+    val updates = Tables.normalizeTs(spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("day", dayofmonth(timestamp_micros(expr("ts div 1000"))))
+      .parquet(dir))
+      .withColumn("day", dayofmonth($"ts"))
       .filter($"day".between(8, 12) && $"event_type" === "purchase")
       .select($"event_id", $"user_id", $"event_type",
         ($"value" + 1000.0).as("value"), $"day")
