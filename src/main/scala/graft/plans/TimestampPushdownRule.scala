@@ -9,12 +9,19 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 /** The one custom optimizer rule (SURVEY.md §4 "Hidden-partition
   * derivation" row, §7.1 M6).
   *
+  * Scope: the rule fires ONLY on the legacy long-nanos layout, where
   * `Tables.events` materializes `ts = timestamp_micros(ts_ns div 1000)`
-  * over the raw int64-nanos parquet column. A predicate on the *derived*
-  * timestamp is opaque to DataSourceStrategy, so nothing reaches the
-  * parquet scan and every row-group is read — at 100 TB that is the
-  * difference between scanning a day and scanning three years. The
-  * reference gets the equivalent manifest-level pruning from Iceberg
+  * over a raw int64-nanos parquet column. There a predicate on the
+  * *derived* timestamp is opaque to DataSourceStrategy, so nothing
+  * reaches the parquet scan and every row-group is read — at 100 TB that
+  * is the difference between scanning a day and scanning three years.
+  * On a native-timestamp layout (the current corpus: timestamp[us],
+  * normalized by an NTZ→TimestampType cast) the comparison is already
+  * sargable, DataSourceStrategy pushes it natively, and this rule is a
+  * structural no-op: its pattern matches only
+  * `timestamp_micros(long div 1000)`, never a cast of a timestamp
+  * column (PlanRuleSpec asserts both paths). The reference gets the
+  * equivalent manifest-level pruning from Iceberg
   * (`TimeBasedPartitioningExamples.java:180-195`).
   *
   * The rule augments (never replaces) time comparisons: for

@@ -29,11 +29,42 @@ class PlanRuleSpec extends SparkSpecBase {
       .map(_.getLong(0)).toSet == expectedUs(_ < tUs))
   }
 
-  test("raw nanos predicate reaches the parquet scan exactly once") {
+  test("native timestamp layout: the predicate is already sargable and " +
+      "reaches the scan as a native PushedFilter (rule is a no-op)") {
     import spark.implicits._
-    val plan = graft.sources.Tables.events(spark, sf)
+    val df = graft.sources.Tables.events(spark, sf)
       .filter($"ts" >= lit("2024-01-28 00:00:00").cast("timestamp"))
-      .queryExecution.executedPlan.toString
+    df.count()
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", ""))
+      .mkString(";")
+    assert(pushed.contains("GreaterThanOrEqual(ts"),
+      s"native ts predicate did not reach the scan: $pushed")
+    // and the rule must not have manufactured any raw-long twin: the
+    // filter condition on a native column stays exactly one conjunct
+    // (plus isnotnull) — no duplicated comparisons
+    val cond = df.queryExecution.optimizedPlan.toString
+    assert(">=".r.findAllIn(cond).size <= 1,
+      s"rule added a spurious twin on a native layout: $cond")
+  }
+
+  test("long-nanos layout: the rule conjoins a raw-nanos twin that " +
+      "reaches the parquet scan exactly once") {
+    import spark.implicits._
+    // synthesize the legacy encoding: int64 nanos column named ts
+    val root = graft.sources.IngestOps.tmp("planrule_nanos")
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val us = Seq(1706399999999999L, 1706400000000000L, 1706400000000001L,
+      1706486400000000L)
+    us.zipWithIndex.map { case (u, i) => (i.toLong, u * 1000L) }
+      .toDF("event_id", "ts")
+      .coalesce(1).write.parquet(s"$root/events.parquet")
+    val df = graft.sources.Tables.events(spark, root)
+      .filter($"ts" >= lit("2024-01-28 00:00:00").cast("timestamp"))
+    assert(df.count() == 3)   // floor semantics keep the boundary row out
+    val plan = df.queryExecution.executedPlan.toString
     val pushed = "GreaterThanOrEqual\\(ts,\\d+\\)".r
       .findAllIn(plan).toSeq
     assert(pushed.nonEmpty, s"no raw pushdown in: $plan")
