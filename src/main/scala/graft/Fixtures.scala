@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Every fingerprint-keyed shared fixture layout in one list.
+  *
+  * These are ingest-time artifacts (partitioned/snapshot/stats/bloom
+  * layouts, ANN indexes, bucketed tables) — built once per corpus
+  * lifetime, exactly like the reference's table creation. Bench calls
+  * [[prewarm]] in its UNTIMED setup so a corpus-fingerprint change costs
+  * setup seconds, never query time: the r10 regeneration invalidated
+  * every cached layout and the rebuilds landed inside the timed loop,
+  * nearly doubling the headline number on unchanged code. New
+  * `buildShared` sites must be added here — EngineSpec cross-checks the
+  * builder count against the `buildShared(` call sites in the source
+  * tree so a forgotten entry fails a test, not a bench round.
+  */
+object Fixtures {
+
+  /** (name, builder) for every shared layout; builders are idempotent
+    * (fingerprint-keyed, atomically published by buildShared). */
+  def builders(spark: SparkSession, dir: String): Seq[(String, () => Any)] =
+    Seq(
+      "events_partitioned" ->
+        (() => sources.IngestOps.partitionedLayout(spark, dir)),
+      "events_snapshots" ->
+        (() => sources.IngestOps.snapshotLayout(spark, dir)),
+      "events_valstats" ->
+        (() => sources.IngestOps.statsLayout(spark, dir)),
+      "events_nullstats" ->
+        (() => sources.IngestOps.nullStatsLayout(spark, dir)),
+      "events_blooms" ->
+        (() => sources.IngestOps.bloomSidecar(spark, dir,
+          sources.IngestOps.snapshotLayout(spark, dir))),
+      "ivf_index" ->
+        (() => operators.SimilarityOps.ivfIndexLayout(spark, dir)),
+      "ivfpq_index" ->
+        (() => operators.SimilarityOps.ivfpqIndexLayout(spark, dir)),
+      "ivfpqr_index" ->
+        (() => operators.SimilarityOps.ivfpqrIndexLayout(spark, dir)),
+      "bucketed_join_tables" ->
+        (() => operators.Joins.bucketedJoinTables(spark, dir)),
+      "bucketed_lookup_table" ->
+        (() => operators.Joins.bucketLookupTable(spark, dir)))
+
+  /** Build every shared layout (no-op when already complete). A failed
+    * builder is reported and skipped: its queries will rebuild lazily
+    * and the failure surfaces there with full context. */
+  def prewarm(spark: SparkSession, dir: String): Unit =
+    builders(spark, dir).foreach { case (name, build) =>
+      try build()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[prewarm] $name failed: " +
+            Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+    }
+}

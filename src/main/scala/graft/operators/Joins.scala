@@ -167,16 +167,7 @@ object Joins {
     * bucket transform is the sibling for high-cardinality keys). */
   def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val orders = bucketedTable(spark, dir, "orders_bkt",
-      "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE",
-      "o_custkey") {
-      Tables.orders(spark, dir)
-        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
-    }
-    val customer = bucketedTable(spark, dir, "customer_bkt",
-      "c_custkey BIGINT, c_mktsegment STRING", "c_custkey") {
-      Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment")
-    }
+    val (orders, customer) = bucketedJoinTables(spark, dir)
     // MERGE hint: at test scale Catalyst would broadcast the small side,
     // never exercising the bucket layout; at 100 TB sort-merge IS the
     // chosen strategy, and the buckets erase both of its exchanges.
@@ -205,6 +196,24 @@ object Joins {
       .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"),
         countDistinct($"o_orderstatus").as("n_statuses"))
       .orderBy($"o_custkey")
+  }
+
+  /** The co-bucketed orders/customer table pair behind [[joinBucketed]]
+    * (8 buckets on the join key; built once per corpus fingerprint). */
+  private[graft] def bucketedJoinTables(spark: SparkSession,
+      dir: String): (String, String) = {
+    import spark.implicits._
+    val orders = bucketedTable(spark, dir, "orders_bkt",
+      "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE",
+      "o_custkey") {
+      Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    }
+    val customer = bucketedTable(spark, dir, "customer_bkt",
+      "c_custkey BIGINT, c_mktsegment STRING", "c_custkey") {
+      Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment")
+    }
+    (orders, customer)
   }
 
   /** Bucketed orders table for point lookups (8 buckets on o_custkey). */
@@ -300,12 +309,14 @@ object Joins {
   def joinSkewAqe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     withSkewAqeConf(spark) {
-      val rows = skewAqeJoined(spark, dir).collect().toSeq
       // materialized under the scaled-down conf (AQE reads conf at
-      // execution, not plan-build), then surfaced as a literal frame
+      // execution, not plan-build), then surfaced as a literal frame;
+      // one frame serves both the rows and the schema — a second
+      // builder invocation would be a second full plan-build
+      val frame = skewAqeJoined(spark, dir)
+      val rows = frame.collect().toSeq
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1),
-        skewAqeJoined(spark, dir).schema)
+        spark.sparkContext.parallelize(rows, 1), frame.schema)
     }
   }
 

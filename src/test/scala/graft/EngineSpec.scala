@@ -12,10 +12,48 @@ class EngineSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.oracleSql.keys.foreach(k =>
       assert(SparkEntry.queries.contains(k), s"oracle without query: $k"))
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val cols = fn(spark, sf).columns
-      assert(cols.distinct.length == cols.length,
-        s"$name has duplicate columns: ${cols.mkString(",")}")
+    // build every query INDEPENDENTLY and report the full blast radius:
+    // an environment drift (e.g. a corpus re-encoding) typically breaks
+    // many keys at once, and dying on the first would mask the rest
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val cols = fn(spark, sf).columns
+          if (cols.distinct.length != cols.length)
+            Some(s"$name: duplicate columns ${cols.mkString(",")}")
+          else None
+        } catch {
+          case e: Throwable =>
+            Some(s"$name: ${e.getClass.getSimpleName} " +
+              Option(e.getMessage).getOrElse("").linesIterator
+                .take(1).mkString.take(160))
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} keys fail to build:\n  " +
+        failures.mkString("\n  "))
+  }
+
+  test("Fixtures.prewarm covers every buildShared site and every " +
+      "builder completes") {
+    import scala.jdk.CollectionConverters._
+    // tripwire: a new buildShared call site without a Fixtures entry
+    // would rebuild inside the timed bench loop on the next corpus
+    // regeneration (the r10 1.66× artifact)
+    val callSites = java.nio.file.Files.walk(
+      java.nio.file.Paths.get("src/main/scala")).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap(p => java.nio.file.Files.readAllLines(p).asScala)
+      .count(l => l.contains("buildShared(") && !l.contains("def buildShared"))
+    val builders = Fixtures.builders(spark, sf)
+    assert(builders.size >= callSites,
+      s"${callSites} buildShared call sites but only ${builders.size} " +
+        "Fixtures builders — add the missing layout to Fixtures.builders")
+    // and each builder must complete on the live corpus (throws on fail)
+    builders.foreach { case (name, build) =>
+      try build() catch {
+        case e: Throwable => fail(s"builder $name failed: ${e.getMessage}")
+      }
     }
   }
 
