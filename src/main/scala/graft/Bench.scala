@@ -82,11 +82,14 @@ object Bench {
         .exists(_.group(1) == sfDir)
       if (!sfOk) Map.empty
       else {
-        val entry = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+        val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
         entry.findAllMatchIn(txt).flatMap { m =>
           val (name, base) = (m.group(1), m.group(2).toDouble)
+          // relative AND absolute floors: a 0.2→0.5 s jitter is JVM/IO
+          // noise; a 0.2→13 s rebuild-in-loop (the r10 artifact) is not
           timed.get(name) match {
-            case Some(now) if base >= 0.2 && now > base * 2.0 =>
+            case Some(now) if base >= 0.2 && now > base * 2.0 &&
+                now - base > 0.5 =>
               Some(name -> (base, now))
             case _ => None
           }
