@@ -54,6 +54,28 @@ object Scalars {
         hour($"t").cast("long").as("hour"))
   }
 
+  /** `fn_current_time_parts` — the reference's wall-clock → partition
+    * derivation, end to end: `LocalDateTime.now(UTC)` split into
+    * year/month/day/hour (`Bulk:162-176`; `Calendar.getInstance(UTC)` at
+    * `KMS:195-200`) and formatted into the partition path
+    * (`KMS:203-204`). Determinized per SURVEY §7.3: "now" is a literal
+    * timestamp parameter so the oracle can replay it — a leap-day edge
+    * on purpose. */
+  def fnCurrentTimeParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).limit(1)   // one-row carrier
+      .select(lit("2024-02-29 23:05:09").cast("timestamp").as("now"))
+      .select(
+        year($"now").cast("long").as("year"),
+        month($"now").cast("long").as("month"),
+        dayofmonth($"now").cast("long").as("day"),
+        hour($"now").cast("long").as("hour"),
+        format_string(
+          "tenants=%s/year=%04d/month=%02d/day=%02d/hour=%02d",
+          lit("acme"), year($"now"), month($"now"), dayofmonth($"now"),
+          hour($"now")).as("partition_path"))
+  }
+
   /** Hive-style partition path formatting (`KMS:203-204` String.format). */
   def fnStringFmt(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -243,6 +265,7 @@ object Scalars {
     "fn_epoch_to_parts" -> (fnEpochToParts _),
     "fn_time_trunc" -> (fnTimeTrunc _),
     "fn_time_parts_literal" -> (fnTimePartsLiteral _),
+    "fn_current_time_parts" -> (fnCurrentTimeParts _),
     "fn_string_fmt" -> (fnStringFmt _),
     "fn_str_case" -> (fnStrCase _),
     "fn_null_safe_cast" -> (fnNullSafeCast _),
@@ -317,6 +340,16 @@ object Scalars {
     "fn_time_parts_literal" ->
       """SELECT CAST(2024 AS BIGINT) AS year, CAST(1 AS BIGINT) AS month,
         |  CAST(15 AS BIGINT) AS day, CAST(10 AS BIGINT) AS hour""".stripMargin,
+    "fn_current_time_parts" ->
+      """WITH t AS (SELECT TIMESTAMP '2024-02-29 23:05:09' AS now)
+        |SELECT CAST(year(now) AS BIGINT) AS year,
+        |  CAST(month(now) AS BIGINT) AS month,
+        |  CAST(day(now) AS BIGINT) AS day,
+        |  CAST(hour(now) AS BIGINT) AS hour,
+        |  printf('tenants=%s/year=%04d/month=%02d/day=%02d/hour=%02d',
+        |    'acme', year(now), month(now), day(now), hour(now))
+        |    AS partition_path
+        |FROM t""".stripMargin,
     "fn_string_fmt" ->
       """SELECT event_id,
         |  printf('tenant=%d/year=%04d/month=%02d/day=%02d/hour=%02d',
