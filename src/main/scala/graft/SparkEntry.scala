@@ -20,6 +20,7 @@ object SparkEntry {
     Aggregates.queries ++ Filters.queries ++ Joins.queries ++
       Windows.queries ++ SetOps.queries ++ Scalars.queries ++
       graft.sources.IngestOps.queries ++ graft.sources.LakeOps.queries ++
+      graft.sources.CryptoOps.queries ++
       TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++
       MultimodalOps.queries ++ GenOps.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
     Aggregates.oracles ++ Filters.oracles ++ Joins.oracles ++
       Windows.oracles ++ SetOps.oracles ++ Scalars.oracles ++
       graft.sources.IngestOps.oracles ++ graft.sources.LakeOps.oracles ++
+      graft.sources.CryptoOps.oracles ++
       TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++
       MultimodalOps.oracles ++ GenOps.oracles ++

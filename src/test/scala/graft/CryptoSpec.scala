@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** `write_encrypted` must produce REAL ciphertext, not a renamed plain
+  * file: encrypted-footer parquet replaces the `PAR1` magic with `PARE`
+  * at both ends of the file, and a keyed re-read must round-trip
+  * losslessly (the oracle covers values; this spec covers the bytes). */
+class CryptoSpec extends SparkSpecBase {
+
+  private def dataFiles(out: String): Seq[java.io.File] =
+    new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+
+  test("write_encrypted: on-disk files carry the PARE encrypted-footer " +
+      "magic at head and tail, and no plaintext column names leak") {
+    import spark.implicits._
+    val agg = sources.CryptoOps.writeEncrypted(spark, sf)
+    // the round trip itself: keyed read equals the plain aggregate
+    val plain = sources.Tables.events(spark, sf)
+      .filter(dayofmonth($"ts").between(1, 5))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), operators.dsum($"value").as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+    assert(agg.collect().sameElements(plain.collect()),
+      "keyed re-read of the encrypted layout diverged from plain events")
+
+    val files = dataFiles(sources.IngestOps.tmp("events_encrypted"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val head = new String(bytes.take(4), "US-ASCII")
+      val tail = new String(bytes.takeRight(4), "US-ASCII")
+      assert(head == "PARE" && tail == "PARE",
+        s"${f.getName}: magic $head/$tail — footer is not encrypted")
+      // an encrypted footer must not expose the schema in cleartext
+      val ascii = bytes.map(b => if (b >= 32 && b < 127) b.toChar else ' ')
+        .mkString
+      assert(!ascii.contains("event_type"),
+        s"${f.getName}: plaintext column name visible in footer")
+    }
+  }
+
+  test("reading the encrypted layout without footer-key access fails") {
+    import spark.implicits._
+    sources.CryptoOps.writeEncrypted(spark, sf)   // ensure layout exists
+    val out = sources.IngestOps.tmp("events_encrypted")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val factory = "parquet.crypto.factory.class"
+    val prev = hc.get(factory)
+    hc.unset(factory)   // a reader with no KMS access at all
+    try {
+      val e = intercept[Exception] {
+        spark.read.parquet(out).count()
+      }
+      val msg = Option(e.getMessage).getOrElse("") + e.getClass.getName
+      assert(msg.toLowerCase.contains("encrypt") ||
+        msg.toLowerCase.contains("pare") || msg.contains("footer"),
+        s"unexpected failure mode: $msg")
+    } finally hc.set(factory, prev)
+  }
+}
