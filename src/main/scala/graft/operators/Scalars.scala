@@ -76,6 +76,34 @@ object Scalars {
           hour($"now")).as("partition_path"))
   }
 
+  /** `fn_uuid_filename` — the reference's data-file naming
+    * `"data-" + UUID.randomUUID() + ".parquet"` (`Local:95`, `Bulk:151`,
+    * `Creator:409`), determinized per SURVEY §7.3 like `fn_rand_int`
+    * (seeded) and `fn_time_parts_literal` (literal param): the UUID is
+    * name-based — MD5 of the file's partition key with RFC 4122
+    * version-3/variant bits set — so the oracle replays it. At scale
+    * content-keyed names are what you want anyway: retried task commits
+    * collide on the same name instead of leaking orphan files. */
+  def fnUuidFilename(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).filter($"event_id" < 500)
+      .withColumn("hx",
+        md5(concat(lit("graft-file:"), $"event_id".cast("string"))))
+      // RFC 4122 bits on the 32-char hex: version nibble (13th) = '3';
+      // variant nibble (17th) = (d & 3) | 8 ≡ substr('89ab', d%4 + 1, 1)
+      .withColumn("uuid", expr(
+        """concat_ws('-',
+          |  substring(hx, 1, 8), substring(hx, 9, 4),
+          |  concat('3', substring(hx, 14, 3)),
+          |  concat(substring('89ab',
+          |    ((locate(substring(hx, 17, 1), '0123456789abcdef') - 1) % 4)
+          |      + 1, 1), substring(hx, 18, 3)),
+          |  substring(hx, 21, 12))""".stripMargin))
+      .select($"event_id",
+        concat(lit("data-"), $"uuid", lit(".parquet")).as("filename"))
+      .orderBy($"event_id")
+  }
+
   /** Hive-style partition path formatting (`KMS:203-204` String.format). */
   def fnStringFmt(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -266,6 +294,7 @@ object Scalars {
     "fn_time_trunc" -> (fnTimeTrunc _),
     "fn_time_parts_literal" -> (fnTimePartsLiteral _),
     "fn_current_time_parts" -> (fnCurrentTimeParts _),
+    "fn_uuid_filename" -> (fnUuidFilename _),
     "fn_string_fmt" -> (fnStringFmt _),
     "fn_str_case" -> (fnStrCase _),
     "fn_null_safe_cast" -> (fnNullSafeCast _),
@@ -340,6 +369,21 @@ object Scalars {
     "fn_time_parts_literal" ->
       """SELECT CAST(2024 AS BIGINT) AS year, CAST(1 AS BIGINT) AS month,
         |  CAST(15 AS BIGINT) AS day, CAST(10 AS BIGINT) AS hour""".stripMargin,
+    "fn_uuid_filename" ->
+      """WITH h AS (
+        |  SELECT event_id,
+        |    md5('graft-file:' || CAST(event_id AS VARCHAR)) AS hx
+        |  FROM events WHERE event_id < 500)
+        |SELECT event_id,
+        |  'data-' ||
+        |  substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-' ||
+        |  '3' || substr(hx, 14, 3) || '-' ||
+        |  substr('89ab',
+        |    ((strpos('0123456789abcdef', substr(hx, 17, 1)) - 1) % 4) + 1,
+        |    1) || substr(hx, 18, 3) || '-' ||
+        |  substr(hx, 21, 12) ||
+        |  '.parquet' AS filename
+        |FROM h ORDER BY event_id""".stripMargin,
     "fn_current_time_parts" ->
       """WITH t AS (SELECT TIMESTAMP '2024-02-29 23:05:09' AS now)
         |SELECT CAST(year(now) AS BIGINT) AS year,
