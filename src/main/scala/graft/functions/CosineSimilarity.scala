@@ -22,14 +22,23 @@ import org.apache.spark.sql.types._
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // each side independently accepts array<float> or array<double> (the
+  // corpus has shipped re-encoded columns before — see Tables.normalizeTs;
+  // accepting both here means an embeddings re-encoding costs nothing,
+  // and float corpus columns can meet double literal query vectors)
+  private def elemIsDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_similarity expects two array<float> arguments, got " +
-        s"${left.dataType.sql} and ${right.dataType.sql}")
+      s"cosine_similarity expects array<float> or array<double> " +
+        s"arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
@@ -37,13 +46,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val (ld, rd) = (elemIsDouble(left), elemIsDouble(right))
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (ld) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (rd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi
       na += xi * xi
       nb += yi * yi
@@ -62,12 +72,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val ax = if (elemIsDouble(left)) s"$a.getDouble($i)"
+               else s"(double) $a.getFloat($i)"
+      val by = if (elemIsDouble(right)) s"$b.getDouble($i)"
+               else s"(double) $b.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
+         |  double $xi = $ax;
+         |  double $yi = $by;
          |  $dot += $xi * $yi;
          |  $na += $xi * $xi;
          |  $nb += $yi * $yi;

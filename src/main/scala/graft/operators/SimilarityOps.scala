@@ -81,7 +81,13 @@ object SimilarityOps {
       .orderBy($"c_cos".desc, $"c_id").limit(2)
       .collect()
     val probeIds = probes.map(_.getLong(0))
-    val qEmb = typedLit(probes.head.getSeq[Float](1))
+    // element-type-agnostic (the corpus could re-encode embeddings as
+    // double — cosine() accepts either, so preserve what arrived)
+    val qEmb = probes.head.getSeq[Any](1) match {
+      case s if s.headOption.exists(_.isInstanceOf[Double]) =>
+        typedLit(s.map(_.asInstanceOf[Double]))
+      case s => typedLit(s.map(_.asInstanceOf[Float]))
+    }
     spark.read.parquet(s"$root/data")
       .filter($"bucket".isin(probeIds.map(Long.box): _*) &&
         $"vec_id" =!= 0)

@@ -43,6 +43,25 @@ class CosineSpec extends SparkSpecBase {
     got.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("element-type flexibility: float/double/mixed arrays agree " +
+      "(drift insurance for an embeddings re-encoding)") {
+    import spark.implicits._
+    val af = Array(0.25f, -1.5f, 3.0f, 0.125f)
+    val bf = Array(2.0f, 0.5f, -0.75f, 4.0f)
+    val ad = af.map(_.toDouble)
+    val bd = bf.map(_.toDouble)
+    val df = Seq((af, bf, ad, bd)).toDF("af", "bf", "ad", "bd")
+    val r = df.select(
+      VectorFunctions.cosine($"af", $"bf").as("ff"),
+      VectorFunctions.cosine($"ad", $"bd").as("dd"),
+      VectorFunctions.cosine($"af", $"bd").as("fd"),
+      VectorFunctions.cosine($"ad", $"bf").as("df")).head
+    // these values are exactly representable in float32, so all four
+    // combinations must be bit-identical
+    assert(Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      .forall(_ == r.getDouble(0)), r.toString)
+  }
+
   test("null vector propagates null") {
     import spark.implicits._
     val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]]))
