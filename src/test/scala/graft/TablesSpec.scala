@@ -57,6 +57,43 @@ class TablesSpec extends SparkSpecBase {
     }
   }
 
+  test("corpus drift canary: key columns load with the types the " +
+      "operators assume") {
+    // one focused failure naming the drifted column beats ten query keys
+    // erroring downstream (the r10 ts re-encoding cost a full round);
+    // on failure: adapt the loader in Tables, not the operators
+    val expect: Seq[(String, Map[String, String])] = Seq(
+      "events" -> Map("event_id" -> "bigint", "user_id" -> "bigint",
+        "event_type" -> "string", "value" -> "double",
+        "ts" -> "timestamp"),
+      "documents" -> Map("doc_id" -> "bigint", "text" -> "string",
+        "source" -> "string", "lang" -> "string"),
+      "embeddings" -> Map("vec_id" -> "bigint",
+        "embedding" -> "array<float>"),
+      "lineitem" -> Map("l_orderkey" -> "bigint",
+        "l_quantity" -> "double", "l_returnflag" -> "string"),
+      "orders" -> Map("o_orderkey" -> "bigint",
+        "o_totalprice" -> "double",
+        // NTZ since the r10 regeneration; date-part operators and the
+        // DuckDB oracles agree on it as-is (fn_date_arith is green), so
+        // the loader leaves it alone
+        "o_orderdate" -> "timestamp_ntz"))
+    val drifted = expect.flatMap { case (table, cols) =>
+      val schema =
+        (if (table == "events") graft.sources.Tables.events(spark, sf)
+         else graft.sources.Tables(spark, sf, table)).schema
+      cols.flatMap { case (col, want) =>
+        val got = schema.find(_.name == col).map(_.dataType.simpleString)
+        if (got.contains(want)) None
+        else Some(s"$table.$col: expected $want, loader yields " +
+          got.getOrElse("MISSING"))
+      }
+    }
+    assert(drifted.isEmpty,
+      "corpus drift — normalize in Tables loaders:\n  " +
+        drifted.mkString("\n  "))
+  }
+
   test("live corpus: ts loads as TimestampType and round-trips " +
       "through unix_micros") {
     import spark.implicits._
