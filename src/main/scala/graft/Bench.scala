@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pin UTC locally (not only via run.sh/-D): normalizeTs's
+      // NTZ→TimestampType cast is session-TZ-dependent, and prewarm
+      // publishes SHARED fingerprint-keyed layouts other processes read
+      .config("spark.sql.session.timeZone", "UTC")
       // per-JVM warehouse: the catalog queries DROP/recreate managed
       // tables, which must never race a concurrent engine process
       .config("spark.sql.warehouse.dir",
@@ -73,7 +77,7 @@ object Bench {
     // per-query regression gate against the committed warm-protocol
     // baseline (BASELINE_QUERIES.json): flags >2× slowdowns mechanically
     // instead of against a moving environment. Baselines are only
-    // comparable at the same sf; sub-0.2 s entries are noise-floor.
+    // comparable at the same sf.
     val regressions: Map[String, (Double, Double)] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/root/repo/BASELINE_QUERIES.json")),
@@ -85,11 +89,13 @@ object Bench {
         val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
         entry.findAllMatchIn(txt).flatMap { m =>
           val (name, base) = (m.group(1), m.group(2).toDouble)
-          // relative AND absolute floors: a 0.2→0.5 s jitter is JVM/IO
-          // noise; a 0.2→13 s rebuild-in-loop (the r10 artifact) is not
+          // relative AND absolute floors: a 0.1→0.4 s jitter is JVM/IO
+          // noise; a 0.1→8 s rebuild-in-loop (the r10 artifact) is not.
+          // No minimum-baseline floor — the fastest layout-backed
+          // queries (bucket_point_lookup 0.07 s) are exactly the ones a
+          // forgotten prewarm inflates most
           timed.get(name) match {
-            case Some(now) if base >= 0.2 && now > base * 2.0 &&
-                now - base > 0.5 =>
+            case Some(now) if now > base * 2.0 && now - base > 0.5 =>
               Some(name -> (base, now))
             case _ => None
           }

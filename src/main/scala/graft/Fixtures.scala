@@ -38,8 +38,12 @@ object Fixtures {
         (() => operators.SimilarityOps.ivfpqIndexLayout(spark, dir)),
       "ivfpqr_index" ->
         (() => operators.SimilarityOps.ivfpqrIndexLayout(spark, dir)),
-      "bucketed_join_tables" ->
-        (() => operators.Joins.bucketedJoinTables(spark, dir)),
+      // one entry PER bucketed layout (the pair builder is idempotent:
+      // the second entry's call returns from the fingerprint cache)
+      "bucketed_orders" ->
+        (() => operators.Joins.bucketedJoinTables(spark, dir)._1),
+      "bucketed_customer" ->
+        (() => operators.Joins.bucketedJoinTables(spark, dir)._2),
       "bucketed_lookup_table" ->
         (() => operators.Joins.bucketLookupTable(spark, dir)))
 

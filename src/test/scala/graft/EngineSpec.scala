@@ -40,14 +40,23 @@ class EngineSpec extends SparkSpecBase {
     // tripwire: a new buildShared call site without a Fixtures entry
     // would rebuild inside the timed bench loop on the next corpus
     // regeneration (the r10 1.66× artifact)
-    val callSites = java.nio.file.Files.walk(
+    val srcLines = java.nio.file.Files.walk(
       java.nio.file.Paths.get("src/main/scala")).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
       .flatMap(p => java.nio.file.Files.readAllLines(p).asScala)
-      .count(l => l.contains("buildShared(") && !l.contains("def buildShared"))
+      .map(_.trim)
+      .filterNot(l => l.startsWith("//") || l.startsWith("*") ||
+        l.startsWith("/*"))   // comments are not call sites
+      .toSeq
+    def sites(call: String) = srcLines.count(l =>
+      l.contains(call) && !l.contains("def " + call.stripSuffix("(")))
+    // layouts = direct buildShared call sites, minus the one generic
+    // site inside Joins.bucketedTable, plus each bucketedTable caller
+    // (every call of that helper is its own fingerprint-keyed layout)
+    val layouts = sites("buildShared(") - 1 + sites("bucketedTable(")
     val builders = Fixtures.builders(spark, sf)
-    assert(builders.size >= callSites,
-      s"${callSites} buildShared call sites but only ${builders.size} " +
+    assert(builders.size >= layouts,
+      s"$layouts shared layouts in source but only ${builders.size} " +
         "Fixtures builders — add the missing layout to Fixtures.builders")
     // and each builder must complete on the live corpus (throws on fail)
     builders.foreach { case (name, build) =>
