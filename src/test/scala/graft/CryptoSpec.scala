@@ -2,6 +2,19 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+/** A KMS holding the wrong master keys (different derivation than
+  * [[graft.sources.GraftKmsClient]]) — unwrap must fail AES-GCM
+  * integrity, proving decryption is gated by key material. */
+class WrongKmsClient
+    extends org.apache.parquet.crypto.keytools.LocalWrapKmsClient {
+  override protected def initializeInternal(): Unit = ()
+  override protected def getMasterKeyFromServer(
+      masterKeyIdentifier: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"wrong-kms:$masterKeyIdentifier".getBytes("UTF-8"))
+      .take(16)
+}
+
 /** `write_encrypted` must produce REAL ciphertext, not a renamed plain
   * file: encrypted-footer parquet replaces the `PAR1` magic with `PARE`
   * at both ends of the file, and a keyed re-read must round-trip
@@ -39,6 +52,34 @@ class CryptoSpec extends SparkSpecBase {
         .mkString
       assert(!ascii.contains("event_type"),
         s"${f.getName}: plaintext column name visible in footer")
+    }
+  }
+
+  test("reading the encrypted layout with the WRONG master keys fails " +
+      "(key material gates decryption, not client plumbing)") {
+    import spark.implicits._
+    sources.CryptoOps.writeEncrypted(spark, sf)   // ensure layout exists
+    val out = sources.IngestOps.tmp("events_encrypted")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val clientKey = "parquet.encryption.kms.client.class"
+    val prev = hc.get(clientKey)
+    hc.set(clientKey, classOf[WrongKmsClient].getName)
+    // drop cached KMS clients + unwrapped keys from the earlier keyed
+    // write/read, or the wrong client is never consulted
+    org.apache.parquet.crypto.keytools.KeyToolkit.removeCacheEntriesForAllTokens()
+    try {
+      val e = intercept[Exception] {
+        spark.read.parquet(out).count()
+      }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.toLowerCase.matches("(?s).*(gcm|tag|unwrap|decrypt).*"),
+        s"unexpected failure mode: ${e.getClass.getName}: $msg")
+    } finally {
+      hc.set(clientKey, prev)
+      // evict the cached wrong-key KMS client + unwrapped-key cache so
+      // later suites (and the keyed round-trip) see the real keys again
+      org.apache.parquet.crypto.keytools.KeyToolkit.removeCacheEntriesForAllTokens()
     }
   }
 
