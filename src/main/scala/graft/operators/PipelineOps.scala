@@ -268,6 +268,34 @@ object PipelineOps {
       .orderBy($"lang")
   }
 
+  /** `sample_cap_per_key` — fixed-SIZE per-key sampling (cap every
+    * source domain at k docs), the corpus-balancing pass every training
+    * mix runs: fractions ([[sampleStratified]]) cannot bound a mega
+    * domain, a cap can. Deterministic uniform choice WITHIN each key via
+    * rank over an md5 ordering (seeded, replayable by the oracle — which
+    * checks membership through the kept-id sum, not just counts). The
+    * rank is partition-local (shuffle by key, no global sort). Scale
+    * note: one giant domain ranks inside one task; at 100 TB the
+    * two-phase form — estimate a per-key hash threshold from counts,
+    * pre-filter, exact-rank only the ~k survivors — keeps the hot key's
+    * sort at O(k log k). The threshold estimate is the same
+    * [[hashBucket]] arithmetic, so the composition stays deterministic. */
+  def sampleCapPerKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source")
+      .orderBy(md5(concat(lit("cap42:"), $"doc_id".cast("string"))),
+        $"doc_id")
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 100)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"),
+        countDistinct($"lang").as("n_langs"),
+        sum($"doc_id").as("sum_ids"))
+      .orderBy($"source")
+  }
+
   /** `split_train_test` — deterministic 80/10/10 train/val/test split by
     * an independent doc_id hash (different multiplier than the sampler, so
     * split and sample membership are uncorrelated). Per-row expression,
@@ -793,6 +821,7 @@ object PipelineOps {
     "dedup_resolve" -> (dedupResolve _),
     "shuffle_epoch" -> (shuffleEpoch _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_cap_per_key" -> (sampleCapPerKey _),
     "split_train_test" -> (splitTrainTest _),
     "domain_mix" -> (domainMix _),
     "pack_sequences" -> (packSequences _),
@@ -1037,6 +1066,18 @@ object PipelineOps {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey)
         |    AS BIGINT) AS pos
         |FROM sharded ORDER BY shard, pos""".stripMargin,
+    "sample_cap_per_key" ->
+      """WITH ranked AS (
+        |  SELECT source, lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5('cap42:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS rk
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM ranked WHERE rk <= 100
+        |GROUP BY source ORDER BY source""".stripMargin,
     "sample_stratified" ->
       """SELECT lang, COUNT(*) AS n_total,
         |  CAST(SUM(CASE WHEN (doc_id * 2654435761) % 1000 <
