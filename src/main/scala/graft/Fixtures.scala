@@ -29,6 +29,10 @@ object Fixtures {
         (() => sources.IngestOps.statsLayout(spark, dir)),
       "events_nullstats" ->
         (() => sources.IngestOps.nullStatsLayout(spark, dir)),
+      "events_history" ->
+        (() => sources.LakeOps.historyLayout(spark, dir)),
+      "events_manifests" ->
+        (() => sources.LakeOps.manifestsLayout(spark, dir)),
       "events_blooms" ->
         (() => sources.IngestOps.bloomSidecar(spark, dir,
           sources.IngestOps.snapshotLayout(spark, dir))),

@@ -132,13 +132,25 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
-  /** Approximate distinct (HLL) — no DuckDB oracle (sketch implementations
-    * differ); driver records rows-only, scalatest bounds the error. */
+  /** Approximate distinct (HLL) — HLL sketches are engine-specific, so
+    * hash-matching the raw estimate against DuckDB is impossible. The key
+    * is made FULLY oracle-checkable instead by folding the
+    * engine-specific estimate into a deterministic answer: per group it
+    * returns the exact distinct (both engines agree) plus a
+    * `within_5pct` boolean of the HLL estimate vs that exact value
+    * (true on both sides when the sketch honors its rsd=0.02 contract —
+    * the oracle emits a literal TRUE, so a drifting sketch hash-fails
+    * the round rather than hiding behind a rows-only check). */
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+      .agg(
+        countDistinct($"l_orderkey").as("exact_orders"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx"))
+      .select($"l_returnflag", $"exact_orders",
+        (abs($"approx" - $"exact_orders") / $"exact_orders" < 0.05)
+          .as("within_5pct"))
       .orderBy($"l_returnflag")
   }
 
@@ -556,6 +568,12 @@ object Aggregates {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_bitmap_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS within_5pct
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "agg_funnel_steps" ->

@@ -50,26 +50,52 @@ object CryptoOps {
       classOf[GraftKmsClient].getName)
   }
 
-  /** `write_encrypted` — writes events days 1-5 with an encrypted footer
-    * (master key `graft_footer`) and column-encrypted `event_id`/`value`
-    * (master key `graft_cols`), then reads it back through the KMS and
-    * aggregates. The oracle is the same aggregate over the PLAIN events
-    * table: the round trip must be lossless and the ciphertext invisible
-    * to readers holding the keys. CryptoSpec asserts the on-disk bytes
-    * are really encrypted (PARE magic, no plaintext footer). */
+  /** Tenants in the encrypted layout: the corpus has no tenant column,
+    * so `user_id % NumTenants` stands in (same convention as
+    * `agg_group_by_tenant`). Tenant cardinality is metadata-scale — the
+    * reference holds the whole map in a config
+    * (`AIGEventsTableCreator.java:40-62`). */
+  private[graft] val NumTenants = 4
+
+  /** tenant → master-key alias, the reference's per-tenant KMS key
+    * selection (`AIGEventsTableCreator.java:366-383`,
+    * `HiddenPartitionLoaderWithKMS.java:52-64`): each tenant's files are
+    * wrapped under its own master key, so holding tenant A's key grants
+    * NOTHING over tenant B's files (CryptoSpec asserts the isolation). */
+  private[graft] def tenantKeyId(tenant: Int): String =
+    s"graft_tenant_$tenant"
+
+  /** `write_encrypted` — per-tenant encrypted write groups: events days
+    * 1-5 split by tenant, each group written under `tenant=<t>/` with an
+    * encrypted footer (master key `graft_tenant_<t>_footer`) and
+    * column-encrypted `event_id`/`value` (master key
+    * `graft_tenant_<t>`), then read back through the KMS (key ids ride
+    * in each file's metadata, so one read handles the heterogeneous
+    * keys) and aggregated. The oracle is the same aggregate over the
+    * PLAIN events table: the round trip must be lossless. CryptoSpec
+    * asserts the on-disk bytes are really encrypted (PARE magic, no
+    * plaintext footer) and that a KMS scoped to one tenant's keys cannot
+    * decrypt another tenant's files. */
   def writeEncrypted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     installCrypto(spark)
     val out = IngestOps.tmp("events_encrypted")
-    IngestOps.eventsWithParts(spark, dir)
+    val src = IngestOps.eventsWithParts(spark, dir)
       .filter($"day".between(1, 5))
-      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
-      .write.mode(SaveMode.Overwrite)
-      .option("compression", "zstd")
-      .option("parquet.encryption.footer.key", "graft_footer")
-      .option("parquet.encryption.column.keys",
-        "graft_cols:event_id,value")
-      .parquet(out)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"day",
+        pmod($"user_id", lit(NumTenants)).cast("int").as("tenant"))
+    // one encrypted write per tenant group — key OPTIONS are per-write,
+    // so per-tenant keys require per-tenant writes; the loop is over
+    // tenant cardinality (config-scale), not data
+    (0 until NumTenants).foreach { t =>
+      src.filter($"tenant" === t).drop("tenant")
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .option("parquet.encryption.footer.key", tenantKeyId(t) + "_footer")
+        .option("parquet.encryption.column.keys",
+          tenantKeyId(t) + ":event_id,value")
+        .parquet(s"$out/tenant=$t")
+    }
     spark.read.parquet(out)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"),

@@ -34,6 +34,24 @@ class EngineSpec extends SparkSpecBase {
         failures.mkString("\n  "))
   }
 
+  test("agg_approx_distinct: exact column IS exact, and the HLL " +
+      "estimate folds to within_5pct=true on every group") {
+    import spark.implicits._
+    val rows = operators.Aggregates.aggApproxDistinct(spark, sf).collect()
+    val exact = sources.Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)),
+        s"exact_orders drifted for ${r.getString(0)}")
+      // the oracle emits literal TRUE — a false here means the sketch
+      // violated its rsd contract and the round would hash-fail
+      assert(r.getBoolean(2), s"HLL off by >5% for ${r.getString(0)}")
+    }
+  }
+
   test("Fixtures.prewarm covers every buildShared site and every " +
       "builder completes") {
     import scala.jdk.CollectionConverters._
