@@ -32,8 +32,11 @@ object Bench {
     // time — in r10 the rebuilds landed inside the timed loop and
     // inflated the headline 1.66× on unchanged code.
     val setup0 = System.nanoTime()
-    Fixtures.prewarm(spark, sfDir)
+    val prewarmFailures = Fixtures.prewarm(spark, sfDir)
     val setupSec = (System.nanoTime() - setup0) / 1e9
+    // repo root is overridable (SPARK_GRAFT_REPO) so the bench binary
+    // isn't tied to one machine layout; default matches the driver's
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val wall0 = System.nanoTime()
     // local-iteration filter (mirrors Verify's SPARK_GRAFT_ONLY): time
@@ -80,14 +83,18 @@ object Bench {
     // comparable at the same sf.
     val regressions: Map[String, (Double, Double)] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/root/repo/BASELINE_QUERIES.json")),
+        java.nio.file.Paths.get(s"$repoRoot/BASELINE_QUERIES.json")),
         java.nio.charset.StandardCharsets.UTF_8)
       val sfOk = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
         .exists(_.group(1) == sfDir)
-      if (!sfOk) Map.empty
+      // scope entry matching to the flat "queries" object — top-level
+      // numeric keys ("total", "round") must never read as baselines
+      val queriesObj = """"queries"\s*:\s*\{([^}]*)\}""".r
+        .findFirstMatchIn(txt).map(_.group(1))
+      if (!sfOk || queriesObj.isEmpty) Map.empty
       else {
         val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
-        entry.findAllMatchIn(txt).flatMap { m =>
+        entry.findAllMatchIn(queriesObj.get).flatMap { m =>
           val (name, base) = (m.group(1), m.group(2).toDouble)
           // relative AND absolute floors: a 0.1→0.4 s jitter is JVM/IO
           // noise; a 0.1→8 s rebuild-in-loop (the r10 artifact) is not.
@@ -115,9 +122,11 @@ object Bench {
     // full per-query detail ALSO goes to a file: the driver's stdout tail
     // truncates the 100+-entry line, which left 48/108 timings
     // unrecoverable in r3 — BENCH_SUMMARY.json is the durable record
+    val prewarmJson = prewarmFailures.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_SUMMARY.json"),
-      s"""{"total":$total,"n_queries":${results.size},"cpus":"$cpus","setup_sec":$setupSec,"wall_sec":$wallSec,"samples_per_query":2,"errors":$errJson,"regressions":$regJson,"queries":$qs,"sf":"$sfDir"}"""
+      java.nio.file.Paths.get(s"$repoRoot/BENCH_SUMMARY.json"),
+      s"""{"total":$total,"n_queries":${results.size},"cpus":"$cpus","setup_sec":$setupSec,"wall_sec":$wallSec,"samples_per_query":2,"prewarm_failures":$prewarmJson,"errors":$errJson,"regressions":$regJson,"queries":$qs,"sf":"$sfDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

@@ -53,14 +53,19 @@ object Fixtures {
 
   /** Build every shared layout (no-op when already complete). A failed
     * builder is reported and skipped: its queries will rebuild lazily
-    * and the failure surfaces there with full context. */
-  def prewarm(spark: SparkSession, dir: String): Unit =
-    builders(spark, dir).foreach { case (name, build) =>
-      try build()
+    * and the failure surfaces there with full context. Returns the
+    * FAILED builder names so the caller can make the condition
+    * machine-visible (Bench records them as `prewarm_failures` in
+    * BENCH_SUMMARY.json — a silent skip would shift the rebuild into
+    * the timed loop, the exact artifact prewarm exists to prevent). */
+  def prewarm(spark: SparkSession, dir: String): Seq[String] =
+    builders(spark, dir).flatMap { case (name, build) =>
+      try { build(); None }
       catch {
         case e: Throwable =>
           System.err.println(s"[prewarm] $name failed: " +
             Option(e.getMessage).getOrElse(e.getClass.getName))
+          Some(name)
       }
     }
 }

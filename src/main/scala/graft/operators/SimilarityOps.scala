@@ -346,10 +346,13 @@ object SimilarityOps {
         round($"n_hits".cast("double") / k, 6).as("recall"))
   }
 
-  /** `sim_cosine_topk` — top-20 most similar pairs (bounded subset). */
+  /** `sim_cosine_topk` — top-20 most similar pairs. Exact all-pairs over
+    * a bounded subset (the brute-force baseline the bucketed
+    * [[simAnnLsh]] path is measured against — SimilaritySpec asserts
+    * pair parity between the two on their overlap). */
   def simCosineTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir).filter($"vec_id" < 200)
+    val e = Tables.embeddings(spark, dir).filter($"vec_id" < 400)
       .select($"vec_id", $"embedding")
     e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
@@ -397,7 +400,7 @@ object SimilarityOps {
     * the scale formulation). */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir).filter($"vec_id" < 300)
+    val e = Tables.embeddings(spark, dir).filter($"vec_id" < 600)
       .select($"vec_id", $"embedding")
     e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
@@ -768,7 +771,7 @@ object SimilarityOps {
       s"""SELECT a.vec_id AS va, b.vec_id AS vb,
          |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE a.vec_id < 200 AND b.vec_id < 200
+         |WHERE a.vec_id < 400 AND b.vec_id < 400
          |ORDER BY cos DESC, va, vb LIMIT 20""".stripMargin,
     "sim_knn_query" ->
       s"""SELECT e.vec_id, e.label,
@@ -799,7 +802,7 @@ object SimilarityOps {
       s"""SELECT a.vec_id AS va, b.vec_id AS vb,
          |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE a.vec_id < 300 AND b.vec_id < 300
+         |WHERE a.vec_id < 600 AND b.vec_id < 600
          |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.35
          |ORDER BY va, vb""".stripMargin)
 }

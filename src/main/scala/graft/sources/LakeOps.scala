@@ -77,8 +77,7 @@ object LakeOps {
         .withColumn("event_type", lit("inserted"))
         .withColumn("value", $"value" + 1000.0))
     // partition keys touched by the merge — metadata cardinality only
-    val days = updates.select($"day").distinct().collect()
-      .map(_.getInt(0)).sorted
+    val days = touchedDays(updates)
     val base = spark.read.parquet(out)
     val merged = base.filter($"day".isin(days.map(Int.box): _*))
       .join(updates.select($"event_id"), Seq("event_id"), "left_anti")
@@ -117,8 +116,7 @@ object LakeOps {
         .withColumn("event_type", lit("inserted"))
         .withColumn("value", $"value" + 1000.0))
       .withColumn("origin", lit("cdc"))
-    val days = updates.select($"day").distinct().collect()
-      .map(_.getInt(0)).sorted
+    val days = touchedDays(updates)
     val base = spark.read.parquet(out)
     // the evolution: touched-partition survivors adopt the widened
     // schema (NULL origin); untouched footers are never rewritten
@@ -148,8 +146,7 @@ object LakeOps {
     writeBase(spark, dir, out)
     val base = spark.read.parquet(out)
     val doomed = $"event_type" === "click" && $"day".between(3, 7)
-    val days = base.filter(doomed).select($"day").distinct().collect()
-      .map(_.getInt(0)).sorted
+    val days = touchedDays(base.filter(doomed))
     val survivors = base.filter($"day".isin(days.map(Int.box): _*))
       .filter(!doomed)
     rewritePartitions(spark, survivors, out)
@@ -394,8 +391,8 @@ object LakeOps {
     val deletes = spark.read.parquet(del)
     // compaction planning: partitions holding doomed rows — metadata
     // cardinality, never row data
-    val days = base.join(broadcast(deletes), Seq("event_id"), "left_semi")
-      .select($"day").distinct().collect().map(_.getInt(0)).sorted
+    val days = touchedDays(
+      base.join(broadcast(deletes), Seq("event_id"), "left_semi"))
     // fold the deletes into ONLY those partitions' data files
     val survivors = base.filter($"day".isin(days.map(Int.box): _*))
       .join(broadcast(deletes), Seq("event_id"), "left_anti")
@@ -563,8 +560,7 @@ object LakeOps {
     writeBase(spark, dir, out)
     val base = spark.read.parquet(out)
     val hit = $"event_type" === "purchase" && $"day".between(3, 7)
-    val days = base.filter(hit).select($"day").distinct().collect()
-      .map(_.getInt(0)).sorted
+    val days = touchedDays(base.filter(hit))
     val rewritten = base.filter($"day".isin(days.map(Int.box): _*))
       .withColumn("value", when(hit, $"value" * 2).otherwise($"value"))
     rewritePartitions(spark, rewritten, out)
@@ -584,6 +580,15 @@ object LakeOps {
   // the Iceberg metadata tree (`Debug:164-196`) reduced to its delta
   // essence, so every read below is file-list-driven (metadata cost),
   // never a directory glob that could see stale bytes.
+
+  /** DISTINCT `day` partition keys a mutation touches — the
+    * copy-on-write scoping collect every mutation op shares (metadata
+    * cardinality: at most the table's partition count, never row
+    * data). */
+  private def touchedDays(df: DataFrame): Seq[Int] = {
+    import df.sparkSession.implicits._
+    df.select($"day").distinct().collect().map(_.getInt(0)).sorted.toSeq
+  }
 
   private def hfs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)

@@ -58,20 +58,34 @@ class EngineSpec extends SparkSpecBase {
     // tripwire: a new buildShared call site without a Fixtures entry
     // would rebuild inside the timed bench loop on the next corpus
     // regeneration (the r10 1.66× artifact)
-    val srcLines = java.nio.file.Files.walk(
-      java.nio.file.Paths.get("src/main/scala")).iterator().asScala
+    val srcRoot = Seq(
+      java.nio.file.Paths.get("src/main/scala"),
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("graft.repo.root", "/root/repo"),
+        "src/main/scala"))
+      .find(java.nio.file.Files.isDirectory(_))
+      .getOrElse(fail("src/main/scala not found from cwd or " +
+        "graft.repo.root — set -Dgraft.repo.root"))
+    val perFile: Seq[Seq[String]] = java.nio.file.Files.walk(srcRoot)
+      .iterator().asScala
       .filter(_.toString.endsWith(".scala"))
-      .flatMap(p => java.nio.file.Files.readAllLines(p).asScala)
-      .map(_.trim)
-      .filterNot(l => l.startsWith("//") || l.startsWith("*") ||
-        l.startsWith("/*"))   // comments are not call sites
+      .map(p => java.nio.file.Files.readAllLines(p).asScala
+        .map(_.trim)
+        .filterNot(l => l.startsWith("//") || l.startsWith("*") ||
+          l.startsWith("/*"))   // comments are not call sites
+        .toSeq)
       .toSeq
-    def sites(call: String) = srcLines.count(l =>
+    def sites(lines: Seq[String], call: String) = lines.count(l =>
       l.contains(call) && !l.contains("def " + call.stripSuffix("(")))
-    // layouts = direct buildShared call sites, minus the one generic
-    // site inside Joins.bucketedTable, plus each bucketedTable caller
-    // (every call of that helper is its own fingerprint-keyed layout)
-    val layouts = sites("buildShared(") - 1 + sites("bucketedTable(")
+    // per file: direct buildShared call sites are each a layout, EXCEPT
+    // in the file that defines the bucketedTable helper (there the
+    // buildShared call is the helper's internals — its layouts are
+    // counted at the helper's call sites instead, one per caller)
+    val layouts = perFile.map { lines =>
+      val definesHelper = lines.exists(_.contains("def bucketedTable"))
+      val viaHelper = sites(lines, "bucketedTable(")
+      (if (definesHelper) 0 else sites(lines, "buildShared(")) + viaHelper
+    }.sum
     val builders = Fixtures.builders(spark, sf)
     assert(builders.size >= layouts,
       s"$layouts shared layouts in source but only ${builders.size} " +

@@ -145,7 +145,7 @@ class MetaSourceSpec extends SparkSpecBase {
       "orphan reads non-ancestor, and snapshot_id pushdown prunes") {
     import spark.implicits._
     graft.sources.LakeOps.metaHistory(spark, sf).collect() // builds layout
-    val root = graft.sources.IngestOps.tmp("events_meta_history")
+    val root = graft.sources.LakeOps.historyLayout(spark, sf)
     val h = spark.read.format("graft.sources.GraftMetaSource")
       .option("root", root).option("table", "history").load()
     assert(h.rdd.getNumPartitions == 5) // one per made-current event
@@ -170,7 +170,7 @@ class MetaSourceSpec extends SparkSpecBase {
     import spark.implicits._
     val got = graft.sources.LakeOps.metaManifests(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
-    val root = graft.sources.IngestOps.tmp("events_meta_manifests")
+    val root = graft.sources.LakeOps.manifestsLayout(spark, sf)
     val m = spark.read.format("graft.sources.GraftMetaSource")
       .option("root", root).option("table", "manifests").load()
     assert(m.rdd.getNumPartitions == 5) // 4 adds + 1 removes

@@ -19,6 +19,42 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSeq
   }
 
+  test("exact vs bucketed parity: on the shared id range the LSH bucket " +
+      "join finds exactly the exact pairs that share a bucket, with " +
+      "identical cosines — and visits strictly fewer pairs") {
+    import spark.implicits._
+    // the sign-LSH family simAnnLsh uses (fixed axis-aligned planes)
+    val dims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
+    val bucket = concat(dims.map(i =>
+      when(element_at($"embedding", i) >= 0f, "1").otherwise("0")): _*)
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .filter($"vec_id" < 400)
+      .select($"vec_id", $"embedding", bucket.as("bucket"))
+    val exact = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+        ($"a.bucket" === $"b.bucket").as("same_bucket"),
+        round(VectorFunctions.cosine($"a.embedding", $"b.embedding"), 6)
+          .as("cos"))
+      .collect()
+    val exactSameBucket = exact.filter(_.getBoolean(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val bucketed = e.as("a")
+      .join(e.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+        round(VectorFunctions.cosine($"a.embedding", $"b.embedding"), 6)
+          .as("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bucketed == exactSameBucket,
+      s"bucketed path drifted: ${bucketed.size} pairs vs " +
+        s"${exactSameBucket.size} exact same-bucket pairs")
+    // the honesty claim: the bucket join is a real work reduction, not
+    // a relabeled cross join
+    assert(bucketed.nonEmpty && bucketed.size < exact.length,
+      s"bucket join visited ${bucketed.size} of ${exact.length} pairs")
+  }
+
   test("sim_knn_query equals brute force exactly") {
     val got = SimilarityOps.simKnnQuery(spark, sf)
       .collect().map(_.getLong(0)).toSeq

@@ -65,11 +65,13 @@ class TablesSpec extends SparkSpecBase {
     val expect: Seq[(String, Map[String, String])] = Seq(
       "events" -> Map("event_id" -> "bigint", "user_id" -> "bigint",
         "event_type" -> "string", "value" -> "double",
-        "ts" -> "timestamp"),
+        "ts" -> "timestamp", "props" -> "string"),
+      // the FULL fixture-table surfaces, not just the key columns: the
+      // LLM-pipeline tier reads every documents/embeddings column
       "documents" -> Map("doc_id" -> "bigint", "text" -> "string",
-        "source" -> "string", "lang" -> "string"),
+        "source" -> "string", "lang" -> "string", "n_chars" -> "bigint"),
       "embeddings" -> Map("vec_id" -> "bigint",
-        "embedding" -> "array<float>"),
+        "embedding" -> "array<float>", "label" -> "int"),
       "lineitem" -> Map("l_orderkey" -> "bigint",
         "l_quantity" -> "double", "l_returnflag" -> "string"),
       "orders" -> Map("o_orderkey" -> "bigint",
