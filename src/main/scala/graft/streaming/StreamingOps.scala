@@ -20,6 +20,17 @@ case class UserState(n: Long, maxValue: Double, lastType: String)
   */
 object StreamingOps {
 
+  /** Drain a finite streaming query and stop it; with DEBUG_STREAM set,
+    * print per-batch progress (the durationMs breakdown) so harness
+    * constants can be audited per key. */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Unit =
+    try q.processAllAvailable() finally {
+      if (sys.env.contains("DEBUG_STREAM"))
+        q.recentProgress.foreach(p => println(s"[stream] ${p.json}"))
+      q.stop()
+    }
+
   /** Run `body` with a reduced shuffle-partition count: streaming state
     * stores are per shuffle partition, and for these single-micro-batch
     * drains 8 stores beat 32 on fixed per-store overhead. Restores the
@@ -29,6 +40,22 @@ object StreamingOps {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** Run `body` without the watermark-advance NO-DATA micro-batch.
+    * After the data batch, Spark runs one extra empty batch purely to
+    * evict state past the new watermark (~1 s of commit overhead per
+    * drained query). For COMPLETE/UPDATE-mode sinks — and for append
+    * operators that emit on match, not on eviction — that batch cannot
+    * change the RESULT, only reclaim state earlier, so the finite-drain
+    * harness skips it. Keys whose emission IS eviction (late_drop's
+    * append-mode window agg) must NOT use this. */
+  private def withoutNoDataBatches[T](spark: SparkSession)
+      (body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
     try body finally spark.conf.set(key, prev)
   }
 
@@ -49,14 +76,14 @@ object StreamingOps {
       .withWatermark("ts", "2 hours")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
-    withStatePartitions(spark, 8) {
+    withoutNoDataBatches(spark) { withStatePartitions(spark, 8) {
       val q = agg.writeStream
         .outputMode("complete")
         .format("memory")
         .queryName(queryName)
         .start()
-      try q.processAllAvailable() finally q.stop()
-    }
+      drain(q)
+    } }
     spark.table(queryName)
       .select($"window.start".as("hour_start"), $"event_type", $"n",
         $"sum_value")
@@ -95,7 +122,7 @@ object StreamingOps {
         .format("memory")
         .queryName(queryName)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      drain(q)
     }
     spark.table(queryName).orderBy($"event_type")
   }
@@ -120,7 +147,7 @@ object StreamingOps {
         .format("memory")
         .queryName(queryName)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      drain(q)
     }
     spark.table(queryName).orderBy($"user_id", $"event_type")
   }
@@ -142,7 +169,7 @@ object StreamingOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val queryName = s"stream_dedup_wm_${System.nanoTime()}"
-    withStatePartitions(spark, 8) {
+    withoutNoDataBatches(spark) { withStatePartitions(spark, 8) {
       val q = Tables.normalizeTs(spark.readStream
         .schema(batchSchema)
         .option("pathGlobFilter", "events.parquet")
@@ -159,8 +186,8 @@ object StreamingOps {
         .format("memory")
         .queryName(queryName)
         .start()
-      try q.processAllAvailable() finally q.stop()
-    }
+      drain(q)
+    } }
     spark.table(queryName)
       .select($"day".cast("long").as("day"), $"n", $"sum_value")
       .orderBy($"day")
@@ -227,7 +254,7 @@ object StreamingOps {
         .format("memory")
         .queryName(queryName)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      drain(q)
     }
     spark.table(queryName)
       .groupBy($"user_id")     // keep the final state row per key
@@ -260,14 +287,16 @@ object StreamingOps {
     val joined = side("view", "view").join(side("purchase", "purchase"),
       expr("view_user = purchase_user AND " +
         "purchase_ts BETWEEN view_ts AND view_ts + INTERVAL 1 HOUR"))
-    withStatePartitions(spark, 8) {
+    // inner interval join emits on MATCH during the data batch; the
+    // no-data batch would only expire buffered state
+    withoutNoDataBatches(spark) { withStatePartitions(spark, 8) {
       val q = joined.writeStream
         .outputMode("append")
         .format("memory")
         .queryName(queryName)
         .start()
-      try q.processAllAvailable() finally q.stop()
-    }
+      drain(q)
+    } }
     spark.table(queryName)
       .groupBy(dayofmonth($"view_ts").cast("long").as("d"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -393,7 +422,7 @@ object StreamingOps {
           }
         }
         .start()
-      try q.processAllAvailable() finally q.stop()
+      drain(q)
     }
     spark.read.parquet(out)
       .filter($"day".between(6, 12))
@@ -473,7 +502,7 @@ object StreamingOps {
           } finally b.unpersist()
         }
         .start()
-      try q.processAllAvailable() finally q.stop()
+      drain(q)
     }
     (base, delta, deletes)
   }
@@ -554,7 +583,7 @@ object StreamingOps {
         .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
         .writeStream.outputMode("complete").format("memory")
         .queryName(queryName).start()
-      try q.processAllAvailable() finally q.stop()
+      drain(q)
     }
     spark.table(queryName)
       .select($"day".cast("long").as("day"), $"n", $"sum_value")
@@ -575,7 +604,7 @@ object StreamingOps {
         .option("checkpointLocation", cp)
         .outputMode("append")
         .start()
-      try q.processAllAvailable() finally q.stop()
+      drain(q)
     }
 
   /** `stream_resume_checkpoint` — restartable exactly-once pipeline:
