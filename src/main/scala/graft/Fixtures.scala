@@ -29,6 +29,8 @@ object Fixtures {
         (() => sources.IngestOps.statsLayout(spark, dir)),
       "events_nullstats" ->
         (() => sources.IngestOps.nullStatsLayout(spark, dir)),
+      "events_refs" ->
+        (() => sources.LakeOps.refsLayout(spark, dir)),
       "events_history" ->
         (() => sources.LakeOps.historyLayout(spark, dir)),
       "events_manifests" ->

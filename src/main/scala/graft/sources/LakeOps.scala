@@ -666,6 +666,26 @@ object LakeOps {
     }
   }
 
+  /** Shared fingerprint-keyed REFS fixture — [[writeVersioned]] plus the
+    * three named refs [[metaRefs]] reads, built once per corpus lifetime
+    * (see [[historyLayout]] for why the metadata tables share their
+    * fixtures; the refs are written INSIDE the build, so the published
+    * layout is immutable afterwards). */
+  private[graft] def refsLayout(spark: SparkSession, dir: String): String = {
+    val out = IngestOps.shared("events_refs_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
+      IngestOps.sourceFingerprint(spark, dir))
+    IngestOps.buildShared(spark, out, root =>
+      IngestOps.fsExists(spark, s"$root/metadata/_DONE_REFS")) { root =>
+      writeVersioned(spark, dir, root)
+      setRef(spark, root, "main", 3)
+      setRef(spark, root, "audit", 2)
+      setRef(spark, root, "v1", 1)
+      IngestOps.writeMetaLines(spark, root, "metadata/_DONE_REFS",
+        Seq("done"))
+    }
+  }
+
   /** Shared fingerprint-keyed HISTORY fixture — the [[metaHistory]]
     * choreography (commits 1→2→3, rollback to 2, divergent 4, with the
     * made-current log and parentage persisted) built ONCE per corpus
@@ -934,11 +954,7 @@ object LakeOps {
     * pruned at planning, not filtered after. */
   def metaRefs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = IngestOps.tmp("events_meta_refs")
-    writeVersioned(spark, dir, out)
-    setRef(spark, out, "main", 3)
-    setRef(spark, out, "audit", 2)
-    setRef(spark, out, "v1", 1)
+    val out = refsLayout(spark, dir)
     spark.read.format("graft.sources.GraftMetaSource")
       .option("root", out).option("table", "refs").load()
       .filter($"snapshot_id" <= 2)

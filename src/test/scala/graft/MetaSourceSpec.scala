@@ -130,7 +130,7 @@ class MetaSourceSpec extends SparkSpecBase {
       "a ref to zero input partitions at planning") {
     import spark.implicits._
     graft.sources.LakeOps.metaRefs(spark, sf).collect() // builds the layout
-    val root = graft.sources.IngestOps.tmp("events_meta_refs")
+    val root = graft.sources.LakeOps.refsLayout(spark, sf)
     val refs = spark.read.format("graft.sources.GraftMetaSource")
       .option("root", root).option("table", "refs").load()
     assert(refs.rdd.getNumPartitions == 3) // main, audit, v1
