@@ -29,6 +29,10 @@ object Fixtures {
         (() => sources.IngestOps.statsLayout(spark, dir)),
       "events_nullstats" ->
         (() => sources.IngestOps.nullStatsLayout(spark, dir)),
+      "events_cow_base" ->
+        (() => sources.LakeOps.cowBaseLayout(spark, dir)),
+      "events_versioned_base" ->
+        (() => sources.LakeOps.versionedBaseLayout(spark, dir)),
       "events_refs" ->
         (() => sources.LakeOps.refsLayout(spark, dir)),
       "events_history" ->
