@@ -29,6 +29,8 @@ object Fixtures {
         (() => sources.IngestOps.statsLayout(spark, dir)),
       "events_nullstats" ->
         (() => sources.IngestOps.nullStatsLayout(spark, dir)),
+      "events_spec_evolution" ->
+        (() => sources.LakeOps.partitionEvolveLayout(spark, dir)._1),
       "events_cow_base" ->
         (() => sources.LakeOps.cowBaseLayout(spark, dir)),
       "events_versioned_base" ->
