@@ -675,11 +675,14 @@ object IngestOps {
 
   /** `snapshot_log` — the Iceberg snapshot-history walk (`Debug:164-196`:
     * per-snapshot id, timestamp, operation, added file/record counts,
-    * cumulative size) over the emulated snapshot table. File→snapshot
-    * attribution comes from the manifests (driver-side metadata, as the
-    * reference walks `table.snapshots()`); row counts from ONE distributed
-    * scan joined to that mapping via input_file_name. `n_files` is derived
-    * as the snapshot's distinct-day count — the layout's one-file-per-day
+    * cumulative size) over the emulated snapshot table. Pure METADATA, no
+    * data scan: the reference walks `table.snapshots()` whose summaries
+    * come from manifest metrics recorded at commit time, and this engine's
+    * stats sidecars (written from one scan of each commit's delta, see
+    * [[writeStatsManifest]]) carry exactly those per-file record counts —
+    * so the log is 7 tiny metadata reads regardless of table size, which
+    * is what makes a history walk over a 100 TB table instant. `n_files`
+    * is the snapshot's distinct-day count — the layout's one-file-per-day
     * commit discipline — so a writer-side file split (e.g. a non-default
     * maxRecordsPerFile) can't change the logical answer; the physical
     * listing is asserted separately in IngestSpec. Commit timestamps are
@@ -687,26 +690,20 @@ object IngestOps {
   def snapshotLog(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = snapshotLayout(spark, dir)
-    val fileSnap = (1 to 3).flatMap(n =>
-      snapshotManifest(spark, root, n).map(f => (f, n)))
-      .toDF("rel_path", "snapshot_id")
     // committed-at stamps come from the PERSISTED commit log — the same
     // metadata snapshot_read_attime resolves against
-    val commits = commitLog(spark, root).toDF("snapshot_id", "committed_ms")
-    val w = org.apache.spark.sql.expressions.Window.orderBy($"snapshot_id")
-    spark.read.parquet(s"$root/data")
-      .select(regexp_extract(input_file_name(), "/data/(.*)$", 1)
-        .as("rel_path"))
-      .join(broadcast(fileSnap), "rel_path")
-      .groupBy($"snapshot_id")
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(regexp_extract($"rel_path", "day=(\\d+)/", 1))
-          .as("n_files"))
-      .join(broadcast(commits), "snapshot_id")
-      .select($"snapshot_id".cast("long").as("snapshot_id"),
-        $"committed_ms",
-        lit("append").as("operation"), $"n_files", $"n_rows",
-        sum($"n_rows").over(w).as("total_rows"))
+    val commits = commitLog(spark, root).toMap
+    var cum = 0L
+    (1 to 3).map { n =>
+      val stats = readStatsManifest(spark, root, s"snap-$n.stats.txt")
+      val nRows = stats.map(_.nRows).sum
+      val nFiles = stats.map(f =>
+        "day=(\\d+)/".r.findFirstMatchIn(f.rel).map(_.group(1))
+          .getOrElse(f.rel)).distinct.size.toLong
+      cum += nRows
+      (n.toLong, commits(n), "append", nFiles, nRows, cum)
+    }.toDF("snapshot_id", "committed_ms", "operation", "n_files",
+      "n_rows", "total_rows")
       .orderBy($"snapshot_id")
   }
 
