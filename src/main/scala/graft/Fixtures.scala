@@ -27,6 +27,8 @@ object Fixtures {
         (() => sources.IngestOps.snapshotLayout(spark, dir)),
       "events_valstats" ->
         (() => sources.IngestOps.statsLayout(spark, dir)),
+      "events_fragmented" ->
+        (() => sources.IngestOps.fragmentedLayout(spark, dir)),
       "events_nullstats" ->
         (() => sources.IngestOps.nullStatsLayout(spark, dir)),
       "events_spec_evolution" ->
@@ -44,6 +46,12 @@ object Fixtures {
       "events_blooms" ->
         (() => sources.IngestOps.bloomSidecar(spark, dir,
           sources.IngestOps.snapshotLayout(spark, dir))),
+      // one entry PER clustering bound (the graphs differ: an edge
+      // through a node outside the bound can merge components)
+      "dedup_labels_40" ->
+        (() => operators.PipelineOps.dedupLabelsLayout(spark, dir, 40)),
+      "dedup_labels_200" ->
+        (() => operators.PipelineOps.dedupLabelsLayout(spark, dir, 200)),
       "ivf_index" ->
         (() => operators.SimilarityOps.ivfIndexLayout(spark, dir)),
       "ivfpq_index" ->

@@ -308,16 +308,18 @@ object Joins {
     * plain unsalted answer; the oracle is the same unsalted SQL. */
   def joinSkewAqe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Materialize under the scaled-down conf (AQE reads conf at
+    // execution, not plan-build) by writing the result to scratch
+    // INSIDE the scope — executors write, nothing round-trips through
+    // the driver, so the pattern holds even when the materialized frame
+    // is fact-table-sized. The returned scan re-reads whatever the
+    // caller does with it from that parquet.
+    val out = graft.sources.IngestOps.tmp("join_skew_aqe_out")
     withSkewAqeConf(spark) {
-      // materialized under the scaled-down conf (AQE reads conf at
-      // execution, not plan-build), then surfaced as a literal frame;
-      // one frame serves both the rows and the schema — a second
-      // builder invocation would be a second full plan-build
-      val frame = skewAqeJoined(spark, dir)
-      val rows = frame.collect().toSeq
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), frame.schema)
+      skewAqeJoined(spark, dir)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
     }
+    spark.read.parquet(out).orderBy($"event_type")
   }
 
   /** The skewed join as an inspectable plan (JoinSpec executes it under

