@@ -1,6 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Parse BASELINE_QUERIES.json's flat queries map (only when its sf
+    * matches `sfDir` — baselines are only comparable at the same sf). */
+  private def readBaselines(repoRoot: String,
+      sfDir: String): Map[String, Double] = try {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$repoRoot/BASELINE_QUERIES.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val sfOk = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+      .exists(_.group(1) == sfDir)
+    // scope entry matching to the flat "queries" object — top-level
+    // numeric keys ("total", "round") must never read as baselines
+    val queriesObj = """"queries"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(txt).map(_.group(1))
+    if (!sfOk || queriesObj.isEmpty) Map.empty
+    else {
+      val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+      entry.findAllMatchIn(queriesObj.get)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,8 +59,8 @@ object Bench {
     // repo root is overridable (SPARK_GRAFT_REPO) so the bench binary
     // isn't tied to one machine layout; default matches the driver's
     val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
+    val baselines = readBaselines(repoRoot, sfDir)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val wall0 = System.nanoTime()
     // local-iteration filter (mirrors Verify's SPARK_GRAFT_ONLY): time
     // a subset in ISOLATION — e.g. to separate a query's own cost from
     // suite-level IO contention. Unset for the driver's full run.
@@ -46,87 +68,122 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name)) }
-    val results = selected.map { case (name, fn) =>
+    def sample(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // --- contention canaries -------------------------------------------
+    // Three near-constant-cost keys re-timed at suite start/middle/end.
+    // Their ratio to baseline is a pure measure of MACHINE state (another
+    // process stealing the cores, IO saturation): the keys have no
+    // layout to rebuild and no data dependence on round changes, so a
+    // canary running 3× its baseline means the suite's numbers are
+    // inflated by environment, not by code. The index makes the
+    // "contended run or real regression?" call machine-readable instead
+    // of re-litigated from prose every round (r11: 15 flags adjudicated
+    // as noise; r12: 68 flags, 12/14 probed back to baseline).
+    val canaryKeys = Seq("limit_n", "fn_math", "fn_rand_int")
+      .filter(selected.contains)
+    val canaryRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runCanaries(): Unit = canaryKeys.foreach { k =>
+      baselines.get(k).filter(_ > 0).foreach { base =>
+        try canaryRatios += sample(k) / base
+        catch { case _: Throwable => () }
+      }
+    }
+    // untimed canary warmup: the first execution of a key pays one-off
+    // plan-build/codegen costs the baseline (min-of-2 in a warm suite)
+    // never includes — without this the start-of-suite canary reads ~3×
+    // on an idle machine and the index cries wolf
+    canaryKeys.foreach(k => try sample(k) catch { case _: Throwable => () })
+    val wall0 = System.nanoTime()
+    runCanaries()
+    val names = selected.keys.toSeq
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    names.zipWithIndex.foreach { case (name, i) =>
+      if (i == names.size / 2) runCanaries()
       // two samples, report the min: a single sample is dominated by
       // machine-load noise for the slow tail (r6 verdict measured 4-6×
       // inflation on singly-sampled queries under load spikes)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
       val t = try {
-        val first = once()
+        val first = sample(name)
         // a transient failure on the RETRY must not discard a valid
         // measurement — degrade to the single sample instead
-        try math.min(first, once()) catch { case _: Throwable => first }
+        try math.min(first, sample(name)) catch { case _: Throwable => first }
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
           Double.NaN
       }
-      name -> t
+      results(name) = t
     }
-    val wallSec = (System.nanoTime() - wall0) / 1e9
+    runCanaries()
+    val contentionIndex =
+      if (canaryRatios.isEmpty) Double.NaN
+      else { // median: robust to one canary landing on a load spike
+        val s = canaryRatios.toSeq.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
     // failed queries live ONLY in the errors map — a 0.0 timing would
     // read as the suite's fastest query in a round-over-round diff
-    val timed = results.filterNot { case (_, v) => v.isNaN }
+    val timed = scala.collection.mutable.LinkedHashMap(
+      results.toSeq.filterNot { case (_, v) => v.isNaN }: _*)
+    // --- regression re-pass --------------------------------------------
+    // Per-query gate vs the committed warm-protocol baseline. A key the
+    // main loop flags gets ONE more interleaved sample here, after the
+    // suite's own IO storm has passed; the min of all samples is the
+    // key's reported time. Only keys that STILL exceed the gate are
+    // regressions — i.e. the artifact itself distinguishes "slow while
+    // the suite thrashed" from "slow every time we look". Relative AND
+    // absolute floors: a 0.1→0.4 s jitter is JVM/IO noise; a 0.1→8 s
+    // rebuild-in-loop (the r10 artifact) is not. No minimum-baseline
+    // floor — the fastest layout-backed queries (bucket_point_lookup
+    // 0.07 s) are exactly the ones a forgotten prewarm inflates most.
+    def flagged(m: collection.Map[String, Double]): Map[String, Double] =
+      baselines.collect { case (name, base)
+        if m.get(name).exists(now => now > base * 2.0 && now - base > 0.5) =>
+        name -> base }
+    val firstPassFlags = flagged(timed).keys.toSeq.sorted
+    firstPassFlags.foreach { name =>
+      try timed(name) = math.min(timed(name), sample(name))
+      catch { case _: Throwable => () }
+    }
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val regressions: Map[String, (Double, Double)] =
+      flagged(timed).map { case (name, base) =>
+        name -> (base, timed(name)) }
     val qs = timed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) => s"\"$k\":\"$m\"" }
       .mkString("{", ",", "}")
     val total = if (timed.nonEmpty) timed.values.sum else 0.0
-    // per-query regression gate against the committed warm-protocol
-    // baseline (BASELINE_QUERIES.json): flags >2× slowdowns mechanically
-    // instead of against a moving environment. Baselines are only
-    // comparable at the same sf.
-    val regressions: Map[String, (Double, Double)] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$repoRoot/BASELINE_QUERIES.json")),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val sfOk = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
-        .exists(_.group(1) == sfDir)
-      // scope entry matching to the flat "queries" object — top-level
-      // numeric keys ("total", "round") must never read as baselines
-      val queriesObj = """"queries"\s*:\s*\{([^}]*)\}""".r
-        .findFirstMatchIn(txt).map(_.group(1))
-      if (!sfOk || queriesObj.isEmpty) Map.empty
-      else {
-        val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
-        entry.findAllMatchIn(queriesObj.get).flatMap { m =>
-          val (name, base) = (m.group(1), m.group(2).toDouble)
-          // relative AND absolute floors: a 0.1→0.4 s jitter is JVM/IO
-          // noise; a 0.1→8 s rebuild-in-loop (the r10 artifact) is not.
-          // No minimum-baseline floor — the fastest layout-backed
-          // queries (bucket_point_lookup 0.07 s) are exactly the ones a
-          // forgotten prewarm inflates most
-          timed.get(name) match {
-            case Some(now) if now > base * 2.0 && now - base > 0.5 =>
-              Some(name -> (base, now))
-            case _ => None
-          }
-        }.toMap
-      }
-    } catch { case _: Throwable => Map.empty }
     val regJson = regressions.map { case (k, (b, n)) =>
       s""""$k":{"baseline":$b,"now":$n}""" }.mkString("{", ",", "}")
     if (regressions.nonEmpty)
       System.err.println(s"[bench] ${regressions.size} queries regressed " +
-        s">2x vs BASELINE_QUERIES.json: ${regressions.keys.mkString(",")}")
+        s">2x vs BASELINE_QUERIES.json after re-pass: " +
+        regressions.keys.mkString(","))
+    val ciJson = if (contentionIndex.isNaN) "null"
+      else f"$contentionIndex%.3f"
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     // short machine-readable summary LAST: the driver captures a bounded
     // stdout tail, and the 100+-entry line above overflows it (r1 had
     // parsed:null). A failed query is an error entry, never a fake timing.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"wall_sec":$wallSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"wall_sec":$wallSec,"contention_index":$ciJson,"n_flagged_first_pass":${firstPassFlags.size},"n_regressions":${regressions.size},"sf":"$sfDir"}""")
     // full per-query detail ALSO goes to a file: the driver's stdout tail
     // truncates the 100+-entry line, which left 48/108 timings
     // unrecoverable in r3 — BENCH_SUMMARY.json is the durable record
     val prewarmJson = prewarmFailures.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    val flaggedJson = firstPassFlags.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$repoRoot/BENCH_SUMMARY.json"),
-      s"""{"total":$total,"n_queries":${results.size},"cpus":"$cpus","setup_sec":$setupSec,"wall_sec":$wallSec,"samples_per_query":2,"prewarm_failures":$prewarmJson,"errors":$errJson,"regressions":$regJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"total":$total,"n_queries":${results.size},"cpus":"$cpus","setup_sec":$setupSec,"wall_sec":$wallSec,"samples_per_query":2,"contention_index":$ciJson,"canary_ratios":${canaryRatios.map(r => f"$r%.3f").mkString("[", ",", "]")},"flagged_first_pass":$flaggedJson,"prewarm_failures":$prewarmJson,"errors":$errJson,"regressions":$regJson,"queries":$qs,"sf":"$sfDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
