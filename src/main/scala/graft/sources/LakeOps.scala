@@ -681,7 +681,7 @@ object LakeOps {
     * mtimes are fresh and strictly predate the mutation's rewrites, so
     * the copy-on-write mtime proofs in LakeSpec still observe exactly
     * the mutation. */
-  private def cloneTree(src: String, dst: String): Unit = {
+  private[graft] def cloneTree(src: String, dst: String): Unit = {
     import java.nio.file._
     val s = Paths.get(src); val d = Paths.get(dst)
     if (Files.exists(d))

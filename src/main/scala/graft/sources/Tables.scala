@@ -33,6 +33,14 @@ object Tables {
         hc.set("fs.file.impl", classOf[NioLocalFileSystem].getName)
         org.apache.hadoop.fs.FileSystem.closeAll()
       }
+      // streaming checkpoint/state commits default to the FileContext
+      // API, which bypasses fs.file.impl and forks a chmod per created
+      // file on libhadoop-less local FS — 0.7-0.9 s of commitTimeMs per
+      // micro-batch on KB-sized state. The FileSystem-based manager
+      // routes through NioLocalFileSystem like everything else.
+      spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
     }
   }
 
