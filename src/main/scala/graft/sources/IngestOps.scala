@@ -798,13 +798,114 @@ object IngestOps {
     ev.filter($"day" > 15)
       .select($"event_id", $"event_type", $"value", $"day")
       .write.mode(SaveMode.Overwrite).parquet(s"$out/v2")
-    // the name mapping: pre-rename files resolve the old physical name
-    val v1 = spark.read.parquet(s"$out/v1").withColumnRenamed("val", "value")
-    val v2 = spark.read.parquet(s"$out/v2")
-    v1.unionByName(v2)
+    // the field-id sidecars: field 3's PHYSICAL name per era — the id,
+    // not the name, is the stable identity the rename pivots on
+    writeSchemaEra(spark, out, 1, Seq(1 -> "event_id", 2 -> "event_type",
+      3 -> "val", 4 -> "day"))
+    writeSchemaEra(spark, out, 2, Seq(1 -> "event_id", 2 -> "event_type",
+      3 -> "value", 4 -> "day"))
+    val current = readSchemaEra(spark, out, 2)
+    readEraById(spark, out, 1, current)
+      .unionByName(readEraById(spark, out, 2, current))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), countDistinct($"day").as("n_days"),
         dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  /** Persist one schema ERA's (field-id → physical column name) mapping
+    * — the engine's equivalent of Iceberg's `NestedField` ids
+    * (`aig/AIGEventsSchemaValidator.java:61-146`), which are what make
+    * renames safe: a column's identity is its id, its name is an era-
+    * scoped label. One sidecar per era under `metadata/`, same encoding
+    * discipline as the manifests. */
+  private[graft] def writeSchemaEra(spark: SparkSession, root: String,
+      era: Int, fields: Seq[(Int, String)]): Unit =
+    writeMetaLines(spark, root, s"metadata/schema-$era.txt",
+      fields.map { case (id, n) => f"$id%03d=$n" })
+
+  /** Read era `era`'s (field-id → physical name) mapping. */
+  private[graft] def readSchemaEra(spark: SparkSession, root: String,
+      era: Int): Seq[(Int, String)] =
+    readMetaLines(spark, root, s"metadata/schema-$era.txt").map { l =>
+      val Array(i, n) = l.split("=", 2)
+      (i.toInt, n)
+    }
+
+  /** Scan era `era`'s files RESOLVED BY FIELD ID against the table's
+    * current schema: each current (id, name) binds to the era file's
+    * physical column carrying that id — never by name. This is what
+    * keeps a rename CHAIN correct: after a→b then c→a, an era-1 file's
+    * physical "a" is field 3 (now named b) while the CURRENT "a" is
+    * field 5 — a name-mapping reader would silently serve field 3's
+    * values as "a". Ids present in the current schema but absent from
+    * the era (columns added later) are skipped here; callers union with
+    * `unionByName(allowMissingColumns)` semantics or project defaults. */
+  private[graft] def readEraById(spark: SparkSession, root: String,
+      era: Int, current: Seq[(Int, String)]): DataFrame = {
+    val phys = readSchemaEra(spark, root, era).toMap
+    spark.read.parquet(s"$root/v$era")
+      .select(current.flatMap { case (id, cur) =>
+        phys.get(id).map(p => col(p).as(cur)) }: _*)
+  }
+
+  /** Two-era-chain layout for [[alterRenameChain]]: field 3 starts as
+    * physical `a` (holding value), field 5 as physical `c` (holding
+    * user_id); rename a→b lands era 2 (b, c), rename c→a lands era 3
+    * (b, a). Built once per JVM (_DONE-gated). */
+  private[graft] def renameChainLayout(spark: SparkSession,
+      dir: String): String = {
+    import spark.implicits._
+    val out = tmp("events_rename_chain")
+    if (!fsExists(spark, s"$out/_DONE")) {
+      val ev = eventsWithParts(spark, dir)
+        .select($"event_id", $"event_type", $"value", $"user_id", $"day")
+        .localCheckpoint()
+      ev.filter($"day" <= 10)
+        .select($"event_id", $"event_type", $"value".as("a"),
+          $"user_id".as("c"), $"day")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/v1")
+      ev.filter($"day".between(11, 20))
+        .select($"event_id", $"event_type", $"value".as("b"),
+          $"user_id".as("c"), $"day")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/v2")
+      ev.filter($"day" > 20)
+        .select($"event_id", $"event_type", $"value".as("b"),
+          $"user_id".as("a"), $"day")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/v3")
+      writeSchemaEra(spark, out, 1, Seq(1 -> "event_id", 2 -> "event_type",
+        3 -> "a", 5 -> "c", 4 -> "day"))
+      writeSchemaEra(spark, out, 2, Seq(1 -> "event_id", 2 -> "event_type",
+        3 -> "b", 5 -> "c", 4 -> "day"))
+      writeSchemaEra(spark, out, 3, Seq(1 -> "event_id", 2 -> "event_type",
+        3 -> "b", 5 -> "a", 4 -> "day"))
+      val done = new org.apache.hadoop.fs.Path(out, "_DONE")
+      done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(done, true).close()
+    }
+    out
+  }
+
+  /** `alter_rename_chain` — the rename CHAIN (a→b, then c→a) that
+    * separates field-id resolution from name mapping: after the chain,
+    * the current name `a` denotes a DIFFERENT field than era 1's
+    * physical `a`, so a reader that maps old names to new names (the
+    * [[alterRenameCol]] single-rename shortcut) would serve field 3's
+    * values (value) under `a` for era-1 files — silently, with a valid
+    * schema. Resolving every era through its id sidecar
+    * ([[readEraById]]) binds era 1's physical `a` to field 3 (current
+    * name `b`) and leaves current `a` = field 5 (physical `c` there).
+    * The oracle computes b/a from value/user_id directly, so a
+    * mis-binding flips two aggregate columns and the hash catches it. */
+  def alterRenameChain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = renameChainLayout(spark, dir)
+    val current = readSchemaEra(spark, out, 3)
+    (1 to 3).map(readEraById(spark, out, _, current))
+      .reduce(_ unionByName _)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"b").as("sum_b"),
+        sum($"a").as("sum_a"))
       .orderBy($"event_type")
   }
 
@@ -1490,6 +1591,7 @@ object IngestOps {
     "alter_add_cols" -> (alterAddCols _),
     "alter_nested_evolve" -> (alterNestedEvolve _),
     "alter_rename_col" -> (alterRenameCol _),
+    "alter_rename_chain" -> (alterRenameChain _),
     "alter_widen_type" -> (alterWidenType _),
     "alter_add_col_default" -> (alterAddColDefault _),
     "alter_drop_col" -> (alterDropCol _),
@@ -1659,6 +1761,13 @@ object IngestOps {
       s"""SELECT event_type, COUNT(*) AS n,
          |  COUNT(DISTINCT day(ts)) AS n_days,
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // field-id resolution makes b ≡ value and a ≡ user_id in EVERY era;
+    // a name-based mis-binding would flip the two sums for era-1 rows
+    "alter_rename_chain" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_b,
+         |  CAST(SUM(user_id) AS BIGINT) AS sum_a
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "alter_drop_col" ->
       s"""SELECT event_type, COUNT(*) AS n,

@@ -439,4 +439,43 @@ class IngestSpec extends SparkSpecBase {
       .orderBy(col("day")).collect()
     assert(rows.toSeq == direct.toSeq)
   }
+
+  test("alter_rename_chain: field-id resolution survives a→b then c→a " +
+      "(a name-mapping reader would flip the two columns in era 1)") {
+    import spark.implicits._
+    val root = graft.sources.IngestOps.renameChainLayout(spark, sf)
+    val current = graft.sources.IngestOps.readSchemaEra(spark, root, 3)
+    // era 1's file carries PHYSICAL columns a (field 3) and c (field 5);
+    // resolved against the current schema, its field 3 must surface as
+    // `b` (the value column) and field 5 as `a` (the user_id column)
+    val era1 = graft.sources.IngestOps.readEraById(spark, root, 1, current)
+    val mismatch = era1.join(
+        graft.sources.IngestOps.eventsWithParts(spark, sf)
+          .filter($"day" <= 10)
+          .select($"event_id", $"value".as("exp_b"),
+            $"user_id".as("exp_a")),
+        Seq("event_id"))
+      .filter($"b" =!= $"exp_b" || $"a" =!= $"exp_a")
+      .count()
+    assert(mismatch == 0L,
+      "era-1 fields mis-bound: physical a must resolve to current b")
+    // the full 3-era union equals first principles over the source
+    val got = graft.sources.IngestOps.alterRenameChain(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val exp = graft.sources.Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.operators.dsum($"value").as("sum_b"),
+        sum($"user_id").as("sum_a"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(got == exp)
+    // and a NAME-mapped read of era 1 (the single-rename shortcut)
+    // really does differ — the guard the ids exist to provide
+    val nameMapped = spark.read.parquet(s"$root/v1")
+      .withColumnRenamed("c", "ignored") // name mapping can't know c→a
+    assert(nameMapped.columns.contains("a"),
+      "era-1 physical a would collide with the current a by name")
+  }
 }
