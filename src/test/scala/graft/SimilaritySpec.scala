@@ -55,6 +55,50 @@ class SimilaritySpec extends SparkSpecBase {
       s"bucket join visited ${bucketed.size} of ${exact.length} pairs")
   }
 
+  test("LSH-dedup parity vs dedup_embedding: on the overlap corpus the " +
+      "bucketed near-dup path finds exactly the exact threshold pairs " +
+      "that share a bucket, and reports its recall of the full set") {
+    import spark.implicits._
+    // dedup_embedding's corpus and threshold; the same sign-LSH family
+    val dims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
+    val bucket = concat(dims.map(i =>
+      when(element_at($"embedding", i) >= 0f, "1").otherwise("0")): _*)
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .filter($"vec_id" < 600)
+      .select($"vec_id", $"embedding", bucket.as("bucket"))
+    val exactPairs = SimilarityOps.dedupEmbedding(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSameBucket = e.as("a")
+      .join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .filter($"a.bucket" === $"b.bucket" &&
+        VectorFunctions.cosine($"a.embedding", $"b.embedding") >= 0.35)
+      .select($"a.vec_id", $"b.vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = e.as("a")
+      .join(e.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .filter(VectorFunctions.cosine($"a.embedding", $"b.embedding")
+        >= 0.35)
+      .select($"a.vec_id", $"b.vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // parity: the bucketed path finds EXACTLY the exact pairs that
+    // collide — no phantom pairs, none dropped inside a bucket
+    assert(lshPairs == exactSameBucket,
+      s"bucketed dedup drifted: ${lshPairs.size} vs " +
+        s"${exactSameBucket.size} same-bucket exact pairs")
+    assert(lshPairs.subsetOf(exactPairs),
+      "bucketed path surfaced a pair the exact threshold rejects")
+    // honesty metric: what fraction of ALL exact near-dups one band of
+    // this family recovers (production stacks bands to drive this → 1)
+    val recall =
+      if (exactPairs.isEmpty) 1.0
+      else lshPairs.size.toDouble / exactPairs.size
+    info(f"single-band LSH recall of exact near-dups: $recall%.3f " +
+      s"(${lshPairs.size}/${exactPairs.size})")
+    assert(exactPairs.isEmpty || lshPairs.nonEmpty,
+      "LSH band recovered none of the exact near-dup pairs")
+  }
+
   test("sim_knn_query equals brute force exactly") {
     val got = SimilarityOps.simKnnQuery(spark, sf)
       .collect().map(_.getLong(0)).toSeq
