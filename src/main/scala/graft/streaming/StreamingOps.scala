@@ -505,11 +505,20 @@ object StreamingOps {
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // the MoR commit: delta rows + doomed keys, both appends —
-          // cost ∝ |batch|, independent of base size or partition heat
+          // cost ∝ |batch|, independent of base size or partition heat.
+          // Delta is day-partitioned like the base (one file per touched
+          // day per batch, written in parallel) so the MoR merge can
+          // prune delta partitions exactly like base partitions at scale.
           val b = batch.persist()
           try {
-            b.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+            b.repartition($"day")
+              .write.mode(org.apache.spark.sql.SaveMode.Append)
+              .partitionBy("day")
               .option("compression", "zstd").parquet(delta)
+            // the doomed-key sidecar is a key-only projection — tiny
+            // relative to the batch, so one file per commit is the
+            // right small-file/metadata trade even at scale (Iceberg
+            // likewise writes few, wide-scope equality-delete files)
             b.select($"event_id").coalesce(1)
               .write.mode(org.apache.spark.sql.SaveMode.Append)
               .option("compression", "zstd").parquet(deletes)
