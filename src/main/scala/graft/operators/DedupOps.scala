@@ -351,7 +351,61 @@ object DedupOps {
       .orderBy($"lang")
   }
 
+  /** `dedup_corpus_bloom` — INCREMENTAL corpus-membership dedup, the
+    * crawl-ingest shape exact/near dedup don't cover: an incoming batch
+    * must drop every doc whose content hash already exists in the
+    * reference corpus, EXACTLY, without joining the whole batch against
+    * the corpus. A Bloom filter over the corpus hashes
+    * (`DataFrameStatFunctions.bloomFilter`, explicitly broadcast) splits
+    * the batch map-side: bloom-NEGATIVES are proven novel and never
+    * reach a shuffle; only the bloom-positives — true members plus
+    * ~fpp·|batch| false positives — are confirmed by an anti-join
+    * against the corpus, so the result is exact while the join input
+    * shrinks from |batch| to |members| + fpp·|batch|. That is the whole
+    * 100 TB story: the filter is MBs per hundred-million keys and rides
+    * a broadcast; the corpus is touched once to build it (at scale it is
+    * a maintained artifact like the IVF index, rebuilt per corpus
+    * snapshot, not per batch). The probe UDF is justified: Spark's own
+    * runtime bloom join filters use the internal
+    * `BloomFilterMightContain` expression, which has no public surface.
+    *
+    * Membership layout (both engines compute it from doc_id alone):
+    * corpus = even doc_ids plus every 7th doc (the re-delivered ones);
+    * incoming = odd doc_ids — so ~1/14 of the table genuinely collides
+    * and the confirm path is exercised, not vacuous. */
+  def dedupCorpusBloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", md5($"text".cast("binary")).as("h"))
+    val corpus = d.filter($"doc_id" % 2 === 0 || $"doc_id" % 7 === 0)
+      .select($"h")
+    val inc = d.filter($"doc_id" % 2 === 1)
+    bloomMembershipNovel(inc, corpus, fpp = 0.03)._1.orderBy($"doc_id")
+  }
+
+  /** The bloom-prefiltered membership split behind [[dedupCorpusBloom]]:
+    * returns (novel = proven-negatives ∪ anti-join-confirmed false
+    * positives, bloom-positive candidates). Split out so DedupSpec can
+    * assert the scale claims — the candidate set is bounded by
+    * members + fpp·|inc|, and the negative path's plan holds no join. */
+  private[graft] def bloomMembershipNovel(inc: DataFrame,
+      corpus: DataFrame, fpp: Double): (DataFrame, DataFrame) = {
+    val spark = inc.sparkSession
+    import spark.implicits._
+    val bf = corpus.stat.bloomFilter("h",
+      math.max(corpus.count(), 64L), fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val might = udf((s: String) => s != null && bfB.value.mightContain(s))
+    val neg = inc.filter(!might($"h"))
+    val pos = inc.filter(might($"h"))
+    val novel = neg.unionByName(
+      pos.join(corpus, Seq("h"), "left_anti")
+        .select(inc.columns.map(org.apache.spark.sql.functions.col): _*))
+    (novel, pos)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_corpus_bloom" -> (dedupCorpusBloom _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_url" -> (dedupUrl _),
     "dedup_exact" -> (dedupExact _),
@@ -435,6 +489,14 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_corpus_bloom" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |corpus AS (
+        |  SELECT h FROM d WHERE doc_id % 2 = 0 OR doc_id % 7 = 0),
+        |inc AS (SELECT doc_id, h FROM d WHERE doc_id % 2 = 1)
+        |SELECT i.doc_id, i.h FROM inc i
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = i.h)
+        |ORDER BY i.doc_id""".stripMargin,
     "dedup_substring" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

@@ -162,4 +162,45 @@ class DedupSpec extends SparkSpecBase {
     // markers differ, so no sub-20 pair should be within hamming 3
     assert(!pairs.exists { case (a, b) => a < 20 && b < 20 })
   }
+
+  test("corpus-bloom dedup is exact, bloom-bounded, and join-free on " +
+    "the negative path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fpp = 0.03
+    val d = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", md5($"text".cast("binary")).as("h"))
+    val corpus = d.filter($"doc_id" % 2 === 0 || $"doc_id" % 7 === 0)
+      .select($"h")
+    val inc = d.filter($"doc_id" % 2 === 1).persist()
+    try {
+      val (novel, pos) =
+        DedupOps.bloomMembershipNovel(inc, corpus, fpp)
+      // exactness: bloom false positives must be weeded by the confirm
+      // anti-join — result identical to the direct (full-batch) anti-join
+      val direct = inc.join(corpus, Seq("h"), "left_anti")
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      val got = novel.select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(got == direct, "bloom path diverged from direct anti-join")
+      // the scale claim: only members + ~fpp·|inc| rows reach the
+      // confirm join (3× slack on the fpp term for a tiny filter)
+      val nInc = inc.count()
+      val members = inc.join(corpus, Seq("h"), "left_semi").count()
+      assert(pos.count() <= members + (3 * fpp * nInc).toLong + 4,
+        s"bloom candidates ${pos.count()} exceed members=$members + " +
+          s"fpp bound on |inc|=$nInc")
+      // the negative path (the bulk of the batch) must shuffle nothing:
+      // the union's FIRST child (the proven-novel branch) has no join
+      // beneath it — bloom-negatives go straight from scan to output
+      val union = novel.queryExecution.optimizedPlan.collectFirst {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }
+      assert(union.isDefined, "expected Union(neg, confirmed-fp) shape")
+      val negBranch = union.get.children.head
+      val joins = negBranch.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.isEmpty, "bloom-negative branch must be join-free")
+    } finally inc.unpersist()
+  }
 }
