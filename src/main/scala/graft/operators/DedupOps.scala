@@ -363,11 +363,17 @@ object DedupOps {
     * against the corpus, so the result is exact while the join input
     * shrinks from |batch| to |members| + fpp·|batch|. That is the whole
     * 100 TB story: the filter is MBs per hundred-million keys and rides
-    * a broadcast; the corpus is touched once to build it (at scale it is
-    * a maintained artifact like the IVF index, rebuilt per corpus
-    * snapshot, not per batch). The probe UDF is justified: Spark's own
-    * runtime bloom join filters use the internal
+    * a broadcast; the corpus hash projection is cached, so the parquet
+    * is SCANNED once and the three logical passes (sizing count, bloom
+    * aggregation, confirm anti-join) all read the cached columns (at
+    * scale the filter is a maintained artifact like the IVF index,
+    * rebuilt per corpus snapshot, not per batch). The probe UDF is
+    * justified: Spark's own runtime bloom join filters use the internal
     * `BloomFilterMightContain` expression, which has no public surface.
+    * The result is materialized eagerly (localCheckpoint) so the bloom
+    * broadcast and the corpus cache can be released before returning —
+    * repeated invocations (bench's 2 samples, spec runs) must not
+    * accumulate broadcast blocks until the ContextCleaner wakes up.
     *
     * Membership layout (both engines compute it from doc_id alone):
     * corpus = even doc_ids plus every 7th doc (the re-delivered ones);
@@ -378,18 +384,29 @@ object DedupOps {
     val d = Tables.documents(spark, dir)
       .select($"doc_id", md5($"text".cast("binary")).as("h"))
     val corpus = d.filter($"doc_id" % 2 === 0 || $"doc_id" % 7 === 0)
-      .select($"h")
-    val inc = d.filter($"doc_id" % 2 === 1)
-    bloomMembershipNovel(inc, corpus, fpp = 0.03)._1.orderBy($"doc_id")
+      .select($"h").persist()
+    val (novel, _, bfB) = bloomMembershipNovel(inc = d.filter($"doc_id" % 2 === 1),
+      corpus = corpus, fpp = 0.03)
+    // eager: novel's lineage (bloom UDF + anti-join against the cache)
+    // runs NOW; the returned frame reads only checkpoint blocks, so the
+    // broadcast and the cache are safe to drop synchronously
+    val out = novel.orderBy($"doc_id").localCheckpoint(true)
+    bfB.destroy()
+    corpus.unpersist()
+    out
   }
 
   /** The bloom-prefiltered membership split behind [[dedupCorpusBloom]]:
     * returns (novel = proven-negatives ∪ anti-join-confirmed false
-    * positives, bloom-positive candidates). Split out so DedupSpec can
-    * assert the scale claims — the candidate set is bounded by
+    * positives, bloom-positive candidates, the filter's broadcast
+    * handle — the CALLER owns its lifetime and must `destroy()` it once
+    * the frames are materialized). Split out so DedupSpec can assert
+    * the scale claims — the candidate set is bounded by
     * members + fpp·|inc|, and the negative path's plan holds no join. */
   private[graft] def bloomMembershipNovel(inc: DataFrame,
-      corpus: DataFrame, fpp: Double): (DataFrame, DataFrame) = {
+      corpus: DataFrame, fpp: Double): (DataFrame, DataFrame,
+        org.apache.spark.broadcast.Broadcast[
+          org.apache.spark.util.sketch.BloomFilter]) = {
     val spark = inc.sparkSession
     import spark.implicits._
     val bf = corpus.stat.bloomFilter("h",
@@ -401,7 +418,7 @@ object DedupOps {
     val novel = neg.unionByName(
       pos.join(corpus, Seq("h"), "left_anti")
         .select(inc.columns.map(org.apache.spark.sql.functions.col): _*))
-    (novel, pos)
+    (novel, pos, bfB)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

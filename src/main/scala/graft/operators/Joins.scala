@@ -303,24 +303,20 @@ object Joins {
     * skew profile drifts). The thresholds here only scale the detector
     * down to test-scale bytes; `forceOptimizeSkewedJoin` accepts the
     * extra post-join shuffle the groupBy then needs — the same trade the
-    * manual salt already makes. JoinSpec asserts `isSkewJoin=true` on
-    * the executed SortMergeJoin AND that the split join still equals the
-    * plain unsalted answer; the oracle is the same unsalted SQL. */
-  def joinSkewAqe(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // Materialize under the scaled-down conf (AQE reads conf at
-    // execution, not plan-build) by writing the result to scratch
-    // INSIDE the scope — executors write, nothing round-trips through
-    // the driver, so the pattern holds even when the materialized frame
-    // is fact-table-sized. The returned scan re-reads whatever the
-    // caller does with it from that parquet.
-    val out = graft.sources.IngestOps.tmp("join_skew_aqe_out")
-    withSkewAqeConf(spark) {
-      skewAqeJoined(spark, dir)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
-    }
-    spark.read.parquet(out).orderBy($"event_type")
-  }
+    * manual salt already makes. The frame is returned unexecuted: AQE
+    * reads conf at EXECUTION, so the scaled-down detector thresholds
+    * only engage for a caller that executes inside [[withSkewAqeConf]] —
+    * which is exactly what EngineSpec does when it asserts
+    * `isSkewJoin=true` and equality with the plain unsalted join. At
+    * production scale no scoping is needed at all (the DEFAULT 256 MB /
+    * 5×-median detector fires on real skew); at test-scale bytes an
+    * unscoped execution is simply a plain SMJ with the identical
+    * answer — hash-checked by the same unsalted oracle SQL. (Earlier
+    * rounds force-materialized to scratch parquet inside the scope;
+    * that paid a full write+read of the join result per invocation for
+    * a property the spec already proves.) */
+  def joinSkewAqe(spark: SparkSession, dir: String): DataFrame =
+    skewAqeJoined(spark, dir)
 
   /** The skewed join as an inspectable plan (JoinSpec executes it under
     * [[withSkewAqeConf]] and asserts the SMJ node reports

@@ -173,9 +173,11 @@ class DedupSpec extends SparkSpecBase {
     val corpus = d.filter($"doc_id" % 2 === 0 || $"doc_id" % 7 === 0)
       .select($"h")
     val inc = d.filter($"doc_id" % 2 === 1).persist()
+    var bfHandle: org.apache.spark.broadcast.Broadcast[_] = null
     try {
-      val (novel, pos) =
+      val (novel, pos, bfB) =
         DedupOps.bloomMembershipNovel(inc, corpus, fpp)
+      bfHandle = bfB
       // exactness: bloom false positives must be weeded by the confirm
       // anti-join — result identical to the direct (full-batch) anti-join
       val direct = inc.join(corpus, Seq("h"), "left_anti")
@@ -201,6 +203,9 @@ class DedupSpec extends SparkSpecBase {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
       }
       assert(joins.isEmpty, "bloom-negative branch must be join-free")
-    } finally inc.unpersist()
+    } finally {
+      inc.unpersist()
+      if (bfHandle != null) bfHandle.destroy()
+    }
   }
 }
