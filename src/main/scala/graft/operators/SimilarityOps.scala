@@ -410,6 +410,64 @@ object SimilarityOps {
       .orderBy($"va", $"vb")
   }
 
+  /** The fixed sign-LSH family shared by [[simAnnLsh]] and the parity
+    * report keys: one bit per axis-aligned hyperplane (dims 1,9,…,57),
+    * concatenated to an 8-bit bucket label. */
+  private def signBucket(emb: Column): Column =
+    concat(Seq(1, 9, 17, 25, 33, 41, 49, 57).map(i =>
+      when(element_at(emb, i) >= 0f, "1").otherwise("0")): _*)
+
+  /** `sim_lsh_parity` — the sign-LSH *honesty report* as a first-class
+    * oracle key (the cross-engine twin of SimilaritySpec's exact-vs-
+    * bucketed parity test): one row with the corpus size, the all-pairs
+    * denominator, and the bucket join's pair count + order-independent
+    * cosine checksum. The Spark side produces the counts from the
+    * BUCKETED equi-join (the scale formulation); the DuckDB oracle
+    * recomputes them from the exact all-pairs join filtered to equal
+    * buckets — so a hash match proves the bucket join visits exactly
+    * the colliding pairs (none dropped, none phantom) with identical
+    * cosines, not merely that two copies of the same plan agree.
+    * Checksum goes through DECIMAL(18,6) so summation order can't
+    * drift the hash (§7.3 discipline). */
+  def simLshParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).filter($"vec_id" < 400)
+      .select($"vec_id", $"embedding", signBucket($"embedding").as("bucket"))
+    val n = e.agg(count(lit(1)).as("n_vectors"))
+      .withColumn("n_all_pairs",
+        ($"n_vectors" * ($"n_vectors" - 1) / 2).cast("long"))
+    val pairs = e.as("a").join(e.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .agg(count(lit(1)).as("n_bucket_pairs"),
+        sum(round(cosine($"a.embedding", $"b.embedding"), 6)
+          .cast("decimal(18,6)")).cast("double").as("cos_sum"))
+    n.crossJoin(pairs)
+  }
+
+  /** `dedup_lsh_parity` — the LSH-dedup recall report as a first-class
+    * oracle key (cross-engine twin of SimilaritySpec's dedup parity
+    * test): on [[dedupEmbedding]]'s corpus and threshold, one row with
+    * the exact near-dup pair count, the single-band bucketed path's
+    * pair count, and its recall of the full set. Production stacks
+    * bands to drive recall → 1; this key makes the single-band number
+    * a driver-checked artifact instead of a scalatest `info` line. */
+  def dedupLshParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).filter($"vec_id" < 600)
+      .select($"vec_id", $"embedding", signBucket($"embedding").as("bucket"))
+    val exact = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .filter(cosine($"a.embedding", $"b.embedding") >= 0.35)
+      .agg(count(lit(1)).as("n_exact_pairs"))
+    val lsh = e.as("a").join(e.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .filter(cosine($"a.embedding", $"b.embedding") >= 0.35)
+      .agg(count(lit(1)).as("n_lsh_pairs"))
+    exact.crossJoin(lsh)
+      .select($"n_exact_pairs", $"n_lsh_pairs",
+        when($"n_exact_pairs" === 0, lit(1.0)).otherwise(
+          round($"n_lsh_pairs" / $"n_exact_pairs", 4)).as("recall"))
+  }
+
   /** `sim_ivf_knn` — IVF-style ANN: a fixed centroid set (deterministic:
     * the first 8 vectors) partitions the space; every vector is assigned to
     * its nearest centroid (inverted lists = bucket column); a query probes
@@ -518,6 +576,8 @@ object SimilarityOps {
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_knn_query" -> (simKnnQuery _),
     "sim_ann_lsh" -> (simAnnLsh _),
+    "sim_lsh_parity" -> (simLshParity _),
+    "dedup_lsh_parity" -> (dedupLshParity _),
     "dedup_embedding" -> (dedupEmbedding _))
 
   /** DuckDB twin of `cosine(...)`: same formula, same float64 order. */
@@ -525,6 +585,11 @@ object SimilarityOps {
     s"list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
       s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
       s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
+
+  /** DuckDB twin of [[signBucket]]. */
+  private val BUCKET_SQL = Seq(1, 9, 17, 25, 33, 41, 49, 57)
+    .map(i => s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
+    .mkString("concat(", ", ", ")")
 
   /** IVF-PQ oracle CTEs: extend [[PipelineOps.PQ_CTES]] (e/book/qv/vd/
     * codes/adc, query = vec 5) with the coarse layer — full-vector
@@ -804,5 +869,43 @@ object SimilarityOps {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE a.vec_id < 600 AND b.vec_id < 600
          |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.35
-         |ORDER BY va, vb""".stripMargin)
+         |ORDER BY va, vb""".stripMargin,
+    // the oracle deliberately takes the EXACT all-pairs formulation and
+    // filters to equal buckets — hash-matching the engine's bucket
+    // equi-join proves the two formulations find the same pairs
+    "sim_lsh_parity" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $BUCKET_SQL AS bucket
+         |  FROM embeddings WHERE vec_id < 400),
+         |n AS (
+         |  SELECT count(*) AS n_vectors,
+         |    count(*) * (count(*) - 1) // 2 AS n_all_pairs FROM e),
+         |p AS (
+         |  SELECT count(*) AS n_bucket_pairs,
+         |    CAST(sum(CAST(round(cos, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |      AS cos_sum
+         |  FROM (
+         |    SELECT ${cosSql("a.embedding", "b.embedding")} AS cos
+         |    FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |    WHERE a.bucket = b.bucket))
+         |SELECT n.n_vectors, n.n_all_pairs, p.n_bucket_pairs, p.cos_sum
+         |FROM n, p""".stripMargin,
+    "dedup_lsh_parity" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $BUCKET_SQL AS bucket
+         |  FROM embeddings WHERE vec_id < 600),
+         |x AS (
+         |  SELECT count(*) AS n_exact_pairs
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35),
+         |l AS (
+         |  SELECT count(*) AS n_lsh_pairs
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE a.bucket = b.bucket
+         |    AND ${cosSql("a.embedding", "b.embedding")} >= 0.35)
+         |SELECT x.n_exact_pairs, l.n_lsh_pairs,
+         |  CASE WHEN x.n_exact_pairs = 0 THEN 1.0
+         |       ELSE round(l.n_lsh_pairs / x.n_exact_pairs, 4)
+         |  END AS recall
+         |FROM x, l""".stripMargin)
 }

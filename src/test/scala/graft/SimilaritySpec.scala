@@ -53,6 +53,14 @@ class SimilaritySpec extends SparkSpecBase {
     // a relabeled cross join
     assert(bucketed.nonEmpty && bucketed.size < exact.length,
       s"bucket join visited ${bucketed.size} of ${exact.length} pairs")
+    // the oracle-key report (sim_lsh_parity) must agree with this
+    // set-based computation — it is the same claim, driver-checked
+    val report = SimilarityOps.simLshParity(spark, sf).collect().head
+    assert(report.getLong(2) == bucketed.size.toLong,
+      s"sim_lsh_parity n_bucket_pairs=${report.getLong(2)} vs spec " +
+        s"${bucketed.size}")
+    assert(report.getLong(1) ==
+      report.getLong(0) * (report.getLong(0) - 1) / 2)
   }
 
   test("LSH-dedup parity vs dedup_embedding: on the overlap corpus the " +
@@ -97,6 +105,13 @@ class SimilaritySpec extends SparkSpecBase {
       s"(${lshPairs.size}/${exactPairs.size})")
     assert(exactPairs.isEmpty || lshPairs.nonEmpty,
       "LSH band recovered none of the exact near-dup pairs")
+    // the oracle-key report (dedup_lsh_parity) must agree with this
+    // set-based computation — same counts, driver-checked
+    val report = SimilarityOps.dedupLshParity(spark, sf).collect().head
+    assert(report.getLong(0) == exactPairs.size.toLong &&
+      report.getLong(1) == lshPairs.size.toLong,
+      s"dedup_lsh_parity (${report.getLong(0)},${report.getLong(1)}) vs " +
+        s"spec (${exactPairs.size},${lshPairs.size})")
   }
 
   test("sim_knn_query equals brute force exactly") {
