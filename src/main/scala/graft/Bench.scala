@@ -54,7 +54,8 @@ object Bench {
     // time — in r10 the rebuilds landed inside the timed loop and
     // inflated the headline 1.66× on unchanged code.
     val setup0 = System.nanoTime()
-    val prewarmFailures = Fixtures.prewarm(spark, sfDir)
+    val prewarm = Fixtures.prewarm(spark, sfDir)
+    val prewarmFailures = prewarm.failures
     val setupSec = (System.nanoTime() - setup0) / 1e9
     // repo root is overridable (SPARK_GRAFT_REPO) so the bench binary
     // isn't tied to one machine layout; default matches the driver's
@@ -143,18 +144,54 @@ object Bench {
     // rebuild-in-loop (the r10 artifact) is not. No minimum-baseline
     // floor — the fastest layout-backed queries (bucket_point_lookup
     // 0.07 s) are exactly the ones a forgotten prewarm inflates most.
-    def flagged(m: collection.Map[String, Double]): Map[String, Double] =
+    def flagged(m: collection.Map[String, Double],
+        gateScale: Double = 1.0): Map[String, Double] =
       baselines.collect { case (name, base)
-        if m.get(name).exists(now => now > base * 2.0 && now - base > 0.5) =>
+        if m.get(name).exists(now =>
+          now > base * 2.0 * gateScale && now - base > 0.5) =>
         name -> base }
     val firstPassFlags = flagged(timed).keys.toSeq.sorted
-    firstPassFlags.foreach { name =>
-      try timed(name) = math.min(timed(name), sample(name))
-      catch { case _: Throwable => () }
+    // re-pass gating: re-timing a flagged key while the machine is
+    // STILL contended just reproduces the inflated number (r13: the
+    // re-pass ran mid-storm — canaries 3.1-3.4× — and 6 false flags
+    // survived it; a solo probe later cleared all 6). So first wait,
+    // bounded, for a canary to read calm (<1.5× baseline); if the storm
+    // outlasts the wait budget, scale the final gate by the canary
+    // ratio observed AT re-pass time, so environment inflation that
+    // affects canaries and flagged keys alike can't read as a code
+    // regression. The wait budget (~45 s max) is small against the
+    // suite wall and is spent only when keys were flagged at all.
+    def repassCanaryRatio(): Double = {
+      val rs = canaryKeys.flatMap { k =>
+        baselines.get(k).filter(_ > 0).flatMap { base =>
+          try Some(sample(k) / base) catch { case _: Throwable => None }
+        }
+      }.sorted
+      if (rs.isEmpty) Double.NaN
+      else if (rs.size % 2 == 1) rs(rs.size / 2)
+      else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2
     }
+    var repassRatio = Double.NaN
+    var repassWaitSec = 0.0
+    if (firstPassFlags.nonEmpty) {
+      repassRatio = repassCanaryRatio()
+      val waitLimit = 45.0
+      while (!repassRatio.isNaN && repassRatio >= 1.5 &&
+          repassWaitSec < waitLimit) {
+        Thread.sleep(5000)
+        repassWaitSec += 5.0
+        repassRatio = repassCanaryRatio()
+      }
+      firstPassFlags.foreach { name =>
+        try timed(name) = math.min(timed(name), sample(name))
+        catch { case _: Throwable => () }
+      }
+    }
+    val repassGateScale =
+      if (repassRatio.isNaN) 1.0 else math.max(1.0, repassRatio)
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val regressions: Map[String, (Double, Double)] =
-      flagged(timed).map { case (name, base) =>
+      flagged(timed, repassGateScale).map { case (name, base) =>
         name -> (base, timed(name)) }
     val qs = timed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -181,9 +218,12 @@ object Bench {
       .mkString("[", ",", "]")
     val flaggedJson = firstPassFlags.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    val setupDetailJson = prewarm.buildSec
+      .map { case (n, s) => f""""$n":$s%.3f""" }.mkString("{", ",", "}")
+    val repassJson = if (repassRatio.isNaN) "null" else f"$repassRatio%.3f"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$repoRoot/BENCH_SUMMARY.json"),
-      s"""{"total":$total,"n_queries":${results.size},"cpus":"$cpus","setup_sec":$setupSec,"wall_sec":$wallSec,"samples_per_query":2,"contention_index":$ciJson,"canary_ratios":${canaryRatios.map(r => f"$r%.3f").mkString("[", ",", "]")},"flagged_first_pass":$flaggedJson,"prewarm_failures":$prewarmJson,"errors":$errJson,"regressions":$regJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"total":$total,"n_queries":${results.size},"cpus":"$cpus","setup_sec":$setupSec,"setup_detail":$setupDetailJson,"wall_sec":$wallSec,"samples_per_query":2,"contention_index":$ciJson,"canary_ratios":${canaryRatios.map(r => f"$r%.3f").mkString("[", ",", "]")},"flagged_first_pass":$flaggedJson,"repass_canary_ratio":$repassJson,"repass_gate_scale":$repassGateScale,"repass_wait_sec":$repassWaitSec,"prewarm_failures":$prewarmJson,"errors":$errJson,"regressions":$regJson,"queries":$qs,"sf":"$sfDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

@@ -73,21 +73,35 @@ object Fixtures {
       "bucketed_lookup_table" ->
         (() => operators.Joins.bucketLookupTable(spark, dir)))
 
+  /** Per-layout prewarm outcome: failed builder names plus each
+    * builder's wall seconds. The timings make a COLD tree's true setup
+    * cost visible per layout (Bench records them as `setup_detail`) —
+    * on a warm tree every entry is the ~ms fingerprint-cache probe, so
+    * a layout whose entry suddenly reads in seconds on an unchanged
+    * corpus is a cache-keying regression, not noise. */
+  final case class PrewarmResult(failures: Seq[String],
+      buildSec: Seq[(String, Double)])
+
   /** Build every shared layout (no-op when already complete). A failed
     * builder is reported and skipped: its queries will rebuild lazily
-    * and the failure surfaces there with full context. Returns the
-    * FAILED builder names so the caller can make the condition
+    * and the failure surfaces there with full context. FAILED builder
+    * names are returned so the caller can make the condition
     * machine-visible (Bench records them as `prewarm_failures` in
     * BENCH_SUMMARY.json — a silent skip would shift the rebuild into
     * the timed loop, the exact artifact prewarm exists to prevent). */
-  def prewarm(spark: SparkSession, dir: String): Seq[String] =
-    builders(spark, dir).flatMap { case (name, build) =>
-      try { build(); None }
+  def prewarm(spark: SparkSession, dir: String): PrewarmResult = {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val times = builders(spark, dir).map { case (name, build) =>
+      val t0 = System.nanoTime()
+      try build()
       catch {
         case e: Throwable =>
           System.err.println(s"[prewarm] $name failed: " +
             Option(e.getMessage).getOrElse(e.getClass.getName))
-          Some(name)
+          failures += name
       }
+      name -> (System.nanoTime() - t0) / 1e9
     }
+    PrewarmResult(failures.toSeq, times)
+  }
 }
