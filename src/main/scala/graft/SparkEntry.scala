@@ -24,7 +24,7 @@ object SparkEntry {
       TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++
       MultimodalOps.queries ++ GenOps.queries ++
-      PipelineOps.queries ++
+      PipelineOps.queries ++ RobustOps.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,6 +37,6 @@ object SparkEntry {
       TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++
       MultimodalOps.oracles ++ GenOps.oracles ++
-      PipelineOps.oracles ++
+      PipelineOps.oracles ++ RobustOps.oracles ++
       graft.streaming.StreamingOps.oracles
 }

@@ -17,7 +17,12 @@ import org.apache.spark.sql.types._
   * accumulation is float64 in ascending index order — identical to
   * `list_dot_product(a::DOUBLE[], b::DOUBLE[]) / (sqrt(...) * sqrt(...))`
   * with IEEE-correctly-rounded sqrt. Null vectors propagate null; null
-  * *elements* are not expected (embeddings are dense).
+  * *elements* are not expected (embeddings are dense). A NON-FINITE
+  * result (zero-norm input → 0/0, NaN/Inf elements) yields NULL, never
+  * NaN: NaN sorts ABOVE every real cosine in a descending top-k, so one
+  * hostile zero vector would otherwise crown every ranking it touches,
+  * while NULLS LAST (Spark's desc default) keeps it out. Real corpus
+  * vectors are unit-norm, so the oracle twin never sees the branch.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,6 +45,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"cosine_similarity expects array<float> or array<double> " +
         s"arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
   override def dataType: DataType = DoubleType
+  // non-finite results null out even when both inputs are non-null, so
+  // nullability must not be derived from the children
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -59,7 +67,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val r = dot / (math.sqrt(na) * math.sqrt(nb))
+    if (java.lang.Double.isFinite(r)) r else null
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -76,6 +85,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
                else s"(double) $a.getFloat($i)"
       val by = if (elemIsDouble(right)) s"$b.getDouble($i)"
                else s"(double) $b.getFloat($i)"
+      val r = ctx.freshName("r")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
@@ -86,8 +96,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  $na += $xi * $xi;
          |  $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) *
+         |double $r = $dot / (java.lang.Math.sqrt($na) *
          |  java.lang.Math.sqrt($nb));
+         |if (java.lang.Double.isFinite($r)) {
+         |  ${ev.value} = $r;
+         |} else {
+         |  ${ev.isNull} = true;
+         |}
        """.stripMargin
     })
 

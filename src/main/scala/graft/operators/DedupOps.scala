@@ -158,9 +158,13 @@ object DedupOps {
     import spark.implicits._
     // per-doc distinct shingle set, carried as an array column. Eager
     // lineage cut: the set feeds the signature build AND both confirm
-    // joins below. Empty sets carry no similarity evidence and are
-    // dropped (the old explode spelling dropped them implicitly).
-    val sets = docs.select($"doc_id", shingles3($"text").as("ss"))
+    // joins below. NULL text and empty sets carry no similarity
+    // evidence and are dropped — without the null filter a null doc's
+    // shingle set is [NULL], its lanes all NULL, and concat_ws (which
+    // SKIPS nulls) would give every null doc the same bucket, pairing
+    // all hostile rows with each other.
+    val sets = docs.filter($"text".isNotNull)
+      .select($"doc_id", shingles3($"text").as("ss"))
       .filter(size($"ss") > 0)
       .localCheckpoint()
     // the k-lane signature. Fast path: one fused codegen'd Expression
@@ -441,8 +445,11 @@ object DedupOps {
   /** Full DuckDB replay of [[dedupMinhashLsh]]: same shingles, 16
     * portable-hash signature lanes, 4 band buckets, candidate join and
     * exact-Jaccard confirm — generated, not hand-kept, so the lane and
-    * band constants can never drift from the Spark side. */
-  private def minhashOracle: String = {
+    * band constants can never drift from the Spark side. `source` is any
+    * (doc_id, text) relation — the default is the key's corpus; the
+    * robustness key replays the same pipeline over the malformed CTE. */
+  private[operators] def minhashOracle(source: String =
+      "SELECT doc_id, text FROM documents WHERE doc_id < 200"): String = {
     val n = 16; val bs = 4
     val lanes = (0 until n).map(j =>
       s"list_min(list_transform(ss, s -> ${PH(s"'$j:' || s")}))")
@@ -455,7 +462,8 @@ object DedupOps {
     }.mkString("\n  UNION ALL ")
     s"""WITH nsets AS (
        |  SELECT doc_id, ss FROM (
-       |    SELECT doc_id, $SH AS ss FROM documents WHERE doc_id < 200)
+       |    SELECT doc_id, $SH AS ss FROM ($source)
+       |    WHERE text IS NOT NULL)
        |  WHERE len(ss) > 0),
        |sig AS (SELECT doc_id, [$lanes] AS sig FROM nsets),
        |buckets AS ($bands),
@@ -587,6 +595,6 @@ object DedupOps {
          |JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
          |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5
          |ORDER BY da, db""".stripMargin,
-    "dedup_minhash_lsh" -> minhashOracle,
+    "dedup_minhash_lsh" -> minhashOracle(),
     "dedup_simhash" -> simhashOracle)
 }

@@ -91,8 +91,13 @@ object MultimodalOps {
   }
 
   /** Real byte-level parse of a payload: length, leading header bytes,
-    * byte checksum, digest of the 16-byte head. Deterministic. */
-  private def decodePayload(id: Long, bytes: Array[Byte]): Row = {
+    * byte checksum, digest of the 16-byte head. Deterministic. A MISSING
+    * payload (null binary — hostile row, failed fetch) decodes as the
+    * empty payload instead of NPEing the task: length 0, zero headers,
+    * empty-input digest — a defined, hashable answer. */
+  private def decodePayload(id: Long, bytesOrNull: Array[Byte]): Row = {
+    val bytes =
+      if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
     val n = bytes.length
     val headerA = if (n > 0) bytes(0) & 0xff else 0
     val headerB = if (n > 1) bytes(1) & 0xff else 0

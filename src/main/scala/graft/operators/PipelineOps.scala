@@ -448,7 +448,7 @@ object PipelineOps {
         acc + x.cast("double") * x.cast("double"))
     val norm = sqrt(dot($"embedding"))
     val unit = transform($"embedding", x => x.cast("double") / norm)
-    Tables.embeddings(spark, dir)
+    Tables.embeddingsValid(spark, dir)
       .select($"vec_id", round(norm, 6).as("l2_norm"),
         round(sqrt(aggregate(unit, lit(0.0), (acc, x) => acc + x * x)), 6)
           .as("unit_norm"))
@@ -466,7 +466,7 @@ object PipelineOps {
   def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val v = transform($"embedding", x => x.cast("double"))
-    Tables.embeddings(spark, dir)
+    Tables.embeddingsValid(spark, dir)
       .select($"vec_id", v.as("v"),
         (lit(127.0) / array_max(transform(v, x => abs(x)))).as("scale"))
       .withColumn("q",
@@ -514,7 +514,7 @@ object PipelineOps {
     val k = 8
     // cached: every Lloyd iteration re-reads vecs — without this the
     // source scan + transform cost multiplies by the iteration count
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
       .cache()
@@ -727,7 +727,7 @@ object PipelineOps {
     * residual book matches the oracle's bit-for-bit. */
   private[graft] def pqrModel(spark: SparkSession, dir: String): PqrModel = {
     import spark.implicits._
-    val rows = Tables.embeddings(spark, dir)
+    val rows = Tables.embeddingsValid(spark, dir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
       .filter($"vec_id" < 16 || $"vec_id" === 5)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
@@ -761,7 +761,7 @@ object PipelineOps {
     * metadata cardinality, like Iceberg's manifest planning. */
   private[graft] def pqModel(spark: SparkSession, dir: String): PqModel = {
     import spark.implicits._
-    val seed = Tables.embeddings(spark, dir)
+    val seed = Tables.embeddingsValid(spark, dir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
       .filter($"vec_id" < 8 || $"vec_id" === 5)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
@@ -778,7 +778,7 @@ object PipelineOps {
       dir: String): DataFrame = {
     import spark.implicits._
     val pq = pqModel(spark, dir)
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
     val contrib = (0 until pq.m).map { s =>
@@ -801,7 +801,7 @@ object PipelineOps {
   def simPqRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = 8
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
     val q = vecs.filter($"vec_id" === 5).head.getSeq[Double](1)

@@ -37,7 +37,7 @@ object SimilarityOps {
       graft.sources.IngestOps.sourceFingerprint(spark, dir))
     graft.sources.IngestOps.buildShared(spark, out, root =>
       graft.sources.IngestOps.fsExists(spark, s"$root/_DONE")) { tmpRoot =>
-      val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+      val e = Tables.embeddingsValid(spark, dir).select($"vec_id", $"embedding")
       val centroids = e.filter($"vec_id" < 8)
         .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
       val wAssign = Window.partitionBy($"vec_id")
@@ -69,7 +69,7 @@ object SimilarityOps {
   def simIvfIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = ivfIndexLayout(spark, dir)
-    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val e = Tables.embeddingsValid(spark, dir).select($"vec_id", $"embedding")
     val centroids = e.filter($"vec_id" < 8)
       .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
     // probe selection: rank centroids against the query — 8 rows of
@@ -114,7 +114,7 @@ object SimilarityOps {
     graft.sources.IngestOps.buildShared(spark, out, root =>
       graft.sources.IngestOps.fsExists(spark, s"$root/_DONE")) { tmpRoot =>
       val pq = PipelineOps.pqModel(spark, dir)
-      Tables.embeddings(spark, dir)
+      Tables.embeddingsValid(spark, dir)
         .select($"vec_id",
           transform($"embedding", x => x.cast("double")).as("v"))
         .select($"vec_id", pq.codesCol($"v").as("codes"),
@@ -170,7 +170,7 @@ object SimilarityOps {
       graft.sources.IngestOps.fsExists(spark, s"$root/_DONE")) { tmpRoot =>
       val pq = PipelineOps.pqModel(spark, dir)   // coarse assignment
       val pqr = PipelineOps.pqrModel(spark, dir) // residual encoding
-      Tables.embeddings(spark, dir)
+      Tables.embeddingsValid(spark, dir)
         .select($"vec_id",
           transform($"embedding", x => x.cast("double")).as("v"))
         .withColumn("bucket", pq.bucketCol($"v"))
@@ -222,7 +222,7 @@ object SimilarityOps {
     import spark.implicits._
     val k = 10
     val pq = PipelineOps.pqModel(spark, dir)
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
     val exactD2 = aggregate(
@@ -273,7 +273,7 @@ object SimilarityOps {
     val exactD2 = aggregate(
       zip_with($"v", array(pq.q.map(lit): _*), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
-    Tables.embeddings(spark, dir)
+    Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
       .join(broadcast(shortlist), Seq("vec_id"), "left_semi")
@@ -310,7 +310,7 @@ object SimilarityOps {
     val exactD2 = aggregate(
       zip_with($"v", array(pq.q.map(lit): _*), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
-    Tables.embeddings(spark, dir)
+    Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
       .join(broadcast(shortlist), Seq("vec_id"), "left_semi")
@@ -328,7 +328,7 @@ object SimilarityOps {
     import spark.implicits._
     val k = 10
     val pq = PipelineOps.pqModel(spark, dir)
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
     // exact squared-L2 ground truth, same fold order as the oracle
@@ -352,7 +352,7 @@ object SimilarityOps {
     * pair parity between the two on their overlap). */
   def simCosineTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir).filter($"vec_id" < 400)
+    val e = Tables.embeddingsValid(spark, dir).filter($"vec_id" < 400)
       .select($"vec_id", $"embedding")
     e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
@@ -365,7 +365,7 @@ object SimilarityOps {
     * the whole table (broadcast the query row; single scan, top-k merge). */
   def simKnnQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsValid(spark, dir)
     val q = e.filter($"vec_id" === 0)
       .select($"embedding".as("q_emb"))
     e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
@@ -384,7 +384,7 @@ object SimilarityOps {
     val dims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
     val bucket = concat(dims.map(i =>
       when(element_at($"embedding", i) >= 0f, "1").otherwise("0")): _*)
-    val e = Tables.embeddings(spark, dir).filter($"vec_id" < 2000)
+    val e = Tables.embeddingsValid(spark, dir).filter($"vec_id" < 2000)
       .select($"vec_id", $"embedding", bucket.as("bucket"))
     e.as("a").join(e.as("b"),
         $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
@@ -400,7 +400,7 @@ object SimilarityOps {
     * the scale formulation). */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir).filter($"vec_id" < 600)
+    val e = Tables.embeddingsValid(spark, dir).filter($"vec_id" < 600)
       .select($"vec_id", $"embedding")
     e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
@@ -431,7 +431,7 @@ object SimilarityOps {
     * drift the hash (§7.3 discipline). */
   def simLshParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir).filter($"vec_id" < 400)
+    val e = Tables.embeddingsValid(spark, dir).filter($"vec_id" < 400)
       .select($"vec_id", $"embedding", signBucket($"embedding").as("bucket"))
     val n = e.agg(count(lit(1)).as("n_vectors"))
       .withColumn("n_all_pairs",
@@ -453,7 +453,7 @@ object SimilarityOps {
     * a driver-checked artifact instead of a scalatest `info` line. */
   def dedupLshParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir).filter($"vec_id" < 600)
+    val e = Tables.embeddingsValid(spark, dir).filter($"vec_id" < 600)
       .select($"vec_id", $"embedding", signBucket($"embedding").as("bucket"))
     val exact = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
       .filter(cosine($"a.embedding", $"b.embedding") >= 0.35)
@@ -476,7 +476,7 @@ object SimilarityOps {
     * touches ~2/8 of the data instead of all of it. */
   def simIvfKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val e = Tables.embeddingsValid(spark, dir).select($"vec_id", $"embedding")
     val centroids = e.filter($"vec_id" < 8)
       .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
     val wAssign = Window.partitionBy($"vec_id")
@@ -519,7 +519,7 @@ object SimilarityOps {
   def ivfRecallAtK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
       nCentroids: Int, probes: Int): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val e = Tables.embeddingsValid(spark, dir).select($"vec_id", $"embedding")
     val centroids = e.filter($"vec_id" < nCentroids)
       .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
     val wAssign = Window.partitionBy($"vec_id")

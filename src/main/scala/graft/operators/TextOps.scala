@@ -13,7 +13,7 @@ import graft.sources.Tables
 object TextOps {
 
   /** Whitespace tokens, empties dropped. */
-  private def tokens(c: org.apache.spark.sql.Column) =
+  private[operators] def tokens(c: org.apache.spark.sql.Column) =
     filter(split(c, " "), t => t =!= "")
 
   /** `text_stats` — per-doc char/token counts + mean token length. */
@@ -24,9 +24,14 @@ object TextOps {
       .select($"doc_id", $"lang", $"n_chars",
         length($"text").cast("long").as("n_chars_measured"),
         size(tokens($"text")).cast("long").as("n_tokens"),
-        (aggregate(transform(tokens($"text"), t => length(t).cast("long")),
-          lit(0L), (acc, x) => acc + x).cast("double") /
-          size(tokens($"text"))).as("mean_token_len"))
+        // token-free docs (empty/whitespace-only — hostile corpus) have
+        // no mean length: NULL, not an ANSI divide-by-zero crash
+        when(size(tokens($"text")) === 0, lit(null))
+          .otherwise(
+            aggregate(transform(tokens($"text"),
+              t => length(t).cast("long")),
+              lit(0L), (acc, x) => acc + x).cast("double") /
+              size(tokens($"text"))).as("mean_token_len"))
       .orderBy($"doc_id")
   }
 
@@ -57,14 +62,20 @@ object TextOps {
     val nStop = size(filter(toks,
       t => t === "the" || t === "a" || t === "and" || t === "of"))
       .cast("long")
+    // zero-char / zero-token docs (hostile corpus) have undefined
+    // ratios: NULL, not an ANSI divide-by-zero crash; quality_ok stays
+    // a defined FALSE for them (false && null = false)
+    val punctRatio = when(nChars === 0, lit(null))
+      .otherwise((nChars - nAlnum).cast("double") / nChars)
+    val stopRatio = when(nToks === 0, lit(null))
+      .otherwise(nStop.cast("double") / nToks)
     Tables.documents(spark, dir)
       .select($"doc_id", $"lang", nChars.as("n_chars_m"),
         (nChars - nAlnum).as("n_punct"),
-        ((nChars - nAlnum).cast("double") / nChars).as("punct_ratio"),
+        punctRatio.as("punct_ratio"),
         nToks.as("n_tokens"),
-        (nStop.cast("double") / nToks).as("stopword_ratio"),
-        (nToks.between(5, 1000) &&
-          ((nChars - nAlnum).cast("double") / nChars) < lit(0.2))
+        stopRatio.as("stopword_ratio"),
+        (nToks.between(5, 1000) && punctRatio < lit(0.2))
           .as("quality_ok"))
       .orderBy($"doc_id")
   }

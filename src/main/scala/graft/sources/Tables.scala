@@ -87,4 +87,32 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** The `embeddings` scan with the ingest-validity guard every vector
+    * consumer wants: exactly [[EMBEDDING_DIMS]] dims, all elements
+    * finite, not the zero vector (and, via null comparison semantics,
+    * not NULL). Hostile rows — truncated arrays (ANSI `element_at`
+    * would THROW on them), NaN/Inf elements (would poison every
+    * accumulation), zero vectors (cosine 0/0) — never reach a plan.
+    * The predicates are all codegen'd scalar expressions (Size,
+    * ArrayMin/ArrayMax, comparisons — deliberately NOT higher-order
+    * functions, which are CodegenFallback and would break every
+    * consumer's whole-stage span), so at 100 TB the guard rides the
+    * scan for free. On the driver corpus every row passes (all vectors
+    * unit-norm float32[64]), so guarded plans hash identically to raw
+    * ones — RobustnessSpec drives the hostile cases. */
+  def embeddingsValid(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = col("embedding")
+    embeddings(s, d).filter(
+      size(e) === EMBEDDING_DIMS &&
+        // NaN fails every comparison; ±Inf fails one of the two bounds
+        array_max(e) < Float.PositiveInfinity &&
+        array_min(e) > Float.NegativeInfinity &&
+        (array_min(e) < 0f || array_max(e) > 0f))
+  }
+
+  /** Corpus embedding dimensionality (TESTDATA.md; asserted by
+    * TablesSpec's drift canary). */
+  val EMBEDDING_DIMS = 64
 }
