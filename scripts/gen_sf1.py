@@ -48,11 +48,20 @@ def main():
             f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
         sel = ", ".join(
             f"{c} + i * {offs[c]} AS {c}" if c in offs else c for c in cols)
+        # row-group granularity matters: a single 10x row group defeats
+        # min/max pushdown on the bounded-anchor filters (vec_id < 400
+        # etc.), which no real multi-file 100 TB table would — size
+        # groups so each replica spans >= 2 groups, like the original
+        # one-file-per-sf layout the anchors were designed against
+        src_rows = con.execute(
+            f"SELECT count(*) FROM '{SRC}/{t}.parquet'").fetchone()[0]
+        rg = max(2048, min(122880, src_rows // 2))
         con.execute(f"""
             COPY (SELECT {sel}
                   FROM '{SRC}/{t}.parquet', range({N}) r(i)
                   ORDER BY i)
-            TO '{OUT}/{t}.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)""")
+            TO '{OUT}/{t}.parquet'
+            (FORMAT PARQUET, COMPRESSION ZSTD, ROW_GROUP_SIZE {rg})""")
         n = con.execute(
             f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
         print(f"wrote {t}: {n} rows")

@@ -1,0 +1,222 @@
+#!/usr/bin/env python3
+"""Scale-stress report (round-14 verdict ask #2): join the sf0.1 and
+sf1 bench summaries, compute each key's observed scaling exponent
+(log10 of the time ratio across the 10x corpus), compare against the
+key's DECLARED plan shape, and emit SCALING.md. A key whose observed
+exponent exceeds its declared ceiling (with absolute-time noise floors)
+is flagged for a fix or a documented reason.
+
+Usage: python3 scripts/scaling_report.py target/bench_sf01.json \
+         target/bench_sf1.json SCALING.md
+"""
+import json
+import math
+import sys
+
+SF01, SF1, OUT = sys.argv[1], sys.argv[2], sys.argv[3]
+
+# Declared shape -> max expected exponent over a 10x corpus.
+# metadata: plans over commit logs / stats sidecars / schemas only.
+# bounded: explicit subset bound (doc_id<200 etc.) - replica 0 of the
+#   scaled corpus is byte-identical, so the subset does not grow; only
+#   the (pruned/pushed-down) scan of a bigger file adds cost.
+# fixed_probe: reads a fixed number of partitions/buckets of a layout
+#   whose partition count is fixed (files grow 10x -> probe grows, but
+#   per-probe work is a directory subset; allow sublinear).
+# linear: one pass over the corpus (scan/agg/window/join); allow a
+#   little super-linearity for shuffle fan-in and sort log-factors.
+# pairs_bounded: candidate-join ops whose pair count is bounded by
+#   bucket collisions; collisions grow ~linearly on this corpus
+#   (replicas are identical -> every cross-replica copy collides), so
+#   allow the same ceiling as linear plus slack for the confirm join.
+SHAPE_MAX = {
+    "metadata": 0.45,
+    "bounded": 0.45,
+    "fixed_probe": 0.85,
+    "linear": 1.25,
+    "pairs_bounded": 1.45,
+}
+
+# family defaults by prefix (first match wins), then per-key overrides
+FAMILY = [
+    ("meta_", "metadata"),
+    ("schema_", "metadata"),
+    ("fn_", "bounded"),        # literal/derived scalar demos
+    ("gen_", "bounded"),       # generators: fixed row counts
+    ("alter_", "bounded"),     # era fixtures are bounded event subsets
+    ("stream_", "linear"),
+    ("win_", "linear"),
+    ("agg_", "linear"),
+    ("join_", "linear"),
+    ("setop_", "linear"),
+    ("text_", "linear"),
+    ("sim_", "fixed_probe"),
+    ("embed_", "linear"),
+    ("dedup_", "pairs_bounded"),
+    ("sample_", "linear"),
+    ("limit_", "bounded"),
+    ("topk_", "linear"),
+    ("sort_", "linear"),
+    ("scan_", "linear"),
+    ("write_", "linear"),
+    ("robust_", "bounded"),
+    ("multimodal_", "linear"),
+]
+
+OVERRIDES = {
+    # metadata-priced keys outside the meta_ prefix
+    "snapshot_log": "metadata", "ddl_generate": "metadata",
+    "validate_schema": "metadata", "table_props": "metadata",
+    "scan_schema_only": "metadata",
+    "datafile_stats": "linear",  # the partitioned WRITE is the op
+    "manifest_stats": "metadata", "manifest_rewrite": "metadata",
+    # explicit subset bounds in the op body
+    "dedup_minhash_lsh": "bounded",      # doc_id < 200
+    "dedup_ngram_jaccard": "bounded",    # doc_id < 40
+    "dedup_simhash": "bounded",          # doc_id < 500
+    "dedup_embedding": "bounded",        # vec_id < 600
+    "dedup_lsh_parity": "bounded",       # vec_id < 600
+    "sim_lsh_parity": "bounded",         # vec_id < 400
+    "sim_cosine_topk": "bounded",
+    "sim_knn_query": "bounded",
+    "text_pii_redact": "bounded",        # event_id < 500
+    "contamination_check": "bounded",
+    "dedup_cluster": "bounded",          # 40-doc edge fixture
+    "dedup_resolve": "bounded",          # 200-doc labels fixture
+    "bucket_point_lookup": "fixed_probe",
+    "join_bucketed": "linear",
+    "partition_prune_scan": "fixed_probe",
+    "join_dpp": "linear",
+    "embed_kmeans": "linear",            # 3 Lloyd passes, linear each
+    "embed_pq": "linear",
+    "embed_quantize": "linear",
+    "embedding_normalize": "linear",
+    # recall reports rank the PQ/IVF shortlist against an EXACT ground
+    # truth computed by a full corpus scan — linear by construction (at
+    # deployment scale ground truth comes from a sampled query set)
+    "sim_pq_recall": "linear",
+    "sim_ivf_recall": "linear", "sim_ivfpq_recall": "linear",
+    "sim_ivfpqr_recall": "linear", "sim_ivf_knn": "linear",
+    # exact/near/url dedup scan the whole corpus: linear
+    "dedup_exact": "linear", "dedup_near": "linear",
+    "dedup_url": "linear", "dedup_substring": "linear",
+    "dedup_corpus_bloom": "linear",
+    # snapshot/lake fixtures are event-corpus-sized: linear writes
+    "snapshot_read_asof": "fixed_probe",
+    "snapshot_read_attime": "fixed_probe",
+    "snapshot_mixed_format": "linear",
+    "incremental_read": "fixed_probe",
+    "tf_top_terms": "linear", "token_histogram": "linear",
+    "pack_sequences": "linear", "shuffle_epoch": "linear",
+    "split_train_test": "linear", "domain_mix": "linear",
+    "curation_funnel": "linear", "ingest_quarantine": "linear",
+    "q1_agg": "linear",
+    "fn_time_trunc": "linear",   # full-events groupBy, not a literal demo
+    "explode_array": "linear",
+    "add_cols": "linear", "drop_cols": "linear",
+    "project_cols": "linear", "reshape_map": "linear",
+    "reshape_nested": "linear", "reshape_list_struct": "linear",
+    "extract_partition_value": "fixed_probe",
+    "filter_tenant_time": "fixed_probe",
+    "filter_time_between": "linear", "filter_time_gte": "linear",
+}
+
+# lake-mutation / ingest keys rewrite event-corpus-scale files: linear
+for k in ("branch_read changelog_diff commit_conflict_retry compact_mor "
+          "delete_mor delete_mor_dv delete_mor_pos delete_mor_seq "
+          "delete_where expire_snapshots manifest_rewrite merge_upsert "
+          "merge_upsert_evolve partition_evolve rollback_snapshot "
+          "table_clone update_where wap_publish append_commit "
+          "compact_files ingest_parallel sort_cluster_write "
+          "zorder_cluster_write table_create write_partitioned "
+          "write_parquet_zstd write_encrypted manifest_prune_scan "
+          "manifest_bloom_prune manifest_null_prune").split():
+    OVERRIDES.setdefault(k, "linear")
+
+
+def shape_of(key):
+    if key in OVERRIDES:
+        return OVERRIDES[key]
+    for pfx, s in FAMILY:
+        if key.startswith(pfx):
+            return s
+    return "linear"
+
+
+def main():
+    a = json.load(open(SF01))["queries"]
+    b = json.load(open(SF1))["queries"]
+    rows = []
+    flagged = []
+    for k in sorted(set(a) & set(b)):
+        t0, t1 = a[k], b[k]
+        ratio = t1 / t0 if t0 > 0 else float("inf")
+        exp = math.log10(ratio) if ratio > 0 else float("-inf")
+        shape = shape_of(k)
+        # noise floors: sub-0.5 s sf1 timings are jitter-dominated, and
+        # a sub-0.35 s absolute delta is JVM/IO noise regardless of ratio
+        flag = (exp > SHAPE_MAX[shape] and t1 > 0.5 and
+                (t1 - t0) > 0.35)
+        rows.append((k, shape, t0, t1, ratio, exp, flag))
+        if flag:
+            flagged.append(k)
+    missing = sorted(set(a) ^ set(b))
+    with open(OUT, "w") as f:
+        f.write("# SCALING — sf0.1 → sf1 (10×) scale-stress probe\n\n")
+        f.write(
+            "Generated by `scripts/scaling_report.py` from two full bench\n"
+            "runs (min-of-2 per key, warm fixtures, same 32-thread JVM\n"
+            "protocol): `BENCH_SUMMARY.json` (sf0.1, driver corpus) and\n"
+            "`BENCH_SF1.json` (sf1 = `scripts/gen_sf1.py`, 10×\n"
+            "replication with per-replica key offsets; replica 0\n"
+            "byte-identical so bounded anchors see the original rows;\n"
+            "row-group sizing keeps min/max pushdown realistic — a first\n"
+            "cut wrote single-row-group files, which silently turned\n"
+            "bounded scans linear).\n\n"
+            "`exp` = log10(t_sf1 / t_sf0.1): 0 = flat, 1 = linear.\n"
+            "Declared ceilings: metadata/bounded 0.45, fixed_probe 0.85,\n"
+            "linear 1.25, pairs_bounded 1.45. A key is FLAGGED only when\n"
+            "it exceeds its ceiling AND costs >0.5 s at sf1 AND grew by\n"
+            ">0.35 s absolute (sub-noise timings can't prove a shape).\n\n")
+        f.write(f"Flagged: **{len(flagged)}** of {len(rows)} keys"
+                + (f" — {', '.join(flagged)}" if flagged else "") + "\n\n")
+        if missing:
+            f.write(f"Keys present in only one run: {missing}\n\n")
+        tot0 = sum(r[2] for r in rows)
+        tot1 = sum(r[3] for r in rows)
+        f.write(f"Suite totals: sf0.1 **{tot0:.1f} s** → sf1 "
+                f"**{tot1:.1f} s** (ratio {tot1 / tot0:.2f} for 10× "
+                f"data — exponent {math.log10(tot1 / tot0):+.2f}).\n\n")
+        f.write("## By declared shape\n\n"
+                "| shape | keys | sf0.1 s | sf1 s | ratio |\n"
+                "|---|---|---|---|---|\n")
+        for s in SHAPE_MAX:
+            rs = [r for r in rows if r[1] == s]
+            if not rs:
+                continue
+            s0, s1 = sum(r[2] for r in rs), sum(r[3] for r in rs)
+            f.write(f"| {s} | {len(rs)} | {s0:.1f} | {s1:.1f} | "
+                    f"{s1 / s0:.2f} |\n")
+        f.write("\n## Most expensive keys at sf1\n\n"
+                "| key | declared | sf0.1 s | sf1 s | exp |\n"
+                "|---|---|---|---|---|\n")
+        for k, shape, t0, t1, ratio, exp, flag in sorted(
+                rows, key=lambda r: -r[3])[:15]:
+            f.write(f"| {k} | {shape} | {t0:.3f} | {t1:.3f} | "
+                    f"{exp:+.2f} |\n")
+        f.write("\n## All keys\n\n")
+        f.write("| key | declared | sf0.1 s | sf1 s | ratio | exp | "
+                "verdict |\n|---|---|---|---|---|---|---|\n")
+        for k, shape, t0, t1, ratio, exp, flag in rows:
+            v = "**FLAG**" if flag else "ok"
+            f.write(f"| {k} | {shape} | {t0:.3f} | {t1:.3f} | "
+                    f"{ratio:.2f} | {exp:+.2f} | {v} |\n")
+    print(f"{len(rows)} keys, {len(flagged)} flagged -> {OUT}")
+    for k in flagged:
+        t0, t1 = a[k], b[k]
+        print(f"  FLAG {k}: {t0:.3f} -> {t1:.3f} "
+              f"(exp {math.log10(t1 / t0):+.2f}, declared {shape_of(k)})")
+
+
+if __name__ == "__main__":
+    main()

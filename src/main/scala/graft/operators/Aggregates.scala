@@ -233,7 +233,7 @@ object Aggregates {
     val bytes = Tables.events(spark, dir)
       .select(expr("count_min_sketch(event_type, 0.0001d, 0.99d, 42)")
         .as("sk"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(bytes))
     Seq("click", "error", "purchase", "signup", "view")

@@ -138,7 +138,7 @@ object PipelineOps {
     // it truncates lineage, so freeing the superseded step's blocks
     // can't cascade-invalidate the new step's cache the way unpersisting
     // a parent of a cached plan does.
-    def labelSum() = labels.agg(sum($"label")).head.getLong(0)
+    def labelSum() = labels.agg(sum($"label")).head().getLong(0)
     var prevSum = -1L
     var converged = false
     var steps = 0
@@ -218,7 +218,7 @@ object PipelineOps {
     // tiny aggregate per round, collision odds ~2⁻⁶⁴ (xor, not sum:
     // summing 64-bit hashes overflows under ANSI arithmetic)
     def sig(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), bit_xor(xxhash64($"src", $"dst"))).head
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64($"src", $"dst"))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var e = sym(edges).localCheckpoint()
@@ -804,7 +804,7 @@ object PipelineOps {
     val vecs = Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
-    val q = vecs.filter($"vec_id" === 5).head.getSeq[Double](1)
+    val q = vecs.filter($"vec_id" === 5).head().getSeq[Double](1)
     // exact squared-L2 to the query, same fold order as the oracle
     val exactD2 = aggregate(
       zip_with($"v", array(q.map(lit): _*), (a, b) => (a - b) * (a - b)),
