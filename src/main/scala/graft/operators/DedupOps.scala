@@ -14,8 +14,19 @@ import graft.sources.Tables
   */
 object DedupOps {
 
-  /** Distinct character 3-gram shingles of a doc's text. */
-  private[operators] def shingles3(text: Column): Column =
+  /** Distinct character 3-gram shingles of a doc's text — the fused
+    * linear-pass expression ([[graft.functions.Shingles3]]). Value-equal
+    * to the declarative spelling below (DedupSpec proves it on the edge
+    * cases), which is kept as the readable semantics reference and the
+    * generator of the DuckDB twin [[SH]]: the declarative form's
+    * per-substr codepoint scan is O(len²) per doc — fine at test sizes,
+    * ruinous on 100 KB documents. */
+  private[graft] def shingles3(text: Column): Column =
+    graft.functions.TextShingleFunctions.shingles3(text)
+
+  /** The declarative semantics reference for [[shingles3]] (quadratic —
+    * not used in any query path; DedupSpec asserts equivalence). */
+  private[graft] def shingles3Declarative(text: Column): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(length(text) - 2, lit(1))),
       i => text.substr(i, lit(3))))

@@ -7,6 +7,33 @@ import graft.operators.DedupOps
   * duplicates, so the oracle alone can't prove dedup finds any). */
 class DedupSpec extends SparkSpecBase {
 
+  test("fused Shingles3 expression equals the declarative spelling on " +
+      "edge cases, multibyte text, and random strings — same values, " +
+      "same first-occurrence order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(7)
+    val alphabet = "ab xyé漢🙂\t."
+    val randoms = Seq.fill(60)(
+      Seq.fill(rng.nextInt(40))(
+        alphabet(rng.nextInt(alphabet.length))).mkString)
+    val edge = Seq("", "a", "ab", "abc", " ", "  ", "aaa", "aaaa",
+      "héllo wörld 漢字 🙂 café", "🙂", "🙂🙂", "🙂🙂🙂", "🙂a漢b🙂",
+      "x" * 50, "ab " * 40, "ctlx", "ααββγγ")
+    val df = (edge ++ randoms).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+      .select($"id", $"text",
+        operators.DedupOps.shingles3($"text").as("fused"),
+        operators.DedupOps.shingles3Declarative($"text").as("decl"))
+    val bad = df.filter(not($"fused" <=> $"decl"))
+      .select($"text", $"fused", $"decl").collect()
+    assert(bad.isEmpty, s"fused != declarative on: ${bad.take(3).toSeq}")
+    // null propagates
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(operators.DedupOps.shingles3($"text")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   private val base =
     "the quick brown fox jumps over the lazy dog near the river bank " +
       "while data engines shuffle partitions and join tables at scale " +
