@@ -213,7 +213,10 @@ case class TDigestQuantiles(child: Expression, probs: Seq[Double],
         s"compression > 0, got ${child.dataType.sql}")
   }
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullable: Boolean = false
+  // an empty digest evaluates to SQL NULL (see eval) — declaring false
+  // here makes the generated result projection skip its null check and
+  // NPE on the all-null group
+  override def nullable: Boolean = true
   override def prettyName: String = "tdigest_quantiles"
 
   override def createAggregationBuffer(): TDigest = new TDigest(compression)
@@ -229,8 +232,12 @@ case class TDigestQuantiles(child: Expression, probs: Seq[Double],
     b
   }
 
+  // an EMPTY digest (group whose every value was NULL/NaN) has no
+  // quantiles: the result is SQL NULL, never an array of NaNs — NaN
+  // would leak into result hashes and poison any downstream comparison
   override def eval(b: TDigest): Any =
-    new GenericArrayData(probs.map(b.quantile).toArray)
+    if (b.totalWeight == 0L) null
+    else new GenericArrayData(probs.map(b.quantile).toArray)
 
   override def serialize(b: TDigest): Array[Byte] = b.serialize()
   override def deserialize(bytes: Array[Byte]): TDigest =
