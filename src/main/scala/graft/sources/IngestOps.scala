@@ -53,6 +53,16 @@ object IngestOps {
   /** Per-query scratch — isolated per JVM (see [[scratchRoot]]). */
   private[graft] def tmp(name: String) = s"$scratchRoot/$name"
 
+  /** Per-(JVM, source-dir) scratch for `_DONE`-gated build-once
+    * layouts: the gate makes the first build win for the JVM's
+    * lifetime, so the SOURCE DIR must be part of the key — two corpora
+    * sharing one scratch name would serve the first corpus's bytes to
+    * the second's queries (surfaced when RobustnessSpec drove the
+    * schema-era layouts over its hostile corpus before IngestSpec read
+    * them for sf0.001). */
+  private[graft] def tmpFor(name: String, dir: String): String =
+    tmp(name + "_" + dir.replaceAll("[^A-Za-z0-9.]+", "_"))
+
   /** Cross-process shared location for the write-once layouts: they are
     * content-fingerprint-keyed and published atomically by
     * [[buildShared]], so sharing is safe and saves every process
@@ -856,7 +866,7 @@ object IngestOps {
   private[graft] def renameChainLayout(spark: SparkSession,
       dir: String): String = {
     import spark.implicits._
-    val out = tmp("events_rename_chain")
+    val out = tmpFor("events_rename_chain", dir)
     if (!fsExists(spark, s"$out/_DONE")) {
       val ev = eventsWithParts(spark, dir)
         .select($"event_id", $"event_type", $"value", $"user_id", $"day")
@@ -918,7 +928,7 @@ object IngestOps {
     * a v1 byte. */
   private[graft] def widenLayout(spark: SparkSession, dir: String): String = {
     import spark.implicits._
-    val out = tmp("events_widened")
+    val out = tmpFor("events_widened", dir)
     if (!fsExists(spark, s"$out/_DONE")) {
       val ev = eventsWithParts(spark, dir)
         .select($"event_id", $"event_type", $"user_id", $"value", $"day")
@@ -973,7 +983,7 @@ object IngestOps {
     * spec can prove the drop never rewrites a v1 byte. */
   private[graft] def dropLayout(spark: SparkSession, dir: String): String = {
     import spark.implicits._
-    val out = tmp("events_dropped")
+    val out = tmpFor("events_dropped", dir)
     if (!fsExists(spark, s"$out/_DONE")) {
       val ev = eventsWithParts(spark, dir)
         .select($"event_id", $"event_type", $"value", $"props", $"day")
@@ -1022,7 +1032,7 @@ object IngestOps {
   private[graft] def defaultColLayout(spark: SparkSession,
       dir: String): String = {
     import spark.implicits._
-    val out = tmp("events_defaultcol")
+    val out = tmpFor("events_defaultcol", dir)
     if (!fsExists(spark, s"$out/_DONE")) {
       val ev = eventsWithParts(spark, dir)
         .select($"event_id", $"event_type", $"value", $"day")

@@ -221,6 +221,15 @@ object StreamingOps {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir))
+      // explicit validity fence at the typed boundary: a row missing
+      // the grouping key, metric, or event time carries no state
+      // evidence and CANNOT cross into the primitive-typed tuple (the
+      // encoder would throw NOT_NULL_ASSERT_VIOLATION mid-stream). The
+      // production path diverts such rows to quarantine at ingest
+      // (ingest_quarantine); the driver corpus has none, so the batch
+      // oracle is unchanged.
+      .filter($"user_id".isNotNull && $"value".isNotNull &&
+        $"ts".isNotNull && $"event_id".isNotNull)
       .select($"user_id", $"value", $"event_type",
         // micros ordinal (matches DuckDB's truncated timestamps exactly;
         // raw nanos would win ties DuckDB can't see)
@@ -554,14 +563,22 @@ object StreamingOps {
   }
 
   /** The MoR merge at scan time: base minus deleted keys, plus deltas.
-    * The delete file is KBs → broadcast anti-join, no shuffle of base. */
+    * The delete file is KBs → broadcast anti-join, no shuffle of base.
+    * ABSENT sidecars are a legal table state, not an error: a table no
+    * stream has committed to yet (or one just compacted) has no delta
+    * and no delete files — the merged view is simply the base. */
   private[graft] def morScan(spark: SparkSession, base: String,
       delta: String, deletes: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(base)
-      .join(broadcast(spark.read.parquet(deletes)),
-        Seq("event_id"), "left_anti")
-      .unionByName(spark.read.parquet(delta))
+    val b = spark.read.parquet(base)
+    val afterDeletes =
+      if (graft.sources.IngestOps.fsExists(spark, deletes))
+        b.join(broadcast(spark.read.parquet(deletes)),
+          Seq("event_id"), "left_anti")
+      else b
+    if (graft.sources.IngestOps.fsExists(spark, delta))
+      afterDeletes.unionByName(spark.read.parquet(delta))
+    else afterDeletes
   }
 
   /** Fold the streaming MoR sidecars into the base and drop them

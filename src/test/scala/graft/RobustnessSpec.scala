@@ -39,6 +39,24 @@ class RobustnessSpec extends SparkSpecBase {
   private def tierKeys: Seq[String] = SparkEntry.queries.keys.toSeq
     .filter(k => families.exists(k.startsWith)).sorted
 
+  /** Write `df` as ONE FLAT parquet file at `target` — the corpus
+    * contract (TESTDATA.md: one `<table>.parquet` FILE per table; the
+    * streaming sources' `pathGlobFilter("events.parquet")` depends on
+    * it — a directory-shaped table silently matches zero stream
+    * files). */
+  private def writeFlat(df: org.apache.spark.sql.DataFrame,
+      target: java.nio.file.Path): Unit = {
+    val stage = java.nio.file.Paths.get(target.toString + ".stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = java.nio.file.Files.list(stage).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    java.nio.file.Files.deleteIfExists(target)
+    java.nio.file.Files.move(part, target)
+    java.nio.file.Files.walk(stage)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.delete(p))
+  }
+
   /** Hostile corpus dir: every base table copied, then documents and
     * embeddings overwritten with the hostile variants. Built once per
     * suite run under the scratch tmp root. */
@@ -64,10 +82,7 @@ class RobustnessSpec extends SparkSpecBase {
           .otherwise($"text").as("text"),
         $"lang", $"source")
       .withColumn("n_chars", length($"text").cast("long"))
-    java.nio.file.Files.walk(dst.resolve("documents.parquet"))
-      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => java.nio.file.Files.delete(p))
-    docs.coalesce(1).write.parquet(s"$out/documents.parquet")
+    writeFlat(docs, dst.resolve("documents.parquet"))
     // embeddings: hostile rows REUSE existing vec_ids (100-105) so they
     // sit inside every op's id bounds — embeddingsValid must drop them,
     // leaving exactly the original corpus behind the guard. If the
@@ -84,10 +99,7 @@ class RobustnessSpec extends SparkSpecBase {
     val emb = Tables.embeddings(spark, sf)
       .unionByName(hostileRows.select($"vec_id", $"embedding",
         $"label".cast("int").as("label")))
-    java.nio.file.Files.walk(dst.resolve("embeddings.parquet"))
-      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => java.nio.file.Files.delete(p))
-    emb.coalesce(1).write.parquet(s"$out/embeddings.parquet")
+    writeFlat(emb, dst.resolve("embeddings.parquet"))
     out
   }
 
@@ -190,10 +202,7 @@ class RobustnessSpec extends SparkSpecBase {
       val base = spark.read.parquet(s"$sf/$table.parquet")
       val all = base.unionByName(
         hostile.select(order.map(col): _*))
-      java.nio.file.Files.walk(dst.resolve(s"$table.parquet"))
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-      all.coalesce(1).write.parquet(s"$out/$table.parquet")
+      writeFlat(all, dst.resolve(s"$table.parquet"))
     }
     // hostile rows carry nulls in arbitrary columns — build them as
     // Rows against the LIVE table schema (tuple encoders can't type
@@ -241,31 +250,20 @@ class RobustnessSpec extends SparkSpecBase {
     out
   }
 
-  /** Relational families swept over the hostile corpus. Lake/ingest
-    * mutation keys (2a) are excluded here: they build multi-commit
-    * fixture layouts per dir and belong to their own specs; the scan
-    * and filter legs they share are covered below. */
-  private val relFamilies = Seq("agg_", "filter_", "win_", "fn_",
-    "setop_", "sort_", "limit_", "topk_", "join_", "reshape_", "scan_",
-    "gen_", "explode_")
-  private val relExtra = Seq("q1_agg", "validate_schema",
-    "drop_cols", "add_cols", "project_cols")
-
-  test("relational keys return defined answers on hostile events/" +
-      "lineitem/customer rows (null ts, null keys, null amounts)") {
-    val keys = (SparkEntry.queries.keys.toSeq
-      .filter(k => relFamilies.exists(k.startsWith)) ++ relExtra)
-      .distinct.sorted
-      // layout-backed keys derive partition values from ts; null ts
-      // rows land in the null partition cell — covered separately in
-      // the partition-derivation test below to keep this sweep from
-      // rebuilding every shared layout for the hostile fingerprint
-      .filterNot(Set("join_dpp", "join_bucketed", "bucket_point_lookup",
-        "join_skew_aqe", "scan_orc", "scan_csv", "scan_json"))
+  test("every non-curation key — relational, ingest, lake, streaming, " +
+      "metadata — returns a defined answer on hostile events/lineitem/" +
+      "customer rows (null ts, null keys, null amounts)") {
+    // the 2j tier is covered by the hostile-documents sweep above (the
+    // relational corpus carries the REAL documents/embeddings); every
+    // other key — including the layout-building ingest/lake/streaming
+    // families, whose partition derivation meets the null-ts rows —
+    // runs here
+    val keys = SparkEntry.queries.keys.toSeq
+      .filterNot(k => families.exists(k.startsWith)).sorted
     val bad = sweep(keys, hostileRelDir)
     assert(bad.isEmpty,
-      s"${bad.size}/${keys.size} relational keys undefined:\n" +
-        bad.mkString("\n"))
+      s"${bad.size}/${keys.size} keys undefined on hostile relational " +
+        s"corpus:\n" + bad.mkString("\n"))
   }
 
   test("partition derivation sends null-ts events to the null cell, " +
