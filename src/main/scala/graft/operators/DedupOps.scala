@@ -31,6 +31,19 @@ object DedupOps {
       sequence(lit(1), greatest(length(text) - 2, lit(1))),
       i => text.substr(i, lit(3))))
 
+  /** Spread an under-partitioned frame across the session's cores.
+    * A bounded-subset scan (200 docs from one parquet file) arrives as
+    * ONE partition, so every downstream per-row hash lane (16 md5s per
+    * shingle in the portable signature) runs single-threaded. At corpus
+    * scale the scan has thousands of partitions and this is the no-op
+    * branch — the repartition only fires when the input is narrower
+    * than the executor, where shuffling a few hundred rows costs
+    * nothing and the hash stage parallelizes fully. */
+  private def spreadSmall(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** PORTABLE 60-bit hash: the top 15 hex chars of md5, read base-16.
     * Every engine with md5 computes this bit-identically (DuckDB:
     * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`), which is what
@@ -174,9 +187,9 @@ object DedupOps {
     // shingle set is [NULL], its lanes all NULL, and concat_ws (which
     // SKIPS nulls) would give every null doc the same bucket, pairing
     // all hostile rows with each other.
-    val sets = docs.filter($"text".isNotNull)
+    val sets = spreadSmall(docs.filter($"text".isNotNull)
       .select($"doc_id", shingles3($"text").as("ss"))
-      .filter(size($"ss") > 0)
+      .filter(size($"ss") > 0))
       .localCheckpoint()
     // the k-lane signature. Fast path: one fused codegen'd Expression
     // (functions/MinHashSignature.scala) — a map-only narrow stage, no
