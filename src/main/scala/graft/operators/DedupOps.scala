@@ -116,7 +116,8 @@ object DedupOps {
     // Bounded: one row per doc with its shingle array, and every caller
     // restricts docs to a candidate subset first. At full corpus scale the
     // same cut is a persist(DISK_ONLY) on the shingle table.
-    val sets = docs.select($"doc_id", shingles3($"text").as("ss"))
+    val sets = spreadSmall(
+      docs.select($"doc_id", shingles3($"text").as("ss")))
       .localCheckpoint()
     val sh = sets.select($"doc_id", size($"ss").as("n"), explode($"ss").as("s"))
     val freq = sh.groupBy($"s").agg(count(lit(1)).as("df"))
@@ -267,7 +268,9 @@ object DedupOps {
       s"pigeonhole needs maxHamming < $nBlocks blocks")
     val blockMask = (1L << blockBits) - 1
     val toks = filter(split($"text", " "), t => t =!= "")
-    val th = docs
+    // spreadSmall: same single-partition-scan rationale as the minhash
+    // sets — the per-token portable hash otherwise runs on one core
+    val th = spreadSmall(docs)
       .select($"doc_id", explode(array_distinct(toks)).as("t"))
       .select($"doc_id",
         (if (portable) portableHash($"t") else xxhash64($"t")).as("h"))
