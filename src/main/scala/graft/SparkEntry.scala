@@ -21,7 +21,7 @@ object SparkEntry {
       Windows.queries ++ SetOps.queries ++ Scalars.queries ++
       graft.sources.IngestOps.queries ++ graft.sources.LakeOps.queries ++
       graft.sources.CryptoOps.queries ++
-      TextOps.queries ++
+      TextOps.queries ++ RetrievalOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++
       MultimodalOps.queries ++ GenOps.queries ++
       PipelineOps.queries ++ RobustOps.queries ++
@@ -34,7 +34,7 @@ object SparkEntry {
       Windows.oracles ++ SetOps.oracles ++ Scalars.oracles ++
       graft.sources.IngestOps.oracles ++ graft.sources.LakeOps.oracles ++
       graft.sources.CryptoOps.oracles ++
-      TextOps.oracles ++
+      TextOps.oracles ++ RetrievalOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++
       MultimodalOps.oracles ++ GenOps.oracles ++
       PipelineOps.oracles ++ RobustOps.oracles ++
