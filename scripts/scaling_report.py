@@ -111,6 +111,9 @@ OVERRIDES = {
     "split_train_test": "linear", "domain_mix": "linear",
     "curation_funnel": "linear", "ingest_quarantine": "linear",
     "q1_agg": "linear",
+    # hybrid retrieval scans both corpora (bm25 stats + cosine leg);
+    # the sim_ prefix's fixed_probe would under-declare it
+    "sim_hybrid_rrf": "linear",
     "fn_time_trunc": "linear",   # full-events groupBy, not a literal demo
     "explode_array": "linear",
     "add_cols": "linear", "drop_cols": "linear",
