@@ -267,7 +267,7 @@ object DedupOps {
     require(maxHamming < nBlocks,
       s"pigeonhole needs maxHamming < $nBlocks blocks")
     val blockMask = (1L << blockBits) - 1
-    val toks = filter(split($"text", " "), t => t =!= "")
+    val toks = array_remove(split($"text", " "), "")
     // spreadSmall: same single-partition-scan rationale as the minhash
     // sets — the per-token portable hash otherwise runs on one core
     val th = spreadSmall(docs)
@@ -357,7 +357,7 @@ object DedupOps {
     import spark.implicits._
     val k = 8
     val docs = Tables.documents(spark, dir)
-    val toks = filter(split($"text", " "), t => t =!= "")
+    val toks = array_remove(split($"text", " "), "")
     // all K-token spans of a doc, distinct per doc (a doc repeating its
     // own boilerplate is not cross-doc duplication)
     val spans = docs.select($"doc_id", $"lang",

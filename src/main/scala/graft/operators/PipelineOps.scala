@@ -832,7 +832,7 @@ object PipelineOps {
     import spark.implicits._
     val langOk = $"lang" === "en"
     val qualityOk = langOk && length($"text") >= 50 &&
-      size(filter(split($"text", " "), t => t =!= "")) >= 10
+      size(array_remove(split($"text", " "), "")) >= 10
     val norm = trim(regexp_replace(lower($"text"), "\\s+", " "))
     Tables.documents(spark, dir)
       .agg(count(lit(1)).as("n_total"),

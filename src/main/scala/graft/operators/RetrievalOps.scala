@@ -44,13 +44,16 @@ object RetrievalOps {
 
   /** (doc_id, dl, tf1..tfN) — per-row scalar expressions only; null
     * text (hostile corpus) coalesces to the empty doc, which scores
-    * 0.0 rather than poisoning the stats row. */
+    * 0.0 rather than poisoning the stats row. Counting is codegen'd
+    * set-difference arithmetic (size minus size-after-array_remove),
+    * not higher-order filter — the lambda form is CodegenFallback and
+    * would re-split the text once per term. */
   private def projected(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = filter(split(coalesce($"text", lit("")), " "),
-      t => t =!= "")
+    val toks = array_remove(split(coalesce($"text", lit("")), " "), "")
     val tfs = Terms.zipWithIndex.map { case (term, i) =>
-      size(filter(toks, t => t === term)).cast("double").as(s"tf${i + 1}")
+      (size(toks) - size(array_remove(toks, term))).cast("double")
+        .as(s"tf${i + 1}")
     }
     Tables.documents(spark, dir)
       .select($"doc_id" +: size(toks).cast("double").as("dl") +: tfs: _*)

@@ -236,7 +236,7 @@ object Scalars {
     * so the DuckDB hash compare stays scalar. */
   def fnCollections(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val words = filter(split($"text", " "), t => t =!= "")
+    val words = array_remove(split($"text", " "), "")
     Tables.documents(spark, dir).filter($"doc_id" < 200)
       .select($"doc_id",
         array_contains(words, "data").as("has_data"),

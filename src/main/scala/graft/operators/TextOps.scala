@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -12,9 +12,21 @@ import graft.sources.Tables
   */
 object TextOps {
 
-  /** Whitespace tokens, empties dropped. */
+  /** Whitespace tokens, empties dropped. `array_remove` (codegen'd)
+    * rather than higher-order `filter` (CodegenFallback) — the lambda
+    * form drops every consumer out of whole-stage codegen AND defeats
+    * subexpression elimination, so each tokens() reference re-split
+    * the text; this form keeps the whole text tier in one codegen
+    * span. Values are identical: split never yields nulls, so
+    * "remove empty strings" = "keep non-empty". */
   private[operators] def tokens(c: org.apache.spark.sql.Column) =
-    filter(split(c, " "), t => t =!= "")
+    array_remove(split(c, " "), "")
+
+  /** Count of tokens equal to any of `terms` — the same codegen'd
+    * size-difference trick (chained array_remove), replacing the
+    * CodegenFallback `filter(toks, t === ...)` lambda form. */
+  private def countIn(toks: Column, terms: String*): Column =
+    size(toks) - size(terms.foldLeft(toks)((a, t) => array_remove(a, t)))
 
   /** `text_stats` — per-doc char/token counts + mean token length. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
@@ -25,12 +37,12 @@ object TextOps {
         length($"text").cast("long").as("n_chars_measured"),
         size(tokens($"text")).cast("long").as("n_tokens"),
         // token-free docs (empty/whitespace-only — hostile corpus) have
-        // no mean length: NULL, not an ANSI divide-by-zero crash
+        // no mean length: NULL, not an ANSI divide-by-zero crash.
+        // sum(token lengths) = chars left after deleting the split
+        // delimiter — one codegen'd translate, not an aggregate() fold
         when(size(tokens($"text")) === 0, lit(null))
           .otherwise(
-            aggregate(transform(tokens($"text"),
-              t => length(t).cast("long")),
-              lit(0L), (acc, x) => acc + x).cast("double") /
+            length(translate($"text", " ", "")).cast("double") /
               size(tokens($"text"))).as("mean_token_len"))
       .orderBy($"doc_id")
   }
@@ -41,8 +53,8 @@ object TextOps {
   def textLangid(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = tokens($"text")
-    val nThe = size(filter(toks, t => t === "the" || t === "a"))
-    val nData = size(filter(toks, t => t === "data" || t === "table"))
+    val nThe = countIn(toks, "the", "a")
+    val nData = countIn(toks, "data", "table")
     Tables.documents(spark, dir)
       .select($"doc_id", $"lang",
         nThe.cast("long").as("n_en_markers"),
@@ -59,9 +71,7 @@ object TextOps {
       .cast("long")
     val toks = tokens($"text")
     val nToks = size(toks).cast("long")
-    val nStop = size(filter(toks,
-      t => t === "the" || t === "a" || t === "and" || t === "of"))
-      .cast("long")
+    val nStop = countIn(toks, "the", "a", "and", "of").cast("long")
     // zero-char / zero-token docs (hostile corpus) have undefined
     // ratios: NULL, not an ANSI divide-by-zero crash; quality_ok stays
     // a defined FALSE for them (false && null = false)
