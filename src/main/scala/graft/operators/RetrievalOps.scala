@@ -10,8 +10,9 @@ import graft.sources.Tables
   * fusion — the retrieval stack a training-data pipeline runs for
   * contamination checks, eval-set mining, and RAG corpus curation.
   * The reference has no retrieval tier at all (its reads are
-  * time-travel scans, `TimeBasedQueryExample.java`); this is part of
-  * the extended X-tier surface, same as the ANN family.
+  * time-travel/partition scans —
+  * `aig/TimeBasedPartitioningExamples.java:144`); this is part of the
+  * extended X-tier surface, same as the ANN family.
   *
   * Scale design: BM25 needs only (a) one reduce to a SINGLE stats row
   * — N, avgdl, and one document-frequency counter per query term
