@@ -110,11 +110,101 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Native Catalyst expression: squared L2 distance Σ(xᵢ−yᵢ)² in one
+  * fused codegen pass — the kernel under k-means assignment, PQ code
+  * selection, and every exact-rerank leg, where the previous
+  * `aggregate(zip_with(...))` fold was CodegenFallback and dominated
+  * the embedding tier's runtime (8 centroids × 8 subspaces = 512
+  * interpreted lambda evals per vector in the PQ encoder).
+  *
+  * Numerics contract, identical to the fold it replaces and to the
+  * DuckDB twin `list_sum(list_transform(...))`: every difference,
+  * square, and accumulation is float64 in ascending index order.
+  * Mismatched lengths yield NULL (zip_with pads with null, which the
+  * old fold propagated — kept so the expressions are equivalent on
+  * ALL inputs, not just guarded ones); a non-finite result (NaN/Inf
+  * elements on unguarded input) also nulls out, matching
+  * [[CosineSimilarity]]'s hostile-input contract. */
+case class L2Squared(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemIsDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"l2_squared expects array<float> or array<double> " +
+        s"arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_squared"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    val (ld, rd) = (elemIsDouble(left), elemIsDouble(right))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (ld) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (rd) y.getDouble(i) else y.getFloat(i).toDouble
+      val d = xi - yi
+      acc += d * d
+      i += 1
+    }
+    if (java.lang.Double.isFinite(acc)) acc else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val ax = if (elemIsDouble(left)) s"$a.getDouble($i)"
+               else s"(double) $a.getFloat($i)"
+      val by = if (elemIsDouble(right)) s"$b.getDouble($i)"
+               else s"(double) $b.getFloat($i)"
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    double $d = $ax - $by;
+         |    $acc += $d * $d;
+         |  }
+         |  if (java.lang.Double.isFinite($acc)) {
+         |    ${ev.value} = $acc;
+         |  } else {
+         |    ${ev.isNull} = true;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftBridge
 
   /** Column-level cosine similarity over two array<float> columns. */
   def cosine(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column-level squared L2 distance over two vector columns. */
+  def l2sq(a: Column, b: Column): Column =
+    GraftBridge.column(L2Squared(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -521,15 +521,14 @@ object PipelineOps {
     val seeds: Array[Seq[Double]] = vecs.filter($"vec_id" < k)
       .orderBy($"vec_id").collect().map(_.getSeq[Double](1))
 
-    // squared distance to each centroid literal, argmin by (d2, cid)
-    def assign(cs: Array[Seq[Double]]) = {
-      val carr = array(cs.map(c => array(c.map(lit): _*)): _*)
-      val d2s = transform(carr, c =>
-        aggregate(zip_with($"v", c, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
-      array_min(zip_with(d2s, sequence(lit(0), lit(k - 1)),
-        (d, i) => struct(d.as("d2"), i.as("cid"))))
-    }
+    // squared distance to each centroid literal (fused codegen
+    // L2Squared — the fold was CodegenFallback and dominated every
+    // Lloyd pass), argmin by (d2, cid) via lexicographic array_min
+    def assign(cs: Array[Seq[Double]]) =
+      array_min(array(cs.indices.map(c =>
+        struct(graft.functions.VectorFunctions.l2sq($"v",
+            array(cs(c).map(lit): _*)).as("d2"),
+          lit(c).as("cid"))): _*))
 
     // Lloyd update: exact per-(cluster, dim) decimal sums -> k*dims rows
     // to the driver -> new centroid literals for the next assignment
@@ -606,12 +605,12 @@ object PipelineOps {
       * chained subspace sum, same order as the qd oracle CTE. */
     def qd2Full(c: Int): Double = (0 until m).map(qd2(_, c)).reduce(_ + _)
 
-    /** sequential-fold squared distance of an 8-dim slice to a literal
-      * codebook entry (the twin of list_sum(list_transform(...))). */
+    /** sequential squared distance of an 8-dim slice to a literal
+      * codebook entry (the twin of list_sum(list_transform(...))) —
+      * fused codegen [[graft.functions.L2Squared]], same fold order. */
     def sliceD2(vs: org.apache.spark.sql.Column,
         cs: IndexedSeq[Double]): org.apache.spark.sql.Column =
-      aggregate(zip_with(vs, array(cs.map(lit): _*),
-        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+      graft.functions.VectorFunctions.l2sq(vs, array(cs.map(lit): _*))
 
     /** PQ code of subspace `s`: argmin centroid, tie → lowest id. */
     def codeCol(v: org.apache.spark.sql.Column,
@@ -701,8 +700,8 @@ object PipelineOps {
         s: Int): org.apache.spark.sql.Column = {
       val rs = resSlice(v, bucket, s)
       array_min(array((0 until k).map(c =>
-        struct(aggregate(zip_with(rs, array(bookR(s)(c).map(lit): _*),
-          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+        struct(graft.functions.VectorFunctions.l2sq(rs,
+          array(bookR(s)(c).map(lit): _*))
           .as("d2"), lit(c).as("cid"))): _*))
         .getField("cid")
     }
@@ -806,9 +805,8 @@ object PipelineOps {
         transform($"embedding", x => x.cast("double")).as("v"))
     val q = vecs.filter($"vec_id" === 5).head().getSeq[Double](1)
     // exact squared-L2 to the query, same fold order as the oracle
-    val exactD2 = aggregate(
-      zip_with($"v", array(q.map(lit): _*), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    val exactD2 = graft.functions.VectorFunctions.l2sq(
+      $"v", array(q.map(lit): _*))
     val exactTop = vecs.filter($"vec_id" =!= 5)
       .select($"vec_id", round(exactD2, 6).as("d2"))
       .orderBy($"d2", $"vec_id").limit(k)

@@ -225,9 +225,8 @@ object SimilarityOps {
     val vecs = Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
-    val exactD2 = aggregate(
-      zip_with($"v", array(pq.q.map(lit): _*), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    val exactD2 = graft.functions.VectorFunctions.l2sq(
+      $"v", array(pq.q.map(lit): _*))
     val exactTop = vecs.filter($"vec_id" =!= 5)
       .select($"vec_id", round(exactD2, 6).as("d2"))
       .orderBy($"d2", $"vec_id").limit(k)
@@ -270,9 +269,8 @@ object SimilarityOps {
       .limit(32)
       .select($"vec_id")
     // stage 2: exact re-rank of ONLY the shortlisted vectors
-    val exactD2 = aggregate(
-      zip_with($"v", array(pq.q.map(lit): _*), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    val exactD2 = graft.functions.VectorFunctions.l2sq(
+      $"v", array(pq.q.map(lit): _*))
     Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
@@ -307,9 +305,8 @@ object SimilarityOps {
       .limit(32)
       .select($"vec_id")
     // stage 2: exact re-rank of ONLY the shortlisted vectors
-    val exactD2 = aggregate(
-      zip_with($"v", array(pq.q.map(lit): _*), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    val exactD2 = graft.functions.VectorFunctions.l2sq(
+      $"v", array(pq.q.map(lit): _*))
     Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
@@ -332,9 +329,8 @@ object SimilarityOps {
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
     // exact squared-L2 ground truth, same fold order as the oracle
-    val exactD2 = aggregate(
-      zip_with($"v", array(pq.q.map(lit): _*), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    val exactD2 = graft.functions.VectorFunctions.l2sq(
+      $"v", array(pq.q.map(lit): _*))
     val exactTop = vecs.filter($"vec_id" =!= 5)
       .select($"vec_id", round(exactD2, 6).as("d2"))
       .orderBy($"d2", $"vec_id").limit(k)
