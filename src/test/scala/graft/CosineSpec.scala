@@ -69,4 +69,60 @@ class CosineSpec extends SparkSpecBase {
     val r = df.select(VectorFunctions.cosine($"a", $"b")).collect()
     assert(r.head.isNullAt(0))
   }
+
+  // ---- L2Squared: must be EXACTLY the aggregate(zip_with) fold it
+  // replaced — same float64 ascending accumulation — plus the fold's
+  // null semantics on mismatched lengths and hostile elements.
+
+  private def refL2sq(a: Seq[Float], b: Seq[Float]): Double = {
+    var acc = 0.0
+    a.indices.foreach { i =>
+      val d = a(i).toDouble - b(i).toDouble; acc += d * d
+    }
+    acc
+  }
+
+  test("l2sq matches the sequential fold on random vectors " +
+      "(codegen path) and the interpreted fold it replaced") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val gen = Gen.listOfN(64,
+      Gen.chooseNum(-10.0f, 10.0f).suchThat(f => !f.isNaN))
+    val vecs = (1 to 50).flatMap(_ =>
+      (gen.sample, gen.sample) match {
+        case (Some(a), Some(b)) => Some((a.toArray, b.toArray))
+        case _ => None
+      })
+    val rows = vecs.toDF("a", "b")
+      .select($"a", $"b",
+        VectorFunctions.l2sq($"a", $"b").as("d2"),
+        // the exact expression shape l2sq replaced, as a live twin
+        aggregate(zip_with($"a", $"b",
+            (x, y) => (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("fold"))
+      .collect()
+    rows.foreach { r =>
+      val a = r.getSeq[Float](0); val b = r.getSeq[Float](1)
+      assert(r.getDouble(2) == refL2sq(a, b))
+      assert(r.getDouble(2) == r.getDouble(3),
+        "codegen l2sq diverged from the interpreted fold")
+    }
+  }
+
+  test("l2sq nulls out on length mismatch (the fold's zip_with-padding " +
+      "behavior) and on non-finite inputs; zero distance to self") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f)),
+      (Array(Float.NaN, 0f), Array(0f, 0f)),
+      (Array(Float.PositiveInfinity, 0f), Array(0f, 0f)),
+      (Array(1.5f, -2.5f), Array(1.5f, -2.5f))).toDF("a", "b")
+      .select(VectorFunctions.l2sq($"a", $"b").as("d2"))
+      .collect()
+    assert(df(0).isNullAt(0), "length mismatch must null out")
+    assert(df(1).isNullAt(0), "NaN element must null out")
+    assert(df(2).isNullAt(0), "Inf element must null out")
+    assert(df(3).getDouble(0) == 0.0)
+  }
 }
