@@ -443,15 +443,18 @@ object PipelineOps {
     * and the output re-checks each normalized vector's unit norm. */
   def embeddingNormalize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Σx² = l2sq(v, 0⃗) — x − 0.0 == x exactly in IEEE float64, and the
+    // fused expression accumulates in the same ascending order as the
+    // aggregate() fold it replaced (CodegenFallback); the valid-guard
+    // pins dims, so the zero literal's length always matches
+    val zeros = array(Seq.fill(Tables.EMBEDDING_DIMS)(lit(0.0)): _*)
     def dot(a: org.apache.spark.sql.Column) =
-      aggregate(a, lit(0.0), (acc, x) =>
-        acc + x.cast("double") * x.cast("double"))
+      graft.functions.VectorFunctions.l2sq(a, zeros)
     val norm = sqrt(dot($"embedding"))
     val unit = transform($"embedding", x => x.cast("double") / norm)
     Tables.embeddingsValid(spark, dir)
       .select($"vec_id", round(norm, 6).as("l2_norm"),
-        round(sqrt(aggregate(unit, lit(0.0), (acc, x) => acc + x * x)), 6)
-          .as("unit_norm"))
+        round(sqrt(dot(unit)), 6).as("unit_norm"))
       .orderBy($"vec_id")
   }
 
