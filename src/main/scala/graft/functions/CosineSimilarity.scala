@@ -120,11 +120,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * Numerics contract, identical to the fold it replaces and to the
   * DuckDB twin `list_sum(list_transform(...))`: every difference,
   * square, and accumulation is float64 in ascending index order.
-  * Mismatched lengths yield NULL (zip_with pads with null, which the
-  * old fold propagated — kept so the expressions are equivalent on
-  * ALL inputs, not just guarded ones); a non-finite result (NaN/Inf
-  * elements on unguarded input) also nulls out, matching
-  * [[CosineSimilarity]]'s hostile-input contract. */
+  * Mismatched lengths and null ELEMENTS yield NULL (zip_with pads
+  * with null and a null operand nulls the fold — kept so the
+  * expressions are equivalent on ALL inputs, not just guarded ones;
+  * the element null-check is only emitted when a child's array type
+  * admits nulls, so the dense path stays branch-free); a non-finite
+  * result (NaN/Inf elements on unguarded input) also nulls out,
+  * matching [[CosineSimilarity]]'s hostile-input contract. */
 case class L2Squared(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -145,15 +147,27 @@ case class L2Squared(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "l2_squared"
 
+  // a null ELEMENT must null the whole result (the zip_with fold's
+  // behavior: null product -> null sum). The check is only emitted /
+  // taken when a child's array type admits nulls, so the dense
+  // embedding path stays a branch-free multiply-add loop.
+  private def mayHaveNullElems: Boolean = Seq(left, right).exists(
+    _.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
     val (ld, rd) = (elemIsDouble(left), elemIsDouble(right))
+    val checkNulls = mayHaveNullElems
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = if (ld) x.getDouble(i) else x.getFloat(i).toDouble
       val yi = if (rd) y.getDouble(i) else y.getFloat(i).toDouble
       val d = xi - yi
@@ -166,6 +180,7 @@ case class L2Squared(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
@@ -173,19 +188,28 @@ case class L2Squared(left: Expression, right: Expression)
                else s"(double) $a.getFloat($i)"
       val by = if (elemIsDouble(right)) s"$b.getDouble($i)"
                else s"(double) $b.getFloat($i)"
+      val nullCheck = if (mayHaveNullElems)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |      ${ev.isNull} = true; break;
+           |    }""".stripMargin
+      else ""
       s"""
-         |if ($a.numElements() != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    double $d = $ax - $by;
          |    $acc += $d * $d;
          |  }
-         |  if (java.lang.Double.isFinite($acc)) {
-         |    ${ev.value} = $acc;
-         |  } else {
-         |    ${ev.isNull} = true;
+         |  if (!${ev.isNull}) {
+         |    if (java.lang.Double.isFinite($acc)) {
+         |      ${ev.value} = $acc;
+         |    } else {
+         |      ${ev.isNull} = true;
+         |    }
          |  }
          |}
        """.stripMargin

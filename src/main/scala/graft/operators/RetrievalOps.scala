@@ -40,21 +40,16 @@ object RetrievalOps {
     * two common ones (tf and length normalization do the work). */
   private val Terms = Seq("dup", "merge", "vector")
 
-  private def cosine(a: Column, b: Column): Column =
-    graft.functions.VectorFunctions.cosine(a, b)
-
   /** (doc_id, dl, tf1..tfN) — per-row scalar expressions only; null
     * text (hostile corpus) coalesces to the empty doc, which scores
-    * 0.0 rather than poisoning the stats row. Counting is codegen'd
-    * set-difference arithmetic (size minus size-after-array_remove),
-    * not higher-order filter — the lambda form is CodegenFallback and
-    * would re-split the text once per term. */
+    * 0.0 rather than poisoning the stats row. Tokenization and term
+    * counting are [[TextOps.tokens]]/[[TextOps.countIn]] — the ONE
+    * codegen'd tokenizer contract the whole text tier shares. */
   private def projected(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = array_remove(split(coalesce($"text", lit("")), " "), "")
+    val toks = TextOps.tokens(coalesce($"text", lit("")))
     val tfs = Terms.zipWithIndex.map { case (term, i) =>
-      (size(toks) - size(array_remove(toks, term))).cast("double")
-        .as(s"tf${i + 1}")
+      TextOps.countIn(toks, term).cast("double").as(s"tf${i + 1}")
     }
     Tables.documents(spark, dir)
       .select($"doc_id" +: size(toks).cast("double").as("dl") +: tfs: _*)
@@ -125,7 +120,8 @@ object RetrievalOps {
     val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
     val v = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
       .select($"vec_id".as("id"),
-        round(cosine($"embedding", $"q_emb"), 6).as("cos"))
+        round(graft.functions.VectorFunctions.cosine(
+          $"embedding", $"q_emb"), 6).as("cos"))
       .orderBy($"cos".desc, $"id").limit(50)
     val vr = v.withColumn("vec_rank",
         row_number().over(Window.orderBy($"cos".desc, $"id"))
@@ -145,8 +141,7 @@ object RetrievalOps {
     "text_bm25_topk" -> (textBm25Topk _),
     "sim_hybrid_rrf" -> (simHybridRrf _))
 
-  private val TOKS =
-    "list_filter(string_split(coalesce(text, ''), ' '), t -> t <> '')"
+  private val TOKS = TextOps.toksSql("coalesce(text, '')")
 
   private def tfSql(term: String) =
     s"CAST(len(list_filter($TOKS, x -> x = '$term')) AS DOUBLE)"
@@ -182,11 +177,6 @@ object RetrievalOps {
   private val BM25_SQL =
     s"round(${Terms.indices.map(i => termScoreSql(i + 1)).mkString(" + ")}, 6)"
 
-  private def cosSql(a: String, b: String): String =
-    s"list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
-      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
-      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
-
   val oracles: Map[String, String] = Map(
     "text_bm25_topk" -> {
       val named = Terms.zipWithIndex.map { case (t, i) =>
@@ -209,7 +199,7 @@ object RetrievalOps {
          |  FROM b),
          |v AS (
          |  SELECT e.vec_id AS id,
-         |    round(${cosSql("e.embedding", "q.embedding")}, 6) AS cos
+         |    round(${SimilarityOps.cosSql("e.embedding", "q.embedding")}, 6) AS cos
          |  FROM embeddings e,
          |    (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          |  WHERE e.vec_id <> 0

@@ -577,7 +577,7 @@ object SimilarityOps {
     "dedup_embedding" -> (dedupEmbedding _))
 
   /** DuckDB twin of `cosine(...)`: same formula, same float64 order. */
-  private def cosSql(a: String, b: String): String =
+  private[operators] def cosSql(a: String, b: String): String =
     s"list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
       s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
       s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"

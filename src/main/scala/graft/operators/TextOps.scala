@@ -25,7 +25,7 @@ object TextOps {
   /** Count of tokens equal to any of `terms` — the same codegen'd
     * size-difference trick (chained array_remove), replacing the
     * CodegenFallback `filter(toks, t === ...)` lambda form. */
-  private def countIn(toks: Column, terms: String*): Column =
+  private[operators] def countIn(toks: Column, terms: String*): Column =
     size(toks) - size(terms.foldLeft(toks)((a, t) => array_remove(a, t)))
 
   /** `text_stats` — per-doc char/token counts + mean token length. */
@@ -276,7 +276,13 @@ object TextOps {
     "text_repetition" -> (textRepetition _),
     "tf_top_terms" -> (tfTopTerms _))
 
-  private val TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+  /** DuckDB twin of [[tokens]] over an arbitrary column expression —
+    * ONE definition of the tokenizer contract both engines share
+    * (RetrievalOps applies it to a null-coalesced text). */
+  private[operators] def toksSql(col: String): String =
+    s"list_filter(string_split($col, ' '), t -> t <> '')"
+
+  private val TOKS = toksSql("text")
 
   val oracles: Map[String, String] = Map(
     "text_chunk" ->

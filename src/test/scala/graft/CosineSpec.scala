@@ -125,4 +125,16 @@ class CosineSpec extends SparkSpecBase {
     assert(df(2).isNullAt(0), "Inf element must null out")
     assert(df(3).getDouble(0) == 0.0)
   }
+
+  test("l2sq nulls out on a null ELEMENT, matching the fold's " +
+      "null-propagation (and still computes when no null is present)") {
+    import spark.implicits._
+    val rows = Seq(
+      (Seq(Option(1f), None), Seq(Option(1f), Option(2f))),
+      (Seq(Option(1f), Option(3f)), Seq(Option(1f), Option(2f))))
+      .toDF("a", "b")
+      .select(VectorFunctions.l2sq($"a", $"b").as("d2")).collect()
+    assert(rows(0).isNullAt(0), "null element must null out")
+    assert(rows(1).getDouble(0) == 1.0)
+  }
 }
