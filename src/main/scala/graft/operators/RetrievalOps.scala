@@ -45,14 +45,14 @@ object RetrievalOps {
     * 0.0 rather than poisoning the stats row. Tokenization and term
     * counting are [[TextOps.tokens]]/[[TextOps.countIn]] — the ONE
     * codegen'd tokenizer contract the whole text tier shares. */
-  private def projected(spark: SparkSession, dir: String): DataFrame = {
+  private def projected(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val toks = TextOps.tokens(coalesce($"text", lit("")))
     val tfs = Terms.zipWithIndex.map { case (term, i) =>
       TextOps.countIn(toks, term).cast("double").as(s"tf${i + 1}")
     }
-    Tables.documents(spark, dir)
-      .select($"doc_id" +: size(toks).cast("double").as("dl") +: tfs: _*)
+    docs.select($"doc_id" +: size(toks).cast("double").as("dl") +: tfs: _*)
   }
 
   /** The single corpus-stats row: N, avgdl, df per query term. */
@@ -83,12 +83,14 @@ object RetrievalOps {
     round(parts.reduceLeft(_ + _), 6)
   }
 
-  /** `text_bm25_topk` — top-20 docs for the fixed query by Okapi BM25.
-    * One stats reduce + one broadcast map + TakeOrdered; see object doc
-    * for the 100 TB shape. */
-  def textBm25Topk(spark: SparkSession, dir: String): DataFrame = {
+  /** The BM25 top-20 pipeline over ANY (doc_id, text) relation — the
+    * key's corpus by default; RobustOps replays it over the malformed
+    * corpus to pin the hostile semantics (null text = empty doc = 0.0,
+    * degenerate lengths ride the dl/avgdl normalization). */
+  private[operators] def bm25TopkOver(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val p = projected(spark, dir)
+    val p = projected(docs)
     val named = Terms.zipWithIndex.map { case (term, i) =>
       col(s"tf${i + 1}").cast("long").as(s"tf_$term")
     }
@@ -99,6 +101,12 @@ object RetrievalOps {
       .limit(20)
   }
 
+  /** `text_bm25_topk` — top-20 docs for the fixed query by Okapi BM25.
+    * One stats reduce + one broadcast map + TakeOrdered; see object doc
+    * for the 100 TB shape. */
+  def textBm25Topk(spark: SparkSession, dir: String): DataFrame =
+    bm25TopkOver(Tables.documents(spark, dir))
+
   /** `sim_hybrid_rrf` — reciprocal-rank fusion (k=60) of the BM25
     * top-50 and the cosine-kNN top-50 for query vector 0: the standard
     * hybrid-retrieval merge. Each candidate list is a distributed
@@ -106,7 +114,7 @@ object RetrievalOps {
     * 50-row lists is metadata-scale work by construction. */
   def simHybridRrf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p = projected(spark, dir)
+    val p = projected(Tables.documents(spark, dir))
     val b = p.crossJoin(broadcast(stats(p)))
       .filter($"doc_id" =!= 0)
       .select($"doc_id".as("id"), bm25Col.as("bm25"))
@@ -146,9 +154,9 @@ object RetrievalOps {
   private def tfSql(term: String) =
     s"CAST(len(list_filter($TOKS, x -> x = '$term')) AS DOUBLE)"
 
-  /** p/s CTEs shared by both oracles — the DuckDB twin of
-    * [[projected]] + [[stats]]. */
-  private val BM25_CTES = {
+  /** p/s CTEs shared by the oracles — the DuckDB twin of
+    * [[projected]] + [[stats]], over any (doc_id, text) relation. */
+  private def bm25Ctes(source: String): String = {
     val tfs = Terms.zipWithIndex
       .map { case (t, i) => s"    ${tfSql(t)} AS tf${i + 1}" }
       .mkString(",\n")
@@ -158,13 +166,16 @@ object RetrievalOps {
     s"""p AS (
        |  SELECT doc_id, CAST(len($TOKS) AS DOUBLE) AS dl,
        |$tfs
-       |  FROM documents),
+       |  FROM ($source)),
        |s AS (
        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
        |    CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl,
        |$dfs
        |  FROM p)""".stripMargin
   }
+
+  private val CORPUS_SRC = "SELECT doc_id, text FROM documents"
+  private val BM25_CTES = bm25Ctes(CORPUS_SRC)
 
   /** Twin of [[termScore]] — identical operation order; every literal
     * meets a DOUBLE operand, so DuckDB promotes as Spark does. */
@@ -177,17 +188,22 @@ object RetrievalOps {
   private val BM25_SQL =
     s"round(${Terms.indices.map(i => termScoreSql(i + 1)).mkString(" + ")}, 6)"
 
+  /** Full DuckDB replay of [[bm25TopkOver]] over `source` — generated
+    * from the same Terms list, so the robustness key can never drift
+    * from the corpus key. */
+  private[operators] def bm25OracleSql(source: String): String = {
+    val named = Terms.zipWithIndex.map { case (t, i) =>
+      s"  CAST(tf${i + 1} AS BIGINT) AS tf_$t" }.mkString(",\n")
+    s"""WITH ${bm25Ctes(source)}
+       |SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+       |$named,
+       |  $BM25_SQL AS bm25
+       |FROM p, s
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "text_bm25_topk" -> {
-      val named = Terms.zipWithIndex.map { case (t, i) =>
-        s"  CAST(tf${i + 1} AS BIGINT) AS tf_$t" }.mkString(",\n")
-      s"""WITH $BM25_CTES
-         |SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
-         |$named,
-         |  $BM25_SQL AS bm25
-         |FROM p, s
-         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
-    },
+    "text_bm25_topk" -> bm25OracleSql(CORPUS_SRC),
     "sim_hybrid_rrf" ->
       s"""WITH $BM25_CTES,
          |b AS (

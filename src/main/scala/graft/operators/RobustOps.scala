@@ -95,9 +95,20 @@ object RobustOps {
     DedupOps.minhashPipeline(malformedDocs(spark, dir),
       nHashes = 16, bandSize = 4, threshold = 0.4, portable = true)
 
+  /** `robust_bm25` — the full BM25 retrieval pipeline
+    * ([[RetrievalOps.bm25TopkOver]]) over the malformed corpus: null
+    * text scores as the empty doc (0.0, never a poisoned stats row),
+    * whitespace/punctuation docs get defined zero term frequencies,
+    * and the degenerate lengths (1 token vs 4000) ride the dl/avgdl
+    * normalization — all hash-checked against the DuckDB replay of
+    * the same CASE mutation. */
+  def robustBm25(spark: SparkSession, dir: String): DataFrame =
+    RetrievalOps.bm25TopkOver(malformedDocs(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "robust_token_count" -> (robustTokenCount _),
-    "robust_dedup_minhash" -> (robustDedupMinhash _))
+    "robust_dedup_minhash" -> (robustDedupMinhash _),
+    "robust_bm25" -> (robustBm25 _))
 
   private val TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
@@ -110,5 +121,6 @@ object RobustOps {
          |    AS n_bpe_tokens,
          |  len($TOKS) AS n_ws_tokens
          |FROM m ORDER BY doc_id""".stripMargin,
-    "robust_dedup_minhash" -> DedupOps.minhashOracle(MALFORMED_SRC))
+    "robust_dedup_minhash" -> DedupOps.minhashOracle(MALFORMED_SRC),
+    "robust_bm25" -> RetrievalOps.bm25OracleSql(MALFORMED_SRC))
 }
