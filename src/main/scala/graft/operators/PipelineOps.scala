@@ -524,14 +524,12 @@ object PipelineOps {
     val seeds: Array[Seq[Double]] = vecs.filter($"vec_id" < k)
       .orderBy($"vec_id").collect().map(_.getSeq[Double](1))
 
-    // squared distance to each centroid literal (fused codegen
-    // L2Squared — the fold was CodegenFallback and dominated every
-    // Lloyd pass), argmin by (d2, cid) via lexicographic array_min
+    // fused single-pass assignment (NearestCentroid: argmin by d2,
+    // tie -> lowest cid, straight float64 fold) — the k-struct
+    // array_min spelling allocated per row per Lloyd pass;
+    // PipelineSpec asserts equivalence against that spelling
     def assign(cs: Array[Seq[Double]]) =
-      array_min(array(cs.indices.map(c =>
-        struct(graft.functions.VectorFunctions.l2sq($"v",
-            array(cs(c).map(lit): _*)).as("d2"),
-          lit(c).as("cid"))): _*))
+      graft.functions.PqFunctions.nearestCentroid($"v", cs.toSeq)
 
     // Lloyd update: exact per-(cluster, dim) decimal sums -> k*dims rows
     // to the driver -> new centroid literals for the next assignment
@@ -624,8 +622,17 @@ object PipelineOps {
         .getField("cid")
     }
 
-    /** all m codes as one array column — the 8-byte index payload. */
+    /** all m codes as one array column — the 8-byte index payload.
+      * Fused single-pass encode ([[graft.functions.PqEncodeCodes]]):
+      * the declarative m×k slice+l2sq+argmin spelling ([[codeCol]],
+      * kept as the equivalence twin PipelineSpec asserts against) is
+      * allocation-bound — 64 slice arrays and 64 structs per vector. */
     def codesCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.functions.PqFunctions.pqEncode(v, book)
+
+    /** the declarative spelling of [[codesCol]] — spec twin only. */
+    private[graft] def codesColDeclarative(
+        v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       array((0 until m).map(codeCol(v, _)): _*)
 
     /** coarse (full-vector) distance to centroid `c`: chained subspace
@@ -783,11 +790,13 @@ object PipelineOps {
     val vecs = Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
+    // one fused encode per row; the 8 ADC lookups read the codes array
     val contrib = (0 until pq.m).map { s =>
       element_at(array((0 until pq.k).map(c => lit(pq.qd2(s, c))): _*),
-        pq.codeCol($"v", s) + 1)
+        element_at($"codes", s + 1) + 1)
     }
     vecs.filter($"vec_id" =!= 5)
+      .withColumn("codes", pq.codesCol($"v"))
       .select($"vec_id", round(contrib.reduce(_ + _), 6).as("adc_d2"))
       .orderBy($"adc_d2", $"vec_id")
   }

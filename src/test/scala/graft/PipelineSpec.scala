@@ -287,4 +287,57 @@ class PipelineSpec extends SparkSpecBase {
     val keys = got.map(r => (r.get(0), r.getString(1)))
     assert(keys.distinct.size == keys.size, "a window emitted twice")
   }
+
+  test("fused PQ encode equals the declarative slice+l2sq+argmin " +
+      "spelling on every corpus vector (codegen path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pq = graft.operators.PipelineOps.pqModel(spark, sf)
+    val rows = graft.sources.Tables.embeddingsValid(spark, sf)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .select($"vec_id",
+        pq.codesCol($"v").as("fused"),
+        pq.codesColDeclarative($"v").as("decl"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"codes diverge at vec ${r.getLong(0)}")
+    }
+  }
+
+  test("fused NearestCentroid equals the l2sq+struct+array_min " +
+      "argmin spelling, including tie-break to the lowest cid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pq = graft.operators.PipelineOps.pqModel(spark, sf)
+    val cents = (0 until 8).map(c =>
+      (0 until 8).flatMap(s => pq.book(s)(c)))
+    val rows = graft.sources.Tables.embeddingsValid(spark, sf)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .select($"vec_id",
+        graft.functions.PqFunctions.nearestCentroid($"v", cents)
+          .as("fused"),
+        array_min(array(cents.indices.map(c =>
+          struct(graft.functions.VectorFunctions.l2sq($"v",
+              array(cents(c).map(lit): _*)).as("d2"),
+            lit(c).as("cid"))): _*)).as("decl"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getStruct(1); val d = r.getStruct(2)
+      assert(f.getDouble(0) == d.getDouble(0) &&
+        f.getInt(1) == d.getInt(1), s"argmin diverges at ${r.getLong(0)}")
+    }
+    // tie-break: a vector equidistant from two centroids picks the
+    // lower cid (strict < on the running minimum)
+    val tie = Seq(Tuple1(Array(0.0, 0.0)))
+      .toDF("v")
+      .select(graft.functions.PqFunctions.nearestCentroid($"v",
+        Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))).as("a"))
+      .head().getStruct(0)
+    assert(tie.getInt(1) == 0 && tie.getDouble(0) == 1.0)
+  }
 }
