@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
   * Numerics contract (keeps the DuckDB oracle bit-exact): every product and
   * accumulation is float64 in ascending index order — identical to
   * `list_dot_product(a::DOUBLE[], b::DOUBLE[]) / (sqrt(...) * sqrt(...))`
-  * with IEEE-correctly-rounded sqrt. Null vectors propagate null; null
-  * *elements* are not expected (embeddings are dense). A NON-FINITE
+  * with IEEE-correctly-rounded sqrt. Null vectors propagate null, and
+  * so does a null ELEMENT (reading the slot as a phantom 0.0 would
+  * silently skew the score; the check is emitted only when a child's
+  * array type admits nulls, like [[L2Squared]]). A NON-FINITE
   * result (zero-norm input → 0/0, NaN/Inf elements) yields NULL, never
   * NaN: NaN sorts ABOVE every real cosine in a descending top-k, so one
   * hostile zero vector would otherwise crown every ranking it touches,
@@ -50,16 +52,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
+  private def mayHaveNullElems: Boolean = Seq(left, right).exists(
+    _.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     val (ld, rd) = (elemIsDouble(left), elemIsDouble(right))
+    val checkNulls = mayHaveNullElems
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = if (ld) x.getDouble(i) else x.getFloat(i).toDouble
       val yi = if (rd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi
@@ -86,22 +96,30 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val by = if (elemIsDouble(right)) s"$b.getDouble($i)"
                else s"(double) $b.getFloat($i)"
       val r = ctx.freshName("r")
+      val nullCheck = if (mayHaveNullElems)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |    ${ev.isNull} = true; break;
+           |  }""".stripMargin
+      else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $xi = $ax;
          |  double $yi = $by;
          |  $dot += $xi * $yi;
          |  $na += $xi * $xi;
          |  $nb += $yi * $yi;
          |}
-         |double $r = $dot / (java.lang.Math.sqrt($na) *
-         |  java.lang.Math.sqrt($nb));
-         |if (java.lang.Double.isFinite($r)) {
-         |  ${ev.value} = $r;
-         |} else {
-         |  ${ev.isNull} = true;
+         |if (!${ev.isNull}) {
+         |  double $r = $dot / (java.lang.Math.sqrt($na) *
+         |    java.lang.Math.sqrt($nb));
+         |  if (java.lang.Double.isFinite($r)) {
+         |    ${ev.value} = $r;
+         |  } else {
+         |    ${ev.isNull} = true;
+         |  }
          |}
        """.stripMargin
     })

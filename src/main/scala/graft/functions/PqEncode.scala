@@ -21,9 +21,13 @@ import org.apache.spark.sql.types._
   * `l2sq(slice(v, s*sub+1, sub), book(s)(c))` — and the argmin ties
   * break to the lowest entry id (strict `<` on the running minimum).
   * NULL input → NULL; a vector shorter than m·sub, or a null/non-finite
-  * element, nulls the whole result (the sliced l2sq path returned null
-  * structs there; inputs are guarded by `Tables.embeddingsValid`, so
-  * the branch never fires on corpus data). */
+  * element, nulls the whole result. NOTE this is STRICTER than the
+  * declarative spelling, which fed null l2sq structs to array_min and
+  * — because a NULL struct field sorts first — emitted a definite but
+  * meaningless code. NULL is the honest answer; consumers drop
+  * null-codes rows, and `Tables.embeddingsValid` fences such vectors
+  * (including null elements) before any kernel sees them, so the
+  * branch never fires on corpus data. */
 case class PqEncodeCodes(child: Expression,
     book: Seq[Seq[Seq[Double]]]) extends UnaryExpression {
 

@@ -534,7 +534,10 @@ object PipelineOps {
     // Lloyd update: exact per-(cluster, dim) decimal sums -> k*dims rows
     // to the driver -> new centroid literals for the next assignment
     def update(cs: Array[Seq[Double]]): Array[Seq[Double]] = {
+      // belt-and-braces: embeddingsValid fences unassignable vectors,
+      // but a null assignment must never reach the driver unbox below
       val sums = vecs.withColumn("a", assign(cs))
+        .filter($"a".isNotNull)
         .select($"v", $"a.cid".as("cid"))
         .select($"cid", posexplode($"v"))
         .groupBy($"cid", $"pos")
@@ -554,6 +557,7 @@ object PipelineOps {
 
     val centroids = (1 to iters).foldLeft(seeds)((cs, _) => update(cs))
     vecs.withColumn("a", assign(centroids))
+      .filter($"a".isNotNull)
       .select($"a.cid".cast("long").as("cid"), $"a.d2".as("d2"))
       .groupBy($"cid")
       .agg(count(lit(1)).as("n_vecs"),
@@ -790,14 +794,13 @@ object PipelineOps {
     val vecs = Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
-    // one fused encode per row; the 8 ADC lookups read the codes array
-    val contrib = (0 until pq.m).map { s =>
-      element_at(array((0 until pq.k).map(c => lit(pq.qd2(s, c))): _*),
-        element_at($"codes", s + 1) + 1)
-    }
+    // one fused encode per row; unencodable vectors (null codes —
+    // fenced by embeddingsValid, belt-and-braces here) drop rather
+    // than ride a NULL adc_d2 to the top of the ascending sort
     vecs.filter($"vec_id" =!= 5)
       .withColumn("codes", pq.codesCol($"v"))
-      .select($"vec_id", round(contrib.reduce(_ + _), 6).as("adc_d2"))
+      .filter($"codes".isNotNull)
+      .select($"vec_id", round(pq.adcFromCodes($"codes"), 6).as("adc_d2"))
       .orderBy($"adc_d2", $"vec_id")
   }
 

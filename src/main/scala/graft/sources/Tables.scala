@@ -95,12 +95,13 @@ object Tables {
     * would THROW on them), NaN/Inf elements (would poison every
     * accumulation), zero vectors (cosine 0/0) — never reach a plan.
     * The predicates are all codegen'd scalar expressions (Size,
-    * ArrayMin/ArrayMax, comparisons — deliberately NOT higher-order
-    * functions, which are CodegenFallback and would break every
-    * consumer's whole-stage span), so at 100 TB the guard rides the
-    * scan for free. On the driver corpus every row passes (all vectors
-    * unit-norm float32[64]), so guarded plans hash identically to raw
-    * ones — RobustnessSpec drives the hostile cases. */
+    * ArrayMin/ArrayMax, comparisons, and the repo's own fused L2
+    * kernel — deliberately NOT higher-order functions, which are
+    * CodegenFallback and would break every consumer's whole-stage
+    * span), so at 100 TB the guard rides the scan for free. On the
+    * driver corpus every row passes (all vectors unit-norm
+    * float32[64]), so guarded plans hash identically to raw ones —
+    * RobustnessSpec drives the hostile cases. */
   def embeddingsValid(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val e = col("embedding")
@@ -109,7 +110,13 @@ object Tables {
         // NaN fails every comparison; ±Inf fails one of the two bounds
         array_max(e) < Float.PositiveInfinity &&
         array_min(e) > Float.NegativeInfinity &&
-        (array_min(e) < 0f || array_max(e) > 0f))
+        (array_min(e) < 0f || array_max(e) > 0f) &&
+        // a null ELEMENT slips past ArrayMin/ArrayMax (both skip
+        // nulls) but would make every fused kernel null out — or worse,
+        // read a phantom 0.0; l2sq(e, e) nulls exactly on null
+        // elements, so this is the null-element fence, self-hosted on
+        // the same codegen'd kernel consumers use
+        graft.functions.VectorFunctions.l2sq(e, e).isNotNull)
   }
 
   /** Corpus embedding dimensionality (TESTDATA.md; asserted by

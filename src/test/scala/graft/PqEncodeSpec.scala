@@ -47,8 +47,8 @@ class PqEncodeSpec extends SparkSpecBase {
     val good = Array.fill(m * sub)(1.0f)
     val rows = Seq(
       Seq.fill(m * sub - 1)(Option(1.0f)),       // short
-      Option(2.0f) +: Seq.fill(m * sub - 1)(Option.empty[Float]).take(1)
-        ++: Seq.fill(m * sub - 2)(Option(1.0f)), // null element
+      Option(2.0f) +: Option.empty[Float] +:
+        Seq.fill(m * sub - 2)(Option(1.0f)),     // null element at idx 1
       Option(Float.NaN) +: Seq.fill(m * sub - 1)(Option(1.0f)),
       good.toSeq.map(Option(_)))                 // control
       .toDF("v")

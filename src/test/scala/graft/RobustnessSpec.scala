@@ -96,8 +96,16 @@ class RobustnessSpec extends SparkSpecBase {
       (104L, Array.fill(64)(Float.PositiveInfinity), 0),
       (105L, null.asInstanceOf[Array[Float]], 0))
       .toDF("vec_id", "embedding", "label")
+    // a null ELEMENT inside a correctly-sized vector: skips past
+    // ArrayMin/ArrayMax (both ignore nulls), so it exercises the
+    // guard's dedicated l2sq(e, e) null-element fence
+    val nullElemRow = Seq((106L,
+      Option(1f) +: Option.empty[Float] +: Seq.fill(62)(Option(1f)), 0))
+      .toDF("vec_id", "embedding", "label")
     val emb = Tables.embeddings(spark, sf)
       .unionByName(hostileRows.select($"vec_id", $"embedding",
+        $"label".cast("int").as("label")))
+      .unionByName(nullElemRow.select($"vec_id", $"embedding",
         $"label".cast("int").as("label")))
     writeFlat(emb, dst.resolve("embeddings.parquet"))
     out
@@ -110,8 +118,8 @@ class RobustnessSpec extends SparkSpecBase {
     val original = Tables.embeddings(spark, sf)
       .select($"vec_id").as[Long].collect().sorted
     assert(valid.sameElements(original),
-      "guard must drop exactly the planted rows (dupe ids 100-105 with " +
-        "zero/empty/truncated/NaN/Inf/null embeddings)")
+      "guard must drop exactly the planted rows (dupe ids 100-106 with " +
+        "zero/empty/truncated/NaN/Inf/null/null-element embeddings)")
   }
 
   test("cosine returns null, never NaN, for zero-norm and non-finite " +
