@@ -52,17 +52,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
-  private def mayHaveNullElems: Boolean = Seq(left, right).exists(
-    _.dataType match {
+  // schema-derived flags are loop-invariant across rows: cache them so
+  // the interpreted path's per-row cost is the arithmetic alone (the
+  // codegen path bakes them into the generated source already)
+  @transient private lazy val mayHaveNullElems: Boolean =
+    Seq(left, right).exists(_.dataType match {
       case ArrayType(_, n) => n
       case _ => true
     })
+  @transient private lazy val leftIsDouble = elemIsDouble(left)
+  @transient private lazy val rightIsDouble = elemIsDouble(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val (ld, rd) = (elemIsDouble(left), elemIsDouble(right))
+    val (ld, rd) = (leftIsDouble, rightIsDouble)
     val checkNulls = mayHaveNullElems
     var dot = 0.0
     var na = 0.0
@@ -168,19 +173,22 @@ case class L2Squared(left: Expression, right: Expression)
   // a null ELEMENT must null the whole result (the zip_with fold's
   // behavior: null product -> null sum). The check is only emitted /
   // taken when a child's array type admits nulls, so the dense
-  // embedding path stays a branch-free multiply-add loop.
-  private def mayHaveNullElems: Boolean = Seq(left, right).exists(
-    _.dataType match {
+  // embedding path stays a branch-free multiply-add loop. Cached like
+  // [[CosineSimilarity]]: loop-invariant schema flags, computed once.
+  @transient private lazy val mayHaveNullElems: Boolean =
+    Seq(left, right).exists(_.dataType match {
       case ArrayType(_, n) => n
       case _ => true
     })
+  @transient private lazy val leftIsDouble = elemIsDouble(left)
+  @transient private lazy val rightIsDouble = elemIsDouble(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
-    val (ld, rd) = (elemIsDouble(left), elemIsDouble(right))
+    val (ld, rd) = (leftIsDouble, rightIsDouble)
     val checkNulls = mayHaveNullElems
     var acc = 0.0
     var i = 0

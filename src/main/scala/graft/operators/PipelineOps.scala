@@ -536,15 +536,18 @@ object PipelineOps {
     def update(cs: Array[Seq[Double]]): Array[Seq[Double]] = {
       // belt-and-braces: embeddingsValid fences unassignable vectors,
       // but a null assignment must never reach the driver unbox below
+      // (Row.getInt(null) silently unboxes to cid 0, corrupting that
+      // centroid). The skip happens DRIVER-side on the k*dims group
+      // rows: a distributed .filter($"a".isNotNull) would be pushed
+      // below the projection and run the fused assignment twice per row
       val sums = vecs.withColumn("a", assign(cs))
-        .filter($"a".isNotNull)
         .select($"v", $"a.cid".as("cid"))
         .select($"cid", posexplode($"v"))
         .groupBy($"cid", $"pos")
         .agg(sum(col("col").cast("decimal(38,30)")).as("s"),
           count(lit(1)).as("n"))
         .collect()
-      val byCid = sums.groupBy(_.getInt(0))
+      val byCid = sums.filter(!_.isNullAt(0)).groupBy(_.getInt(0))
       cs.indices.map { cid =>
         byCid.get(cid) match {
           case Some(rows) =>
@@ -556,8 +559,11 @@ object PipelineOps {
     }
 
     val centroids = (1 to iters).foldLeft(seeds)((cs, _) => update(cs))
+    // no isNotNull fence on the kernel output (pushdown would double
+    // the per-row assignment — see update() above); if embeddingsValid
+    // ever regresses, null assignments surface as a VISIBLE null-cid
+    // group row instead of being silently dropped
     vecs.withColumn("a", assign(centroids))
-      .filter($"a".isNotNull)
       .select($"a.cid".cast("long").as("cid"), $"a.d2".as("d2"))
       .groupBy($"cid")
       .agg(count(lit(1)).as("n_vecs"),
@@ -794,14 +800,16 @@ object PipelineOps {
     val vecs = Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
-    // one fused encode per row; unencodable vectors (null codes —
-    // fenced by embeddingsValid, belt-and-braces here) drop rather
-    // than ride a NULL adc_d2 to the top of the ascending sort
+    // one fused encode per row — kept honest by NOT filtering on the
+    // kernel output: Catalyst pushes Filter(isnotnull(codes)) below the
+    // projection, re-inlining pq.codesCol into the filter and doubling
+    // the per-row encode. Unencodable vectors (null codes — fenced by
+    // embeddingsValid, belt-and-braces here) instead sort LAST, so
+    // every top-k cut stays clean at zero extra per-row work.
     vecs.filter($"vec_id" =!= 5)
       .withColumn("codes", pq.codesCol($"v"))
-      .filter($"codes".isNotNull)
       .select($"vec_id", round(pq.adcFromCodes($"codes"), 6).as("adc_d2"))
-      .orderBy($"adc_d2", $"vec_id")
+      .orderBy($"adc_d2".asc_nulls_last, $"vec_id")
   }
 
   /** `sim_pq_recall` — the honesty report for [[embedPq]], mirroring

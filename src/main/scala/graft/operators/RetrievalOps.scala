@@ -90,16 +90,18 @@ object RetrievalOps {
   private[operators] def bm25TopkOver(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // the stats reduce and the scoring map both read p — a LAZY
-    // localCheckpoint tokenizes the corpus once (materialized by the
-    // first action, reused by the second; measured 35% off the key;
-    // the narrow (id, dl, tfs) projection is a sliver of the corpus)
-    // without running a job at DataFrame-construction time, so
-    // explain()/plan-only callers stay free. At 100 TB the same
-    // tradeoff is persist(DISK_ONLY), or the stats row comes from
-    // ingest-maintained corpus metadata and the scoring pass is the
-    // only scan.
-    val p = projected(docs).localCheckpoint(false)
+    // the stats reduce and the scoring map both read p — an EAGER
+    // localCheckpoint tokenizes the corpus once (measured 35% off the
+    // key; the narrow (id, dl, tfs) projection is a sliver of the
+    // corpus). Eager on purpose: the first consumer of p is the
+    // broadcast stats row, and a lazy checkpoint would materialize the
+    // whole tokenize pass INSIDE the BroadcastExchange relationFuture,
+    // putting the corpus scan under spark.sql.broadcastTimeout (300 s
+    // default) — a failure mode the construction-time job cannot hit.
+    // At 100 TB the same tradeoff is persist(DISK_ONLY), or the stats
+    // row comes from ingest-maintained corpus metadata and the scoring
+    // pass is the only scan.
+    val p = projected(docs).localCheckpoint(true)
     val named = Terms.zipWithIndex.map { case (term, i) =>
       col(s"tf${i + 1}").cast("long").as(s"tf_$term")
     }
@@ -123,7 +125,8 @@ object RetrievalOps {
     * 50-row lists is metadata-scale work by construction. */
   def simHybridRrf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p = projected(Tables.documents(spark, dir)).localCheckpoint(false)
+    // eager for the same broadcastTimeout reason as [[bm25TopkOver]]
+    val p = projected(Tables.documents(spark, dir)).localCheckpoint(true)
     val b = p.crossJoin(broadcast(stats(p)))
       .filter($"doc_id" =!= 0)
       .select($"doc_id".as("id"), bm25Col.as("bm25"))

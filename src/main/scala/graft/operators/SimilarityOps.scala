@@ -119,6 +119,12 @@ object SimilarityOps {
           transform($"embedding", x => x.cast("double")).as("v"))
         .select($"vec_id", pq.codesCol($"v").as("codes"),
           pq.bucketCol($"v").as("bucket"))
+        // write-time fence: a null-codes row persisted here would poison
+        // every later probe (NULL adc_d2 sorts FIRST under asc) from a
+        // cached, fingerprint-keyed index. The filter's pushdown does
+        // re-run the encode once more per row, but only in this
+        // write-once build — never on the query path.
+        .filter($"codes".isNotNull)
         .repartition($"bucket")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("compression", "zstd")
@@ -176,6 +182,9 @@ object SimilarityOps {
         .withColumn("bucket", pq.bucketCol($"v"))
         .select($"vec_id", pqr.codesCol($"v", $"bucket").as("codes"),
           $"bucket")
+        // same write-time fence as [[ivfpqIndexLayout]]: never persist
+        // a null-codes row into the write-once index
+        .filter($"codes".isNotNull)
         .repartition($"bucket")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("compression", "zstd")
