@@ -134,13 +134,19 @@ object DedupOps {
     val cand = prefix.as("a").join(prefix.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
+    // scalar-stats cut before the threshold filter: the jaccard
+    // predicate references inter twice and the output recomputes it, so
+    // pushdown would inline array_intersect into the join condition and
+    // run the O(|ss|) intersect 3× per candidate pair. Materializing
+    // the five scalars (no arrays) runs it exactly ONCE; the filter
+    // then reads longs. Bounded: one narrow row per candidate pair.
     cand
       .join(sets.select($"doc_id".as("da"), $"ss".as("ssa")), "da")
       .join(sets.select($"doc_id".as("db"), $"ss".as("ssb")), "db")
-      .withColumn("na", size($"ssa").cast("long"))
-      .withColumn("nb", size($"ssb").cast("long"))
-      .withColumn("inter",
-        size(array_intersect($"ssa", $"ssb")).cast("long"))
+      .select($"da", $"db", size($"ssa").cast("long").as("na"),
+        size($"ssb").cast("long").as("nb"),
+        size(array_intersect($"ssa", $"ssb")).cast("long").as("inter"))
+      .localCheckpoint()
       .withColumn("jaccard",
         $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
       .filter($"jaccard" >= threshold)
@@ -179,6 +185,28 @@ object DedupOps {
     * band-bucket self-join and the two pair→set hash joins. */
   def minhashPipeline(docs: DataFrame, nHashes: Int, bandSize: Int,
       threshold: Double, portable: Boolean = false): DataFrame = {
+    import docs.sparkSession.implicits._
+    // scalar-stats cut before the threshold filter: the jaccard
+    // predicate references inter twice and the output recomputes it, so
+    // pushdown would re-inline the O(|ss|) array_intersect 3× into the
+    // join condition and the output projection. Materializing the five
+    // scalars (no arrays — one narrow row per candidate pair) runs the
+    // intersect exactly ONCE; DedupSpec asserts that shape on
+    // [[minhashPairStats]], which the checkpoint would otherwise hide.
+    minhashPairStats(docs, nHashes, bandSize, portable)
+      .localCheckpoint()
+      .withColumn("jaccard", $"inter".cast("double") /
+        ($"na" + $"nb" - $"inter"))
+      .filter($"jaccard" >= threshold)
+      .select($"da", $"db", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"da", $"db")
+  }
+
+  /** The pipeline up to (da, db, na, nb, inter) — signatures, banded
+    * buckets, candidate pairs, one array_intersect per pair. Split out
+    * pre-cut so the plan-shape spec can see the confirm strategy. */
+  private[graft] def minhashPairStats(docs: DataFrame, nHashes: Int,
+      bandSize: Int, portable: Boolean): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // per-doc distinct shingle set, carried as an array column. Eager
@@ -229,13 +257,8 @@ object DedupOps {
     cand
       .join(sets.select($"doc_id".as("da"), $"ss".as("ssa")), "da")
       .join(sets.select($"doc_id".as("db"), $"ss".as("ssb")), "db")
-      .withColumn("inter",
-        size(array_intersect($"ssa", $"ssb")).cast("long"))
-      .withColumn("jaccard", $"inter".cast("double") /
-        (size($"ssa") + size($"ssb") - $"inter"))
-      .filter($"jaccard" >= threshold)
-      .select($"da", $"db", round($"jaccard", 6).as("jaccard"))
-      .orderBy($"da", $"db")
+      .select($"da", $"db", size($"ssa").as("na"), size($"ssb").as("nb"),
+        size(array_intersect($"ssa", $"ssb")).cast("long").as("inter"))
   }
 
   /** `dedup_simhash` — SimHash over whitespace tokens (per-bit majority

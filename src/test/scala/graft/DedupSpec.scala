@@ -80,14 +80,20 @@ class DedupSpec extends SparkSpecBase {
     // the exact-Jaccard confirm must score each candidate pair with
     // array_intersect over the two docs' shingle sets — a co-shingle
     // self-join would emit k² rows for a shingle shared by k candidate
-    // docs and defeat the banding at scale. Plan shape: exactly 3 joins
-    // (band-bucket candidates + the two pair→set lookups) and an
-    // array_intersect in the projection.
-    val df = DedupOps.minhashPipeline(plantedDocs, nHashes = 16,
-      bandSize = 4, threshold = 0.4)
+    // docs and defeat the banding at scale. The pipeline checkpoints
+    // the stats frame (hiding its lineage), so the shape is asserted on
+    // the pre-cut [[DedupOps.minhashPairStats]]: exactly 3 joins
+    // (band-bucket candidates + the two pair→set lookups) and exactly
+    // ONE array_intersect — the cut exists precisely so the threshold
+    // filter's pushdown cannot re-inline the intersect into the join
+    // condition and triple the per-pair cost.
+    val df = DedupOps.minhashPairStats(plantedDocs, nHashes = 16,
+      bandSize = 4, portable = false)
     val plan = df.queryExecution.optimizedPlan.toString
-    assert(plan.contains("array_intersect"),
-      s"expected array_intersect confirm in plan:\n$plan")
+    val nIntersect = "array_intersect".r.findAllIn(plan).size
+    assert(nIntersect == 1,
+      s"expected exactly one array_intersect confirm in plan, " +
+        s"got $nIntersect:\n$plan")
     val nJoins = "Join Inner".r.findAllIn(plan).size
     assert(nJoins == 3, s"expected 3 joins, got $nJoins:\n$plan")
   }
