@@ -146,7 +146,11 @@ object DedupOps {
       .select($"da", $"db", size($"ssa").cast("long").as("na"),
         size($"ssb").cast("long").as("nb"),
         size(array_intersect($"ssa", $"ssb")).cast("long").as("inter"))
-      .localCheckpoint()
+      // LAZY: the LogicalRDD leaf blocks pushdown either way, and an
+      // eager cut here pays an extra synchronous job per construction
+      // (measured +0.8 s on contamination_check, which builds this
+      // frame just to read the pair list)
+      .localCheckpoint(false)
       .withColumn("jaccard",
         $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
       .filter($"jaccard" >= threshold)
@@ -193,8 +197,10 @@ object DedupOps {
     // scalars (no arrays — one narrow row per candidate pair) runs the
     // intersect exactly ONCE; DedupSpec asserts that shape on
     // [[minhashPairStats]], which the checkpoint would otherwise hide.
+    // LAZY for the same reason as [[jaccardPairs]]: the cut works at
+    // plan level; eager would add a synchronous job per construction.
     minhashPairStats(docs, nHashes, bandSize, portable)
-      .localCheckpoint()
+      .localCheckpoint(false)
       .withColumn("jaccard", $"inter".cast("double") /
         ($"na" + $"nb" - $"inter"))
       .filter($"jaccard" >= threshold)
