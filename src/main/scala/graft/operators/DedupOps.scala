@@ -134,28 +134,42 @@ object DedupOps {
     val cand = prefix.as("a").join(prefix.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
-    // scalar-stats cut before the threshold filter: the jaccard
-    // predicate references inter twice and the output recomputes it, so
-    // pushdown would inline array_intersect into the join condition and
-    // run the O(|ss|) intersect 3× per candidate pair. Materializing
-    // the five scalars (no arrays) runs it exactly ONCE; the filter
-    // then reads longs. Bounded: one narrow row per candidate pair.
+    thresholdJaccard(pairStats(cand, sets), threshold)
+      .select($"da", $"db", $"inter", $"na", $"nb",
+        round($"jaccard", 6).as("jaccard"))
+  }
+
+  /** (da, db, na, nb, inter) for each candidate pair — the confirm's
+    * scalar stats, one `array_intersect` per pair by construction.
+    * Bounded: one narrow row per candidate pair. */
+  private def pairStats(cand: DataFrame, sets: DataFrame): DataFrame = {
+    import cand.sparkSession.implicits._
     cand
       .join(sets.select($"doc_id".as("da"), $"ss".as("ssa")), "da")
       .join(sets.select($"doc_id".as("db"), $"ss".as("ssb")), "db")
       .select($"da", $"db", size($"ssa").cast("long").as("na"),
         size($"ssb").cast("long").as("nb"),
         size(array_intersect($"ssa", $"ssb")).cast("long").as("inter"))
-      // LAZY: the LogicalRDD leaf blocks pushdown either way, and an
-      // eager cut here pays an extra synchronous job per construction
-      // (measured +0.8 s on contamination_check, which builds this
-      // frame just to read the pair list)
-      .localCheckpoint(false)
+  }
+
+  /** The shared scalar-stats cut + threshold filter behind both confirm
+    * steps: the jaccard predicate references `inter` twice and the
+    * output recomputes it, so a filter directly over the stats
+    * projection would be pushed below it, re-inlining the O(|ss|)
+    * array_intersect 3× per candidate pair (twice in the predicate,
+    * once for the output). The LAZY lineage cut plants a LogicalRDD
+    * leaf that blocks the pushdown at plan level, so the intersect runs
+    * exactly ONCE and the filter reads longs. Lazy, not eager: an eager
+    * cut pays a synchronous job per DataFrame construction (measured
+    * +0.8 s on contamination_check, which builds this frame just to
+    * read the pair list). */
+  private def thresholdJaccard(stats: DataFrame,
+      threshold: Double): DataFrame = {
+    import stats.sparkSession.implicits._
+    stats.localCheckpoint(false)
       .withColumn("jaccard",
         $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
       .filter($"jaccard" >= threshold)
-      .select($"da", $"db", $"inter", $"na", $"nb",
-        round($"jaccard", 6).as("jaccard"))
   }
 
   /** `dedup_minhash_lsh` — MinHash signatures (16 hash permutations over
@@ -190,20 +204,11 @@ object DedupOps {
   def minhashPipeline(docs: DataFrame, nHashes: Int, bandSize: Int,
       threshold: Double, portable: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
-    // scalar-stats cut before the threshold filter: the jaccard
-    // predicate references inter twice and the output recomputes it, so
-    // pushdown would re-inline the O(|ss|) array_intersect 3× into the
-    // join condition and the output projection. Materializing the five
-    // scalars (no arrays — one narrow row per candidate pair) runs the
-    // intersect exactly ONCE; DedupSpec asserts that shape on
-    // [[minhashPairStats]], which the checkpoint would otherwise hide.
-    // LAZY for the same reason as [[jaccardPairs]]: the cut works at
-    // plan level; eager would add a synchronous job per construction.
-    minhashPairStats(docs, nHashes, bandSize, portable)
-      .localCheckpoint(false)
-      .withColumn("jaccard", $"inter".cast("double") /
-        ($"na" + $"nb" - $"inter"))
-      .filter($"jaccard" >= threshold)
+    // [[thresholdJaccard]] carries the scalar-stats cut (one intersect
+    // per pair); DedupSpec asserts the confirm shape on
+    // [[minhashPairStats]], which the cut would otherwise hide.
+    thresholdJaccard(minhashPairStats(docs, nHashes, bandSize, portable),
+        threshold)
       .select($"da", $"db", round($"jaccard", 6).as("jaccard"))
       .orderBy($"da", $"db")
   }
@@ -260,11 +265,7 @@ object DedupOps {
     // compute exact Jaccard via array_intersect — the join output (and the
     // intersection work) is bounded by |candidate pairs|, immune to
     // high-frequency-shingle blowup
-    cand
-      .join(sets.select($"doc_id".as("da"), $"ss".as("ssa")), "da")
-      .join(sets.select($"doc_id".as("db"), $"ss".as("ssb")), "db")
-      .select($"da", $"db", size($"ssa").as("na"), size($"ssb").as("nb"),
-        size(array_intersect($"ssa", $"ssb")).cast("long").as("inter"))
+    pairStats(cand, sets)
   }
 
   /** `dedup_simhash` — SimHash over whitespace tokens (per-bit majority

@@ -71,11 +71,18 @@ object PipelineOps {
     IngestOps.buildShared(spark, out,
       root => IngestOps.fsExists(spark, s"$root/_DONE")) { tmpRoot =>
       val docs = Tables.documents(spark, dir).filter($"doc_id" < maxDoc)
-      val edges = DedupOps.jaccardPairs(docs, 0.5)
-        .select($"da".as("src"), $"db".as("dst"))
-      connectedComponents(docs.select($"doc_id".as("node")), edges)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$tmpRoot/labels")
+      // the reduced-shuffle scope must cover the EDGE CONSTRUCTION, not
+      // just the propagation loop: jaccardPairs' lineage cut plans its
+      // subtree at construction (localCheckpoint calls toRdd even when
+      // lazy), which freezes spark.sql.shuffle.partitions before
+      // connectedComponents' own scoping could apply
+      withReducedShuffle(spark) {
+        val edges = DedupOps.jaccardPairs(docs, 0.5)
+          .select($"da".as("src"), $"db".as("dst"))
+        connectedComponents(docs.select($"doc_id".as("node")), edges)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$tmpRoot/labels")
+      }
       val p = new org.apache.hadoop.fs.Path(tmpRoot, "_DONE")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .create(p, true).close()
@@ -95,11 +102,18 @@ object PipelineOps {
     // overhead, and 8 partitions beat 32 the same way the streaming
     // state stores do. Restored after the loop; at real scale callers
     // size spark.sql.shuffle.partitions to the edge volume.
+    withReducedShuffle(spark)(connectedComponentsLoop(nodes, edges))
+  }
+
+  /** Scope `spark.sql.shuffle.partitions` down to `n` (never up) for
+    * `f`, restored after — the sliver-sized dedup-graph stages where
+    * fixed per-task overhead dominates. */
+  private def withReducedShuffle[T](spark: SparkSession, n: Int = 8)(
+      f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt).toString)
-    try connectedComponentsLoop(nodes, edges)
-    finally spark.conf.set(key, prev)
+    spark.conf.set(key, math.min(n, prev.toInt).toString)
+    try f finally spark.conf.set(key, prev)
   }
 
   private def connectedComponentsLoop(nodes: DataFrame,
@@ -535,11 +549,12 @@ object PipelineOps {
     // to the driver -> new centroid literals for the next assignment
     def update(cs: Array[Seq[Double]]): Array[Seq[Double]] = {
       // belt-and-braces: embeddingsValid fences unassignable vectors,
-      // but a null assignment must never reach the driver unbox below
-      // (Row.getInt(null) silently unboxes to cid 0, corrupting that
-      // centroid). The skip happens DRIVER-side on the k*dims group
-      // rows: a distributed .filter($"a".isNotNull) would be pushed
-      // below the projection and run the fused assignment twice per row
+      // but a null assignment must not reach the driver read below
+      // (Row.getInt throws NullPointerException on a null field, so the
+      // Lloyd update would crash mid-iteration). The skip happens
+      // DRIVER-side on the k*dims group rows: a distributed
+      // .filter($"a".isNotNull) would be pushed below the projection
+      // and run the fused assignment twice per row
       val sums = vecs.withColumn("a", assign(cs))
         .select($"v", $"a.cid".as("cid"))
         .select($"cid", posexplode($"v"))
@@ -805,7 +820,11 @@ object PipelineOps {
     // projection, re-inlining pq.codesCol into the filter and doubling
     // the per-row encode. Unencodable vectors (null codes — fenced by
     // embeddingsValid, belt-and-braces here) instead sort LAST, so
-    // every top-k cut stays clean at zero extra per-row work.
+    // every top-k cut stays clean at zero extra per-row work. Deliberate
+    // consequence: if the guard ever regresses, full-output consumers
+    // see a TRAILING null-distance row (a loud, visible signal — the
+    // spec's getDouble throws) rather than paying the kernel twice to
+    // silently hide the regression.
     vecs.filter($"vec_id" =!= 5)
       .withColumn("codes", pq.codesCol($"v"))
       .select($"vec_id", round(pq.adcFromCodes($"codes"), 6).as("adc_d2"))

@@ -108,7 +108,11 @@ object SimilarityOps {
   private[graft] def ivfpqIndexLayout(spark: SparkSession,
       dir: String): String = {
     import spark.implicits._
-    val out = graft.sources.IngestOps.shared("ivfpq_index_" +
+    // v2: the cache key is (name, source fingerprint) — it does not see
+    // builder-code changes, so the write-time null-codes fence below
+    // needs a layout-version bump or a pre-fence index would be served
+    // from _DONE forever
+    val out = graft.sources.IngestOps.shared("ivfpq_index_v2_" +
       dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
       graft.sources.IngestOps.sourceFingerprint(spark, dir))
     graft.sources.IngestOps.buildShared(spark, out, root =>
@@ -169,7 +173,8 @@ object SimilarityOps {
   private[graft] def ivfpqrIndexLayout(spark: SparkSession,
       dir: String): String = {
     import spark.implicits._
-    val out = graft.sources.IngestOps.shared("ivfpqr_index_" +
+    // v2: same layout-version bump as [[ivfpqIndexLayout]]
+    val out = graft.sources.IngestOps.shared("ivfpqr_index_v2_" +
       dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
       graft.sources.IngestOps.sourceFingerprint(spark, dir))
     graft.sources.IngestOps.buildShared(spark, out, root =>
