@@ -197,6 +197,24 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("fused kernels evaluate once per row: no filter or collapsed " +
+      "projection re-inlines the encode into the plan") {
+    // guards the round-14 fix: a belt-and-braces isNotNull filter on the
+    // kernel output gets pushed below the projection by Catalyst,
+    // re-inlining the 512-FLOP kernel into FilterExec and silently
+    // doubling the per-row cost (the nulls-last sort / driver-side skip
+    // spellings exist precisely to avoid that). One occurrence each.
+    val pqPlan = operators.PipelineOps.embedPqAll(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val nEnc = "pq_encode".r.findAllIn(pqPlan).size
+    assert(nEnc == 1, s"expected exactly one pq_encode, got $nEnc:\n$pqPlan")
+    val kmPlan = operators.PipelineOps.embedKmeansReport(spark, sf, 0)
+      .queryExecution.optimizedPlan.toString
+    val nAssign = "nearest_centroid".r.findAllIn(kmPlan).size
+    assert(nAssign == 1,
+      s"expected exactly one nearest_centroid, got $nAssign:\n$kmPlan")
+  }
+
   test("embed_kmeans: Lloyd update strictly decreases total inertia and " +
       "keeps every vector assigned") {
     def totals(iters: Int): (Long, Double) = {
