@@ -1431,7 +1431,14 @@ object IngestOps {
   private[graft] def bloomSidecar(spark: SparkSession, dir: String,
       root: String): String = {
     import spark.implicits._
-    val out = shared("events_blooms_" +
+    // v2: entries carry a CRC32 of the sketch bytes. A corrupt stats
+    // LINE fails its numeric parse loudly, but a bit-flipped bloom
+    // payload deserializes fine and then returns FALSE NEGATIVES —
+    // silently pruning files that hold the probed keys. The checksum
+    // converts that wrong-results mode into a loud failure (the
+    // parquet-page-CRC / Puffin-blob posture); the version bump forces
+    // pre-checksum sidecars to rebuild rather than read unchecked.
+    val out = shared("events_blooms_v2_" +
       dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
       sourceFingerprint(spark, dir))
     buildShared(spark, out, r => fsExists(spark, s"$r/_DONE")) { tmpRoot =>
@@ -1448,8 +1455,12 @@ object IngestOps {
         .agg(GraftBridge.column(agg.toAggregateExpression()).as("bf"))
         .collect()
       writeMetaLines(spark, tmpRoot, "blooms.txt", perFile.map { r =>
+        val bits = r.getAs[Array[Byte]](1)
+        val crc = new java.util.zip.CRC32
+        crc.update(bits)
         r.getString(0) + "|" + java.util.Base64.getEncoder
-          .encodeToString(r.getAs[Array[Byte]](1))
+          .encodeToString(bits) + "|" +
+          java.lang.Long.toHexString(crc.getValue)
       })
       val fs = new org.apache.hadoop.fs.Path(tmpRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1461,17 +1472,28 @@ object IngestOps {
   /** Files whose bloom MIGHT contain any of `keys` (+ the total count).
     * The probe hashes with the SAME xxhash64 the build used, and the
     * sketch bytes deserialize through the same sketch library Spark's
-    * BloomFilterMightContain reads — build and probe cannot drift. */
+    * BloomFilterMightContain reads — build and probe cannot drift. Each
+    * entry's CRC32 is verified BEFORE the sketch is trusted: a damaged
+    * bloom answers "definitely absent" for present keys, so corruption
+    * here must fail the plan loudly, never silently shrink the file
+    * list (IngestSpec pins this). */
   private[graft] def bloomQualifyingFiles(spark: SparkSession,
       sidecar: String, keys: Seq[Long]): (Seq[String], Int) = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val hashes = keys.map(k =>
       new XxHash64(Seq(Literal(k))).eval(null).asInstanceOf[Long])
     val entries = readMetaLines(spark, sidecar, "blooms.txt").map { l =>
-      val Array(rel, b64) = l.split("\\|", 2)
+      val Array(rel, b64, crcHex) = l.split("\\|", 3)
+      val bits = java.util.Base64.getDecoder.decode(b64)
+      val crc = new java.util.zip.CRC32
+      crc.update(bits)
+      if (java.lang.Long.toHexString(crc.getValue) != crcHex)
+        throw new IllegalStateException(
+          s"bloom sidecar corrupt for $rel: CRC mismatch " +
+            s"(${java.lang.Long.toHexString(crc.getValue)} != $crcHex) — " +
+            "refusing to plan from a damaged sketch")
       rel -> org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(
-          java.util.Base64.getDecoder.decode(b64)))
+        new java.io.ByteArrayInputStream(bits))
     }
     (entries.filter { case (_, bf) => hashes.exists(bf.mightContainLong) }
       .map(_._1), entries.size)

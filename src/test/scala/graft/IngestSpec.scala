@@ -285,6 +285,40 @@ class IngestSpec extends SparkSpecBase {
     assert(none.isEmpty, s"phantom key qualified files: $none")
   }
 
+  test("corrupt pruning metadata fails the plan loudly — a damaged " +
+      "bloom or stats sidecar must never silently shrink the file list") {
+    import graft.sources.IngestOps
+    // a bit-flipped bloom DESERIALIZES fine but answers 'definitely
+    // absent' for present keys — the one corruption mode that yields
+    // wrong results instead of an error, hence the CRC in the sidecar.
+    // Corrupt a COPY (shared layouts are never mutated).
+    val root = IngestOps.snapshotLayout(spark, sf)
+    val sidecar = IngestOps.bloomSidecar(spark, sf, root)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("bloom_corrupt").toString
+    val lines = IngestOps.readMetaLines(spark, sidecar, "blooms.txt")
+    assert(lines.nonEmpty && lines.head.split("\\|", 3).length == 3,
+      "sidecar entries must carry rel|b64|crc")
+    val Array(rel, b64, crc) = lines.head.split("\\|", 3)
+    val bits = java.util.Base64.getDecoder.decode(b64)
+    bits(bits.length / 2) = (bits(bits.length / 2) ^ 0x10).toByte
+    val flipped = rel + "|" +
+      java.util.Base64.getEncoder.encodeToString(bits) + "|" + crc
+    IngestOps.writeMetaLines(spark, tmp, "blooms.txt",
+      flipped +: lines.tail)
+    val e = intercept[IllegalStateException] {
+      IngestOps.bloomQualifyingFiles(spark, tmp, Seq(1L))
+    }
+    assert(e.getMessage.contains("CRC mismatch"), e.getMessage)
+    // stats manifests fail their numeric parse on garbage — pin that a
+    // truncated/corrupt line throws rather than dropping the file
+    IngestOps.writeMetaLines(spark, tmp, "metadata/files.stats.txt",
+      Seq("day=1/part-0.parquet|not_a_number|x"))
+    assertThrows[Exception] {
+      IngestOps.readStatsManifest(spark, tmp, "files.stats.txt")
+    }
+  }
+
   test("manifest_stats answers from metadata only — its plan reads no " +
       "data files") {
     // layout is built (a write-time cost); the QUERY plan itself must be
