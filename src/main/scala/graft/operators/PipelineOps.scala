@@ -65,9 +65,7 @@ object PipelineOps {
       maxDoc: Int): String = {
     import spark.implicits._
     import graft.sources.IngestOps
-    val out = IngestOps.shared(s"dedup_labels_${maxDoc}_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
-      IngestOps.sourceFingerprint(spark, dir))
+    val out = IngestOps.sharedFor(spark, s"dedup_labels_${maxDoc}", dir)
     IngestOps.buildShared(spark, out,
       root => IngestOps.fsExists(spark, s"$root/_DONE")) { tmpRoot =>
       val docs = Tables.documents(spark, dir).filter($"doc_id" < maxDoc)

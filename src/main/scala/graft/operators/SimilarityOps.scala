@@ -32,9 +32,7 @@ object SimilarityOps {
   private[graft] def ivfIndexLayout(spark: SparkSession,
       dir: String): String = {
     import spark.implicits._
-    val out = graft.sources.IngestOps.shared("ivf_index_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
-      graft.sources.IngestOps.sourceFingerprint(spark, dir))
+    val out = graft.sources.IngestOps.sharedFor(spark, "ivf_index", dir)
     graft.sources.IngestOps.buildShared(spark, out, root =>
       graft.sources.IngestOps.fsExists(spark, s"$root/_DONE")) { tmpRoot =>
       val e = Tables.embeddingsValid(spark, dir).select($"vec_id", $"embedding")
@@ -112,9 +110,7 @@ object SimilarityOps {
     // builder-code changes, so the write-time null-codes fence below
     // needs a layout-version bump or a pre-fence index would be served
     // from _DONE forever
-    val out = graft.sources.IngestOps.shared("ivfpq_index_v2_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
-      graft.sources.IngestOps.sourceFingerprint(spark, dir))
+    val out = graft.sources.IngestOps.sharedFor(spark, "ivfpq_index_v2", dir)
     graft.sources.IngestOps.buildShared(spark, out, root =>
       graft.sources.IngestOps.fsExists(spark, s"$root/_DONE")) { tmpRoot =>
       val pq = PipelineOps.pqModel(spark, dir)
@@ -174,9 +170,7 @@ object SimilarityOps {
       dir: String): String = {
     import spark.implicits._
     // v2: same layout-version bump as [[ivfpqIndexLayout]]
-    val out = graft.sources.IngestOps.shared("ivfpqr_index_v2_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
-      graft.sources.IngestOps.sourceFingerprint(spark, dir))
+    val out = graft.sources.IngestOps.sharedFor(spark, "ivfpqr_index_v2", dir)
     graft.sources.IngestOps.buildShared(spark, out, root =>
       graft.sources.IngestOps.fsExists(spark, s"$root/_DONE")) { tmpRoot =>
       val pq = PipelineOps.pqModel(spark, dir)   // coarse assignment

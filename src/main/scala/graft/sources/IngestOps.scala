@@ -69,6 +69,15 @@ object IngestOps {
     * rebuilding ingest-time artifacts. */
   private[graft] def shared(name: String) = s"/root/repo/target/tmp/$name"
 
+  /** Fingerprint-keyed shared-layout path: the ONE spelling of the
+    * cache key (prefix + sanitized dir + source fingerprint). Layouts
+    * derive their key here — a drifted sanitizer or separator in a
+    * hand-copied variant would silently fork that layout's cache. */
+  private[graft] def sharedFor(spark: SparkSession, prefix: String,
+      dir: String): String =
+    shared(prefix + "_" + dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
+      sourceFingerprint(spark, dir))
+
   private[graft] def fsExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -427,8 +436,7 @@ object IngestOps {
   private[graft] def partitionedLayout(spark: SparkSession,
       dir: String): String = {
     import spark.implicits._
-    val out = shared("events_layout_" + dir.replaceAll("[^A-Za-z0-9.]+", "_") +
-      "_" + sourceFingerprint(spark, dir))
+    val out = sharedFor(spark, "events_layout", dir)
     buildShared(spark, out, root => fsExists(spark, s"$root/_SUCCESS")) {
       tmpRoot =>
         eventsWithParts(spark, dir)
@@ -527,9 +535,7 @@ object IngestOps {
     * reads pure metadata operations afterwards. Returns the table root. */
   private[graft] def snapshotLayout(spark: SparkSession,
       dir: String): String = {
-    val out = shared("events_snapshots_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
-      sourceFingerprint(spark, dir))
+    val out = sharedFor(spark, "events_snapshots", dir)
     // completeness includes the stats sidecars and the commit log: a
     // layout built before either existed reads as stale and is rebuilt
     // (atomically, by buildShared)
@@ -1173,9 +1179,7 @@ object IngestOps {
     * like the lake-mutation bases. */
   private[graft] def fragmentedLayout(spark: SparkSession,
       dir: String): String = {
-    val out = shared("events_fragmented_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
-      sourceFingerprint(spark, dir))
+    val out = sharedFor(spark, "events_fragmented", dir)
     buildShared(spark, out,
       root => fsExists(spark, s"$root/_DONE")) { tmpRoot =>
       Tables.events(spark, dir)
@@ -1296,9 +1300,7 @@ object IngestOps {
     * same recipe applies per partition). */
   private[graft] def statsLayout(spark: SparkSession, dir: String): String = {
     import spark.implicits._
-    val out = shared("events_valstats_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
-      sourceFingerprint(spark, dir))
+    val out = sharedFor(spark, "events_valstats", dir)
     buildShared(spark, out,
       root => fsExists(spark, s"$root/metadata/_DONE")) { tmpRoot =>
       eventsWithParts(spark, dir)
@@ -1373,9 +1375,7 @@ object IngestOps {
   private[graft] def nullStatsLayout(spark: SparkSession,
       dir: String): String = {
     import spark.implicits._
-    val out = shared("events_nullstats_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
-      sourceFingerprint(spark, dir))
+    val out = sharedFor(spark, "events_nullstats", dir)
     buildShared(spark, out,
       root => fsExists(spark, s"$root/metadata/_DONE")) { tmpRoot =>
       eventsWithParts(spark, dir)
@@ -1438,9 +1438,7 @@ object IngestOps {
     // converts that wrong-results mode into a loud failure (the
     // parquet-page-CRC / Puffin-blob posture); the version bump forces
     // pre-checksum sidecars to rebuild rather than read unchecked.
-    val out = shared("events_blooms_v2_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
-      sourceFingerprint(spark, dir))
+    val out = sharedFor(spark, "events_blooms_v2", dir)
     buildShared(spark, out, r => fsExists(spark, s"$r/_DONE")) { tmpRoot =>
       import org.apache.spark.sql.GraftBridge
       import org.apache.spark.sql.catalyst.expressions.Literal

@@ -33,51 +33,77 @@ object LakeOps {
     cloneTree(cowBaseLayout(spark, dir), out)
 
   /** Overwrite only the partitions present in `df` (Iceberg's
-    * copy-on-write commit): dynamic partition-overwrite scoped to this
-    * one write, session conf restored after the eager action. */
+    * copy-on-write commit). Dynamic overwrite is scoped PER-WRITE via
+    * the writer option, never the session conf: a concurrent writer
+    * (a streaming micro-batch calls this from its own thread) must not
+    * observe a flipped global mode — static + Overwrite would truncate
+    * every untouched partition in the table. `touched` lists the
+    * partition values the commit's predicate hit: dynamic overwrite
+    * only REPLACES partitions present in the output, so a touched
+    * partition whose EVERY row was deleted would otherwise keep its
+    * stale file and resurrect the doomed rows — such partitions are
+    * detected by their unchanged file set (a rewrite always lands
+    * fresh task-UUID file names) and their directories dropped
+    * explicitly, completing the delete. */
   private[graft] def rewritePartitions(spark: SparkSession, df: DataFrame,
-      out: String): Unit = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try {
-      df.repartition(col("day"))
-        .write.mode(SaveMode.Overwrite)
-        .option("compression", "zstd")
-        .partitionBy("day").parquet(out)
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+      out: String, touched: Seq[Int]): Unit = {
+    val fs = hfs(spark, out)
+    def fileSet(d: Int): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(out, s"day=$d")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName).toSet
+    }
+    val before = touched.map(d => d -> fileSet(d)).toMap
+    df.repartition(col("day"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .partitionBy("day").parquet(out)
+    touched.foreach { d =>
+      if (before(d).nonEmpty && fileSet(d) == before(d))
+        fs.delete(new org.apache.hadoop.fs.Path(out, s"day=$d"), true)
     }
   }
 
   /** `merge_upsert` — MERGE INTO base USING updates ON event_id:
     * matched rows get the update's value, unmatched update rows are
     * inserted. Updates = even event_ids of days 8-12 with value doubled,
-    * plus the same rows re-keyed (+1e8) as inserts. Copy-on-write: the
+    * plus the same rows re-keyed (negated: -id-1, disjoint from every
+    * real id at ANY corpus scale) as inserts. Copy-on-write: the
     * affected day-partitions are computed from the updates' keys
     * (metadata-scale collect), rewritten as (base ⟕anti updates) ∪
     * updates in one shuffle; days outside 8-12 keep their original files
     * (LakeSpec asserts byte-identical). */
+  /** The MERGE fixture's source frame, shared by [[mergeUpsert]] and
+    * [[mergeUpsertEvolve]] so the (day window, even-key predicate,
+    * value*2, negative re-key, +1000.0) semantics exist exactly once —
+    * both oracles encode the same arithmetic. Updates = even event_ids
+    * of days 8-12 with value doubled, plus the same rows re-keyed into
+    * the negative space as inserts. */
+  private def mergeUpdates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val matched = IngestOps.eventsWithParts(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+      .filter($"day".between(8, 12) && pmod($"event_id", lit(2L)) === 0)
+    matched.withColumn("value", $"value" * 2)
+      .unionByName(matched
+        .withColumn("event_id", -$"event_id" - 1L)
+        .withColumn("event_type", lit("inserted"))
+        .withColumn("value", $"value" + 1000.0))
+  }
+
   def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val out = IngestOps.tmp("events_merge")
     writeBase(spark, dir, out)
-    val matched = IngestOps.eventsWithParts(spark, dir)
-      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
-      .filter($"day".between(8, 12) && pmod($"event_id", lit(2L)) === 0)
-    val updates = matched.withColumn("value", $"value" * 2)
-      .unionByName(matched
-        .withColumn("event_id", $"event_id" + 100000000L)
-        .withColumn("event_type", lit("inserted"))
-        .withColumn("value", $"value" + 1000.0))
+    val updates = mergeUpdates(spark, dir)
     // partition keys touched by the merge — metadata cardinality only
     val days = touchedDays(updates)
     val base = spark.read.parquet(out)
     val merged = base.filter($"day".isin(days.map(Int.box): _*))
       .join(updates.select($"event_id"), Seq("event_id"), "left_anti")
       .unionByName(updates)
-    rewritePartitions(spark, merged, out)
+    rewritePartitions(spark, merged, out, days)
     spark.read.parquet(out)
       .filter($"day".between(6, 14))
       .groupBy($"day".cast("long").as("day"))
@@ -102,14 +128,7 @@ object LakeOps {
     import spark.implicits._
     val out = IngestOps.tmp("events_merge_evolve")
     writeBase(spark, dir, out)
-    val matched = IngestOps.eventsWithParts(spark, dir)
-      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
-      .filter($"day".between(8, 12) && pmod($"event_id", lit(2L)) === 0)
-    val updates = matched.withColumn("value", $"value" * 2)
-      .unionByName(matched
-        .withColumn("event_id", $"event_id" + 100000000L)
-        .withColumn("event_type", lit("inserted"))
-        .withColumn("value", $"value" + 1000.0))
+    val updates = mergeUpdates(spark, dir)
       .withColumn("origin", lit("cdc"))
     val days = touchedDays(updates)
     val base = spark.read.parquet(out)
@@ -119,7 +138,7 @@ object LakeOps {
       .join(updates.select($"event_id"), Seq("event_id"), "left_anti")
       .withColumn("origin", lit(null).cast("string"))
       .unionByName(updates)
-    rewritePartitions(spark, merged, out)
+    rewritePartitions(spark, merged, out, days)
     spark.read.option("mergeSchema", "true").parquet(out)
       .filter($"day".between(6, 14))
       .groupBy($"day".cast("long").as("day"))
@@ -144,7 +163,7 @@ object LakeOps {
     val days = touchedDays(base.filter(doomed))
     val survivors = base.filter($"day".isin(days.map(Int.box): _*))
       .filter(!doomed)
-    rewritePartitions(spark, survivors, out)
+    rewritePartitions(spark, survivors, out, days)
     spark.read.parquet(out)
       .filter($"day".between(1, 10))
       .groupBy($"day".cast("long").as("day"))
@@ -251,13 +270,21 @@ object LakeOps {
         .select($"_metadata.file_path".as("file"),
           $"_metadata.row_index".as("pos")),
       dvDir)
-    readWithDeletionVectors(spark, out, dvDir)
+    val (merged, dvB) = readWithDeletionVectors(spark, out, dvDir)
+    // eager: the day-level aggregate (≈10 rows) materializes NOW, so
+    // the DV broadcast can be released synchronously instead of
+    // accumulating across bench/spec reruns until the ContextCleaner
+    // wakes up (the dedupCorpusBloom lifetime pattern)
+    val result = merged
       .filter($"day".between(1, 10))
       .groupBy($"day".cast("long").as("day"))
       .agg(count(lit(1)).as("n"),
         count(when($"event_type" === "purchase", 1)).as("n_purchases"),
         dsum($"value").as("sum_value"))
       .orderBy($"day")
+      .localCheckpoint(true)
+    dvB.destroy()
+    result
   }
 
   /** The DV write: aggregate each touched file's doomed positions into a
@@ -296,7 +323,9 @@ object LakeOps {
     * never a per-row deserialize and never a row-count-sized anti-join
     * shuffle. */
   private[graft] def readWithDeletionVectors(spark: SparkSession,
-      out: String, dvDir: String): DataFrame = {
+      out: String, dvDir: String): (DataFrame,
+        org.apache.spark.broadcast.Broadcast[
+          Map[String, org.roaringbitmap.RoaringBitmap]]) = {
     import spark.implicits._
     val dvs = spark.read.parquet(dvDir).select($"file", $"dv")
       .collect().map { r =>
@@ -305,14 +334,17 @@ object LakeOps {
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
         r.getString(0) -> bm
       }.toMap
+    // the CALLER owns the broadcast's lifetime and must destroy() it
+    // once the returned frame is materialized
     val bc = spark.sparkContext.broadcast(dvs)
     val live = udf((file: String, pos: Long) =>
       !bc.value.get(file).exists(_.contains(pos.toInt)))
-    spark.read.parquet(out)
+    val df = spark.read.parquet(out)
       .withColumn("__dv_file", $"_metadata.file_path")
       .withColumn("__dv_pos", $"_metadata.row_index")
       .filter(live($"__dv_file", $"__dv_pos"))
       .drop("__dv_file", "__dv_pos")
+    (df, bc)
   }
 
   /** `delete_mor_seq` — SEQUENCE-NUMBER-correct merge-on-read (Iceberg
@@ -391,7 +423,7 @@ object LakeOps {
     // fold the deletes into ONLY those partitions' data files
     val survivors = base.filter($"day".isin(days.map(Int.box): _*))
       .join(broadcast(deletes), Seq("event_id"), "left_anti")
-    rewritePartitions(spark, survivors, out)
+    rewritePartitions(spark, survivors, out, days)
     // the delete file is now redundant — remove it; the table is pure
     // data files again
     org.apache.spark.network.util.JavaUtils
@@ -529,9 +561,7 @@ object LakeOps {
   private[graft] def partitionEvolveLayout(spark: SparkSession,
       dir: String): (String, String) = {
     import spark.implicits._
-    val out = IngestOps.shared("events_specevo_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
-      IngestOps.sourceFingerprint(spark, dir))
+    val out = IngestOps.sharedFor(spark, "events_specevo", dir)
     IngestOps.buildShared(spark, out, root =>
       IngestOps.fsExists(spark, s"$root/_DONE_EVOLVE")) { root =>
       val ev = IngestOps.eventsWithParts(spark, dir)
@@ -569,7 +599,7 @@ object LakeOps {
     val days = touchedDays(base.filter(hit))
     val rewritten = base.filter($"day".isin(days.map(Int.box): _*))
       .withColumn("value", when(hit, $"value" * 2).otherwise($"value"))
-    rewritePartitions(spark, rewritten, out)
+    rewritePartitions(spark, rewritten, out, days)
     spark.read.parquet(out)
       .filter($"day".between(1, 10))
       .groupBy($"day".cast("long").as("day"))
@@ -684,23 +714,27 @@ object LakeOps {
   private[graft] def cloneTree(src: String, dst: String): Unit = {
     import java.nio.file._
     val s = Paths.get(src); val d = Paths.get(dst)
-    if (Files.exists(d))
-      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+    // Files.walk holds a DirectoryStream per level — close it, or every
+    // per-query clone leaks descriptors until GC notices
+    if (Files.exists(d)) {
+      val w = Files.walk(d)
+      try w.sorted(java.util.Comparator.reverseOrder())
         .forEach(pp => Files.delete(pp))
-    Files.walk(s).forEach { pp =>
+      finally w.close()
+    }
+    val w = Files.walk(s)
+    try w.forEach { pp =>
       val t = d.resolve(s.relativize(pp).toString)
       if (Files.isDirectory(pp)) Files.createDirectories(t)
       else { Files.createDirectories(t.getParent); Files.copy(pp, t) }
-    }
+    } finally w.close()
   }
 
   /** Shared immutable build of the [[buildVersioned]] 3-snapshot table,
     * fingerprint-keyed; [[writeVersioned]] clones it per call. */
   private[graft] def versionedBaseLayout(spark: SparkSession,
       dir: String): String = {
-    val out = IngestOps.shared("events_versioned_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
-      IngestOps.sourceFingerprint(spark, dir))
+    val out = IngestOps.sharedFor(spark, "events_versioned", dir)
     IngestOps.buildShared(spark, out, root =>
       IngestOps.fsExists(spark, s"$root/metadata/_DONE_VERSIONED")) { root =>
       buildVersioned(spark, dir, root)
@@ -716,9 +750,7 @@ object LakeOps {
   private[graft] def cowBaseLayout(spark: SparkSession,
       dir: String): String = {
     import org.apache.spark.sql.functions.col
-    val out = IngestOps.shared("events_cowbase_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
-      IngestOps.sourceFingerprint(spark, dir))
+    val out = IngestOps.sharedFor(spark, "events_cowbase", dir)
     IngestOps.buildShared(spark, out, root =>
       IngestOps.fsExists(spark, s"$root/_DONE_BASE")) { root =>
       IngestOps.eventsWithParts(spark, dir)
@@ -745,9 +777,7 @@ object LakeOps {
     * fixtures; the refs are written INSIDE the build, so the published
     * layout is immutable afterwards). */
   private[graft] def refsLayout(spark: SparkSession, dir: String): String = {
-    val out = IngestOps.shared("events_refs_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
-      IngestOps.sourceFingerprint(spark, dir))
+    val out = IngestOps.sharedFor(spark, "events_refs", dir)
     IngestOps.buildShared(spark, out, root =>
       IngestOps.fsExists(spark, s"$root/metadata/_DONE_REFS")) { root =>
       writeVersioned(spark, dir, root)
@@ -772,9 +802,7 @@ object LakeOps {
   private[graft] def historyLayout(spark: SparkSession,
       dir: String): String = {
     import spark.implicits._
-    val out = IngestOps.shared("events_history_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
-      IngestOps.sourceFingerprint(spark, dir))
+    val out = IngestOps.sharedFor(spark, "events_history", dir)
     IngestOps.buildShared(spark, out, root =>
       IngestOps.fsExists(spark, s"$root/metadata/_DONE_HISTORY")) { root =>
       writeVersioned(spark, dir, root)
@@ -808,9 +836,7 @@ object LakeOps {
   private[graft] def manifestsLayout(spark: SparkSession,
       dir: String): String = {
     import spark.implicits._
-    val out = IngestOps.shared("events_manifests_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
-      IngestOps.sourceFingerprint(spark, dir))
+    val out = IngestOps.sharedFor(spark, "events_manifests", dir)
     IngestOps.buildShared(spark, out, root =>
       IngestOps.fsExists(spark, s"$root/metadata/_DONE_MANIFESTS")) { root =>
       val data = s"$root/data"
@@ -843,8 +869,21 @@ object LakeOps {
     }
   }
 
+  /** Refuse to time-travel to a snapshot [[expireSnapshots]] reclaimed:
+    * its files are gone, so the clean contract is an immediate
+    * "expired" error at PLAN time, never a FileNotFound mid-scan. */
+  private def requireNotExpired(spark: SparkSession, root: String,
+      asOf: Int): Unit = {
+    val expired = readManifest(spark, root, "expired.txt").map(_.toInt)
+    if (expired.contains(asOf))
+      throw new IllegalStateException(
+        s"snapshot $asOf of $root has been expired — its data files " +
+          "were reclaimed; read a ref-pinned snapshot instead")
+  }
+
   private def readLive(spark: SparkSession, root: String,
       snaps: Seq[Int]): DataFrame = {
+    if (snaps.nonEmpty) requireNotExpired(spark, root, snaps.max)
     val files = liveFiles(spark, root, snaps).map(rel => s"$root/data/$rel")
     spark.read.option("basePath", s"$root/data").parquet(files: _*)
   }
@@ -882,6 +921,7 @@ object LakeOps {
     * rewritten manifest list. */
   private[graft] def readLiveCompacted(spark: SparkSession, root: String,
       n: Int): DataFrame = {
+    requireNotExpired(spark, root, n)
     val files =
       if (readManifest(spark, root, s"snap-$n.FULL").nonEmpty)
         readManifest(spark, root, s"snap-$n.txt")
@@ -1010,6 +1050,16 @@ object LakeOps {
     (listData(spark, data) -- reachable).foreach { rel =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$data/$rel"), false)
     }
+    // Iceberg removes expired snapshots from METADATA along with their
+    // files: a snapshot whose as-of view lost files to the reclaim is
+    // recorded as expired so time travel to it fails with a clean
+    // "snapshot expired" instead of dangling into FileNotFound at scan
+    // (the manifests themselves stay — history records are never
+    // falsified, the snapshot is just no longer a readable target)
+    val remaining = listData(spark, data)
+    val expired = (1 to 5).filterNot(s =>
+      liveFiles(spark, out, 1 to s).forall(remaining.contains))
+    writeManifest(spark, out, "expired.txt", expired.map(_.toString))
     readLive(spark, out, 1 to 5)
       .groupBy($"day".cast("long").as("day"))
       .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))

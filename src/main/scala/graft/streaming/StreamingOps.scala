@@ -373,9 +373,7 @@ object StreamingOps {
       dir: String): String = {
     import spark.implicits._
     import graft.sources.IngestOps
-    val out = IngestOps.shared("stream_latedrops_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
-      IngestOps.sourceFingerprint(spark, dir))
+    val out = IngestOps.sharedFor(spark, "stream_latedrops", dir)
     IngestOps.buildShared(spark, out,
       root => IngestOps.fsExists(spark, s"$root/_DONE")) { root =>
       val fs = new org.apache.hadoop.fs.Path(root)
@@ -443,7 +441,8 @@ object StreamingOps {
             val merged = base.filter($"day".isin(days.map(Int.box): _*))
               .join(batch.select($"event_id"), Seq("event_id"), "left_anti")
               .unionByName(batch)
-            graft.sources.LakeOps.rewritePartitions(spark, merged, out)
+            graft.sources.LakeOps.rewritePartitions(spark, merged, out,
+              days)
           }
         }
         .start()
@@ -547,9 +546,7 @@ object StreamingOps {
       dir: String): String = {
     import spark.implicits._
     import graft.sources.IngestOps
-    val out = IngestOps.shared("events_streambase_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
-      IngestOps.sourceFingerprint(spark, dir))
+    val out = IngestOps.sharedFor(spark, "events_streambase", dir)
     IngestOps.buildShared(spark, out,
       root => IngestOps.fsExists(spark, s"$root/_DONE_BASE")) { root =>
       IngestOps.eventsWithParts(spark, dir)
@@ -599,7 +596,7 @@ object StreamingOps {
       .filter($"day".isin(days.map(Int.box): _*))
       .join(broadcast(del), Seq("event_id"), "left_anti")
       .unionByName(add)
-    graft.sources.LakeOps.rewritePartitions(spark, merged, base)
+    graft.sources.LakeOps.rewritePartitions(spark, merged, base, days)
     org.apache.spark.network.util.JavaUtils
       .deleteRecursively(new java.io.File(delta))
     org.apache.spark.network.util.JavaUtils
@@ -721,9 +718,7 @@ object StreamingOps {
       dir: String): String = {
     import spark.implicits._
     import graft.sources.IngestOps
-    val out = IngestOps.shared("stream_resumebatches_" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
-      IngestOps.sourceFingerprint(spark, dir))
+    val out = IngestOps.sharedFor(spark, "stream_resumebatches", dir)
     IngestOps.buildShared(spark, out,
       root => IngestOps.fsExists(spark, s"$root/_DONE")) { root =>
       val ev = IngestOps.eventsWithParts(spark, dir)

@@ -221,6 +221,42 @@ class LakeSpec extends SparkSpecBase {
       .orderBy($"day").collect()
     assert(tagRows.toSeq == direct.toSeq,
       "tag read diverged after expiry")
+    // expiry is recorded in METADATA too (the Iceberg contract): the
+    // snapshots whose as-of views lost files are marked expired, and
+    // time travel to them errors cleanly at plan time instead of
+    // dangling into FileNotFound mid-scan
+    val expired = graft.sources.IngestOps
+      .readMetaLines(spark, root, "metadata/expired.txt").map(_.toInt)
+    assert(expired.nonEmpty && expired.forall(Set(2, 3, 4)),
+      s"expected the unpinned middle snapshots expired, got $expired")
+    expired.headOption.foreach { s =>
+      val e = intercept[IllegalStateException] {
+        sources.LakeOps.readLiveCompacted(spark, root, s)
+      }
+      assert(e.getMessage.contains("expired"), e.getMessage)
+    }
+  }
+
+  test("copy-on-write rewrite drops a partition whose every row was " +
+      "deleted — dynamic overwrite alone would keep its stale file") {
+    import spark.implicits._
+    val out = graft.sources.IngestOps.tmp("events_cow_empty")
+    val fs = new Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(out), true)
+    Seq((1L, 1, "a"), (2L, 1, "b"), (3L, 2, "a"), (4L, 2, "a"))
+      .toDF("event_id", "day", "event_type")
+      .write.partitionBy("day").parquet(out)
+    // the delete's predicate empties day=2 entirely and thins day=1
+    val base = spark.read.parquet(out)
+    val doomed = $"event_type" === "a"
+    val survivors = base.filter(!doomed)
+    sources.LakeOps.rewritePartitions(spark, survivors, out, Seq(1, 2))
+    assert(!fs.exists(new Path(s"$out/day=2")),
+      "emptied partition's stale directory survived the delete")
+    val back = spark.read.parquet(out).collect()
+    assert(back.map(_.getLong(0)).toSet == Set(2L),
+      s"wrong survivors: ${back.mkString(",")}")
   }
 
   test("rollback_snapshot: abandoned snapshot-3 files stay on disk but " +
@@ -409,11 +445,13 @@ class LakeSpec extends SparkSpecBase {
       s"DV sidecar ($dvBytes B) should be a fraction of the pair file " +
         s"($pairBytes B) for a wide delete")
     // and the DV read serves exactly the survivors
-    val survivors = sources.LakeOps
+    val (survivors, dvB) = sources.LakeOps
       .readWithDeletionVectors(spark, wideRoot, wideDv)
-    assert(survivors.count() == 50000)
-    assert(survivors
-      .filter($"id" >= 25000 && $"id" < 175000).count() == 0)
+    try {
+      assert(survivors.count() == 50000)
+      assert(survivors
+        .filter($"id" >= 25000 && $"id" < 175000).count() == 0)
+    } finally dvB.destroy()
   }
 
   test("manifest_rewrite compacts planning to one manifest without " +
