@@ -193,7 +193,7 @@ object LakeOps {
     // the delete commit: doomed KEYS only, one tiny file
     base.filter($"event_type" === "click" && $"day".between(3, 7))
       .select($"event_id")
-      .coalesce(1)
+      .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(del)
     // the read path: data files unchanged, delete file anti-joined in
     val deletes = spark.read.parquet(del)
@@ -225,7 +225,7 @@ object LakeOps {
       .filter($"event_type" === "view" && $"day".between(4, 6))
       .select($"_metadata.file_path".as("d_file"),
         $"_metadata.row_index".as("d_pos"))
-      .coalesce(1)
+      .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(del)
     // the read path: anti-join on (file, position)
     val deletes = spark.read.parquet(del)
@@ -310,7 +310,7 @@ object LakeOps {
       .agg(collect_list($"pos").as("ps"))
       .select($"file", toDv($"ps").as("dv"),
         size($"ps").cast("long").as("n_deleted"))
-      .coalesce(1)
+      .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(dvDir)
   }
 
@@ -367,7 +367,7 @@ object LakeOps {
     val base = spark.read.parquet(seq1)
     val doomed = base.filter($"event_type" === "purchase" && $"day" === 5)
     // seq 2: the delete commit — doomed keys only
-    doomed.select($"event_id").coalesce(1)
+    doomed.select($"event_id").repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(del)
     // seq 3: corrected rows re-inserted under the SAME keys
     doomed.withColumn("event_type", lit("reinserted"))
@@ -413,7 +413,7 @@ object LakeOps {
     // the MoR delete commit ([[deleteMor]]'s shape): doomed KEYS only
     base.filter($"event_type" === "purchase" && $"day".between(5, 9))
       .select($"event_id")
-      .coalesce(1)
+      .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(del)
     val deletes = spark.read.parquet(del)
     // compaction planning: partitions holding doomed rows — metadata
