@@ -674,8 +674,12 @@ object LakeOps {
   /** Fresh 3-snapshot append table at `out` (days 1-5 / 6-10 / 11-15);
     * snapshot 1 lands fragmented (≈4 files per day) so a later compaction
     * commit has real work. */
+  /** Returns the checkpointed source frame so callers committing
+    * further snapshots ([[manifestsLayout]]) reuse the one scan.
+    * `sliceFiles` = files-per-day per commit slice (snapshot 1 lands
+    * fragmented by default so compaction keys have real work). */
   private def buildVersioned(spark: SparkSession, dir: String,
-      out: String): Unit = {
+      out: String, sliceFiles: Seq[Int] = Seq(4, 1, 1)): DataFrame = {
     import spark.implicits._
     hfs(spark, out).delete(new org.apache.hadoop.fs.Path(out), true)
     val data = s"$out/data"
@@ -686,8 +690,8 @@ object LakeOps {
       .select($"event_id", $"user_id", $"event_type", $"value", $"day")
       .localCheckpoint()
     var seen = Set.empty[String]
-    Seq((1, 5, 4), (6, 10, 1), (11, 15, 1)).zipWithIndex.foreach {
-      case ((lo, hi, nf), idx) =>
+    Seq((1, 5), (6, 10), (11, 15)).zip(sliceFiles).zipWithIndex.foreach {
+      case (((lo, hi), nf), idx) =>
         val mode = if (idx == 0) SaveMode.Overwrite else SaveMode.Append
         val slice = ev.filter($"day".between(lo, hi))
         val shaped = if (nf == 1) slice.repartition($"day")
@@ -699,6 +703,7 @@ object LakeOps {
         writeManifest(spark, out, s"snap-${idx + 1}.txt", now -- seen)
         seen = now
     }
+    ev
   }
 
   /** Fast local clone of a shared immutable layout into per-query
@@ -840,21 +845,11 @@ object LakeOps {
     IngestOps.buildShared(spark, out, root =>
       IngestOps.fsExists(spark, s"$root/metadata/_DONE_MANIFESTS")) { root =>
       val data = s"$root/data"
-      val ev = IngestOps.eventsWithParts(spark, dir)
-        .filter($"day".between(1, 15))
-        .select($"event_id", $"user_id", $"event_type", $"value", $"day")
-        .localCheckpoint()
-      var seen = Set.empty[String]
-      Seq((1, 5), (6, 10), (11, 15)).zipWithIndex.foreach {
-        case ((lo, hi), idx) =>
-          val mode = if (idx == 0) SaveMode.Overwrite else SaveMode.Append
-          ev.filter($"day".between(lo, hi)).repartition($"day")
-            .write.mode(mode).option("compression", "zstd")
-            .partitionBy("day").parquet(data)
-          val now = listData(spark, data)
-          writeManifest(spark, root, s"snap-${idx + 1}.txt", now -- seen)
-          seen = now
-      }
+      // the three-commit choreography IS buildVersioned's, unfragmented
+      // (this fixture exercises manifest planning, not compaction work);
+      // the returned checkpointed source feeds the 4th commit below
+      val ev = buildVersioned(spark, dir, root, sliceFiles = Seq(1, 1, 1))
+      val seen = listData(spark, data)
       // snapshot 4: compact days 1-3 — new files in, old files removed
       val oldDays = liveFiles(spark, root, 1 to 3)
         .filter(rel => "day=(\\d+)/".r.findFirstMatchIn(rel)
