@@ -37,10 +37,8 @@ object IngestOps {
     val mine = java.lang.ProcessHandle.current().pid()
     Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
       if (f.getName.startsWith("jvm-") && f.getName != s"jvm-$mine") {
-        val alive = f.getName.stripPrefix("jvm-").toLongOption.exists { p =>
-          val h = java.lang.ProcessHandle.of(p)
-          h.isPresent && h.get().isAlive
-        }
+        val alive = f.getName.stripPrefix("jvm-").toLongOption
+          .exists(pidAlive)
         // best-effort: two starting JVMs may race to reap the same dir —
         // the loser's IOException must not fail this initializer
         if (!alive) try org.apache.spark.network.util.JavaUtils
@@ -53,15 +51,19 @@ object IngestOps {
   /** Per-query scratch — isolated per JVM (see [[scratchRoot]]). */
   private[graft] def tmp(name: String) = s"$scratchRoot/$name"
 
-  /** Per-(JVM, source-dir) scratch for `_DONE`-gated build-once
-    * layouts: the gate makes the first build win for the JVM's
-    * lifetime, so the SOURCE DIR must be part of the key — two corpora
-    * sharing one scratch name would serve the first corpus's bytes to
-    * the second's queries (surfaced when RobustnessSpec drove the
-    * schema-era layouts over its hostile corpus before IngestSpec read
-    * them for sf0.001). */
-  private[graft] def tmpFor(name: String, dir: String): String =
-    tmp(name + "_" + dir.replaceAll("[^A-Za-z0-9.]+", "_"))
+  /** Per-(JVM, source) scratch for `_DONE`-gated build-once layouts:
+    * the gate makes the first build win for the JVM's lifetime, so the
+    * SOURCE must be part of the key — two corpora sharing one scratch
+    * name would serve the first corpus's bytes to the second's queries
+    * (surfaced when RobustnessSpec drove the schema-era layouts over
+    * its hostile corpus before IngestSpec read them for sf0.001). Keyed
+    * by the CONTENT fingerprint like [[sharedFor]], not the sanitized
+    * dir alone: 'sf-1' and 'sf_1' sanitize identically, and a corpus
+    * regenerated mid-session must not keep serving its old bytes. */
+  private[graft] def tmpFor(spark: SparkSession, name: String,
+      dir: String): String =
+    tmp(name + "_" + dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" +
+      sourceFingerprint(spark, dir))
 
   /** Cross-process shared location for the write-once layouts: they are
     * content-fingerprint-keyed and published atomically by
@@ -108,6 +110,21 @@ object IngestOps {
     out
   }
 
+  private[graft] def pidAlive(p: Long): Boolean = {
+    val h = java.lang.ProcessHandle.of(p)
+    h.isPresent && h.get().isAlive
+  }
+
+  /** Liveness of the pid recorded in a lock/breaker file. Empty or
+    * unparseable content has NO live owner — a writer died between
+    * CREATE_NEW and its pid write, or the write tore — and MUST read as
+    * dead in BOTH the take-lock and break-lock decisions: opposite
+    * polarities here once wedged every waiter in a no-sleep spin (the
+    * taker said "dead, break it", the breaker said "not provably dead,
+    * refuse", forever). */
+  private def lockOwnerAlive(content: String): Boolean =
+    content.trim.toLongOption.exists(pidAlive)
+
   /** Hold `out`'s writer lock (an O_EXCL-created pid file) around `body`.
     * A lock whose owning pid is dead is broken and re-contended, so a
     * crashed build never wedges the layout. Pid-reuse can mis-read a
@@ -127,15 +144,23 @@ object IngestOps {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val ownerAlive = try {
-            new String(java.nio.file.Files.readAllBytes(lock),
-              java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
-              .exists { p =>
-                val h = java.lang.ProcessHandle.of(p)
-                h.isPresent && h.get().isAlive
-              }
+            lockOwnerAlive(new String(
+              java.nio.file.Files.readAllBytes(lock),
+              java.nio.charset.StandardCharsets.UTF_8))
           } catch { case _: java.io.IOException => true } // racing: retry
           if (ownerAlive) Thread.sleep(100)
           else breakDeadLock(lock)
+        case e: java.io.IOException =>
+          // a torn CREATE_NEW (disk full mid-write) can leave OUR
+          // ownerless 0-byte lock behind; best-effort removal of an
+          // empty file spares the next entrant the break dance (the
+          // dead-content rule above remains the kill -9 backstop)
+          try {
+            if (new String(java.nio.file.Files.readAllBytes(lock),
+              java.nio.charset.StandardCharsets.UTF_8).trim.isEmpty)
+              java.nio.file.Files.deleteIfExists(lock)
+          } catch { case _: java.io.IOException => () }
+          throw e
       }
     }
     try body finally java.nio.file.Files.deleteIfExists(lock)
@@ -161,12 +186,11 @@ object IngestOps {
         java.nio.file.StandardOpenOption.CREATE_NEW)
       try {
         val ownerStillDead = try {
-          new String(java.nio.file.Files.readAllBytes(lock),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
-            .exists { p =>
-              val h = java.lang.ProcessHandle.of(p)
-              !(h.isPresent && h.get().isAlive)
-            }
+          // the SAME decision as the taker (lockOwnerAlive): empty or
+          // garbage content must break, or the two sides deadlock
+          !lockOwnerAlive(new String(
+            java.nio.file.Files.readAllBytes(lock),
+            java.nio.charset.StandardCharsets.UTF_8))
         } catch {
           case _: java.nio.file.NoSuchFileException => false // already broken
           case _: java.io.IOException                => false // unsure: don't
@@ -190,10 +214,7 @@ object IngestOps {
         val deadPid: Option[String] = try {
           val s = new String(java.nio.file.Files.readAllBytes(breaker),
             java.nio.charset.StandardCharsets.UTF_8).trim
-          s.toLongOption.filter { p =>
-            val h = java.lang.ProcessHandle.of(p)
-            !(h.isPresent && h.get().isAlive)
-          }.map(_ => s)
+          s.toLongOption.filterNot(pidAlive).map(_ => s)
         } catch { case _: java.io.IOException => None }
         deadPid match {
           case Some(d) =>
@@ -347,8 +368,11 @@ object IngestOps {
     * thread pool is the task scheduler). */
   def ingestParallel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // one source scan feeds all four batch writes (the same eager
+    // lineage-cut discipline as appendCommit/ingestQuarantine)
     val ev = Tables.events(spark, dir).withColumn(
       "batch", pmod($"event_id", lit(4L)))
+      .localCheckpoint()
     (0L until 4L).foreach { b =>
       ev.filter($"batch" === b).write.mode(SaveMode.Overwrite)
         .parquet(tmp(s"ingest_batch/b$b"))
@@ -664,7 +688,14 @@ object IngestOps {
           // an all-NULL file has no value bounds: record NaN (parses back)
           val minv = if (r.isNullAt(4)) Double.NaN else r.getDouble(4)
           val maxv = if (r.isNullAt(5)) Double.NaN else r.getDouble(5)
-          s"${r.getString(0)}|$n|${r.getInt(2)}|${r.getInt(3)}|" +
+          // an all-null-day file (hostile null-ts rows landing alone in
+          // a range partition) has no day bounds either: record the
+          // full-range sentinel — day pruning then always keeps the
+          // file, which is sound (its rows match no day predicate
+          // row-level) and never NPEs the driver unbox
+          val mind = if (r.isNullAt(2)) Int.MinValue else r.getInt(2)
+          val maxd = if (r.isNullAt(3)) Int.MaxValue else r.getInt(3)
+          s"${r.getString(0)}|$n|$mind|$maxd|" +
             s"$minv|$maxv|${n - r.getLong(6)}"
         }
         .toSeq.sorted
@@ -872,7 +903,7 @@ object IngestOps {
   private[graft] def renameChainLayout(spark: SparkSession,
       dir: String): String = {
     import spark.implicits._
-    val out = tmpFor("events_rename_chain", dir)
+    val out = tmpFor(spark, "events_rename_chain", dir)
     if (!fsExists(spark, s"$out/_DONE")) {
       val ev = eventsWithParts(spark, dir)
         .select($"event_id", $"event_type", $"value", $"user_id", $"day")
@@ -934,7 +965,7 @@ object IngestOps {
     * a v1 byte. */
   private[graft] def widenLayout(spark: SparkSession, dir: String): String = {
     import spark.implicits._
-    val out = tmpFor("events_widened", dir)
+    val out = tmpFor(spark, "events_widened", dir)
     if (!fsExists(spark, s"$out/_DONE")) {
       val ev = eventsWithParts(spark, dir)
         .select($"event_id", $"event_type", $"user_id", $"value", $"day")
@@ -989,7 +1020,7 @@ object IngestOps {
     * spec can prove the drop never rewrites a v1 byte. */
   private[graft] def dropLayout(spark: SparkSession, dir: String): String = {
     import spark.implicits._
-    val out = tmpFor("events_dropped", dir)
+    val out = tmpFor(spark, "events_dropped", dir)
     if (!fsExists(spark, s"$out/_DONE")) {
       val ev = eventsWithParts(spark, dir)
         .select($"event_id", $"event_type", $"value", $"props", $"day")
@@ -1038,7 +1069,7 @@ object IngestOps {
   private[graft] def defaultColLayout(spark: SparkSession,
       dir: String): String = {
     import spark.implicits._
-    val out = tmpFor("events_defaultcol", dir)
+    val out = tmpFor(spark, "events_defaultcol", dir)
     if (!fsExists(spark, s"$out/_DONE")) {
       val ev = eventsWithParts(spark, dir)
         .select($"event_id", $"event_type", $"value", $"day")
@@ -1121,10 +1152,17 @@ object IngestOps {
       .select($"event_id", $"user_id", $"event_type", $"value")
       .write.mode(SaveMode.Overwrite).format(fmt)
       .option("header", "true").save(out)
-    spark.read.format(fmt)
+    val reader = spark.read.format(fmt)
       .option("header", "true")
       .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
         "value DOUBLE")
+    // CSV alone needs quote-aware multi-line parsing: the writer quotes
+    // an embedded newline, but the default reader splits the physical
+    // line mid-record (silently wrong rows). JSON's multiLine option
+    // means whole-FILE records — not wanted — and ORC is structural.
+    // Cost at scale: a multiLine CSV file is not splittable; the files
+    // here are the engine's own writes, sized by its own partitioning.
+    (if (fmt == "csv") reader.option("multiLine", "true") else reader)
       .load(out)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"),
@@ -1241,7 +1279,7 @@ object IngestOps {
     // box bounds relative to the data so the query is non-empty at every
     // scale factor (the oracle derives the same bounds with a subquery)
     val umax = ev.agg(max($"user_id")).head.getLong(0)
-    zorderWrite(ev, out, nFiles = 16)
+    zorderWrite(ev, out, nFiles = 16, umaxIn = Some(umax))
     spark.read.parquet(out)
       .filter($"user_id".between(umax / 4, umax / 2) && $"day".between(3, 6))
       .groupBy($"day".cast("long").as("day"))
@@ -1253,11 +1291,12 @@ object IngestOps {
   /** Z-order the (user_id, day) dimensions of `ev` into `nFiles` files at
     * `out`; shared with ZOrderSpec's skipping assertions. */
   private[graft] def zorderWrite(ev: DataFrame, out: String,
-      nFiles: Int): Unit = {
+      nFiles: Int, umaxIn: Option[Long] = None): Unit = {
     import ev.sparkSession.implicits._
     // range bounds: one metadata-scale aggregate (Delta samples instead;
-    // either way the bounds are tiny relative to the write itself)
-    val umax = ev.agg(max($"user_id")).head.getLong(0)
+    // either way the bounds are tiny relative to the write itself) —
+    // reused from the caller when it already computed them
+    val umax = umaxIn.getOrElse(ev.agg(max($"user_id")).head.getLong(0))
     val ubucket = least(floor($"user_id" * 32L / (umax + 1L)), lit(31L))
       .cast("long")
     val dbucket = least($"day".cast("long"), lit(31L))
@@ -1288,7 +1327,10 @@ object IngestOps {
       .groupBy($"snapshot_id")
       .agg(count(lit(1)).as("n_files"), sum($"rows").as("n_rows"),
         min($"mind").as("min_day"), max($"maxd").as("max_day"),
-        min($"minv").as("min_value"), max($"maxv").as("max_value"))
+        // a NaN bound means "file has no values" (all-NULL column) —
+        // it must not win the max (Spark orders NaN above every double)
+        min(when(!isnan($"minv"), $"minv")).as("min_value"),
+        max(when(!isnan($"maxv"), $"maxv")).as("max_value"))
       .orderBy($"snapshot_id")
   }
 
@@ -1517,8 +1559,14 @@ object IngestOps {
       .groupBy($"day").agg(min($"event_id").as("k"))
       .collect().map(_.getLong(1)).toSeq.sorted
     val (files, _) = bloomQualifyingFiles(spark, sidecar, keys)
-    spark.read.option("basePath", s"$root/data")
-      .parquet(files.map(r => s"$root/data/$r"): _*)
+    // zero qualifying files (no probe days in the corpus, or every
+    // bloom excludes) is a valid empty answer, not a schema-inference
+    // crash — the same fallback the stats planners carry
+    val src = if (files.nonEmpty)
+      spark.read.option("basePath", s"$root/data")
+        .parquet(files.map(r => s"$root/data/$r"): _*)
+    else spark.read.parquet(s"$root/data").filter(lit(false))
+    src
       .filter($"event_id".isin(keys: _*))
       .select($"event_id", $"event_type", $"value")
       .orderBy($"event_id")
