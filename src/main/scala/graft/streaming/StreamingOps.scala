@@ -7,7 +7,13 @@ import graft.sources.Tables
 
 /** Per-user custom state carried by mapGroupsWithState (top-level so the
   * Catalyst encoder's generated code can reach the accessors). */
-case class UserState(n: Long, maxValue: Double, lastType: String)
+/** Per-user running state for `stream_custom_state`. Carries the
+  * latest event's FULL ordering key (ts ordinal, event_id), not just
+  * its type: without it, any event in a later micro-batch — even an
+  * OLDER late arrival — would overwrite last_type, because the
+  * in-batch comparison would restart from Long.MinValue. */
+case class UserState(n: Long, maxValue: Double, lastTs: Long,
+    lastId: Long, lastType: String)
 
 /** SURVEY.md §2i — Structured Streaming (X-tier; the reference is batch-
   * only, its event-time partition model maps 1:1 onto tumbling windows:
@@ -23,11 +29,25 @@ object StreamingOps {
   /** Drain a finite streaming query and stop it; with DEBUG_STREAM set,
     * print per-batch progress (the durationMs breakdown) so harness
     * constants can be audited per key. */
-  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery)
-      : Unit =
+  /** Materialize a memory-sink result and release its catalog entry:
+    * sink tables are uniquely named per invocation, so without the drop
+    * every streaming-key run would park its full result rows in the
+    * driver's catalog for the JVM's lifetime (90 tables after a
+    * min-of-10 bench over the 9 memory-sink keys). The results are
+    * aggregate-sized; the eager cut is noise next to the drain. */
+  private def releaseSink(spark: org.apache.spark.sql.SparkSession,
+      queryName: String)(
+      result: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val out = result.localCheckpoint(true)
+    spark.catalog.dropTempView(queryName)
+    out
+  }
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
+      tag: String = "stream"): Unit =
     try q.processAllAvailable() finally {
       if (sys.env.contains("DEBUG_STREAM"))
-        q.recentProgress.foreach(p => println(s"[stream] ${p.json}"))
+        q.recentProgress.foreach(p => println(s"[$tag] ${p.json}"))
       q.stop()
     }
 
@@ -61,8 +81,12 @@ object StreamingOps {
 
   /** `stream_hourly_rollup` — file-source stream over the events parquet →
     * 1-hour tumbling window counts/sums per event_type → memory sink in
-    * complete mode, drained synchronously. Watermark bounds state at scale
-    * (late events beyond 2h are dropped from state). */
+    * complete mode, drained synchronously. NOTE: complete mode retains
+    * ALL window state by design (that is why the full-corpus oracle
+    * matches); the watermark here only stamps lateness. The
+    * bounded-state demonstration — append mode, watermark actually
+    * evicting — is `stream_late_drop`; a 100 TB pipeline would run that
+    * shape, not this one. */
   def streamHourlyRollup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -84,10 +108,10 @@ object StreamingOps {
         .start()
       drain(q)
     } }
-    spark.table(queryName)
+    releaseSink(spark, queryName)(spark.table(queryName)
       .select($"window.start".as("hour_start"), $"event_type", $"n",
         $"sum_value")
-      .orderBy($"hour_start", $"event_type")
+      .orderBy($"hour_start", $"event_type"))
   }
 
   /** `stream_join_dim` — STREAM-STATIC enrichment join, the production
@@ -124,7 +148,7 @@ object StreamingOps {
         .start()
       drain(q)
     }
-    spark.table(queryName).orderBy($"event_type")
+    releaseSink(spark, queryName)(spark.table(queryName).orderBy($"event_type"))
   }
 
   /** `stream_dedup` — streaming deduplication (dropDuplicates keyed state):
@@ -149,7 +173,7 @@ object StreamingOps {
         .start()
       drain(q)
     }
-    spark.table(queryName).orderBy($"user_id", $"event_type")
+    releaseSink(spark, queryName)(spark.table(queryName).orderBy($"user_id", $"event_type"))
   }
 
   /** `stream_dedup_watermark` — BOUNDED-STATE streaming dedup
@@ -188,9 +212,9 @@ object StreamingOps {
         .start()
       drain(q)
     } }
-    spark.table(queryName)
+    releaseSink(spark, queryName)(spark.table(queryName)
       .select($"day".cast("long").as("day"), $"n", $"sum_value")
-      .orderBy($"day")
+      .orderBy($"day"))
   }
 
   /** `agg_session_window` — gap-based session windows (Spark's
@@ -239,10 +263,12 @@ object StreamingOps {
       .mapGroupsWithState[UserState, (Long, Long, Double, String)](
         GroupStateTimeout.NoTimeout) { case (user, rows, state) =>
         val prev = state.getOption.getOrElse(UserState(0L, Double.MinValue,
-          ""))
+          Long.MinValue, Long.MinValue, ""))
         var n = prev.n
         var mx = prev.maxValue
-        var lastKey = (Long.MinValue, Long.MinValue)
+        // seed from state: a later batch's events must BEAT the
+        // previous batches' latest event, not a fresh MinValue
+        var lastKey = (prev.lastTs, prev.lastId)
         var lastType = prev.lastType
         rows.foreach { case (_, v, t, ord, id) =>
           n += 1
@@ -252,7 +278,7 @@ object StreamingOps {
             lastType = t
           }
         }
-        val next = UserState(n, mx, lastType)
+        val next = UserState(n, mx, lastKey._1, lastKey._2, lastType)
         state.update(next)
         (user, n, mx, lastType)
       }
@@ -265,11 +291,11 @@ object StreamingOps {
         .start()
       drain(q)
     }
-    spark.table(queryName)
+    releaseSink(spark, queryName)(spark.table(queryName)
       .groupBy($"user_id")     // keep the final state row per key
       .agg(max($"n").as("n"), max($"max_value").as("max_value"),
         max_by($"last_type", $"n").as("last_type"))
-      .orderBy($"user_id")
+      .orderBy($"user_id"))
   }
 
   /** `stream_stream_join` — watermarked stream-stream interval join (the
@@ -306,11 +332,11 @@ object StreamingOps {
         .start()
       drain(q)
     } }
-    spark.table(queryName)
+    releaseSink(spark, queryName)(spark.table(queryName)
       .groupBy(dayofmonth($"view_ts").cast("long").as("d"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct($"view_user").as("n_users"))
-      .orderBy($"d")
+      .orderBy($"d"))
   }
 
   /** `stream_late_drop` — the watermark's LATE-DATA contract, made
@@ -354,16 +380,12 @@ object StreamingOps {
         .format("memory")
         .queryName(queryName)
         .start()
-      try q.processAllAvailable() finally {
-        if (sys.env.contains("DEBUG_STREAM"))
-          q.recentProgress.foreach(p => println(s"[late] ${p.json}"))
-        q.stop()
-      }
+      drain(q, tag = "late")
     }
-    spark.table(queryName)
+    releaseSink(spark, queryName)(spark.table(queryName)
       .select($"window.start".as("hour_start"), $"event_type", $"n",
         $"sum_value")
-      .orderBy($"hour_start", $"event_type")
+      .orderBy($"hour_start", $"event_type"))
   }
 
   /** Shared immutable 3-drop source for [[streamLateDrop]]: one parquet
@@ -433,17 +455,23 @@ object StreamingOps {
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // the touched partition keys are metadata-cardinality; the
-          // rewrite is (base ⟕anti batch) ∪ batch over only those days
-          val days = batch.select($"day").distinct().collect()
-            .map(_.getInt(0)).sorted
-          if (days.nonEmpty) {
-            val base = spark.read.parquet(out)
-            val merged = base.filter($"day".isin(days.map(Int.box): _*))
-              .join(batch.select($"event_id"), Seq("event_id"), "left_anti")
-              .unionByName(batch)
-            graft.sources.LakeOps.rewritePartitions(spark, merged, out,
-              days)
-          }
+          // rewrite is (base ⟕anti batch) ∪ batch over only those days.
+          // The batch is read three times (day list, anti-join, union):
+          // persist so the micro-batch's source files are read once —
+          // the same discipline as the MoR twin below
+          val b = batch.persist()
+          try {
+            val days = b.select($"day").distinct().collect()
+              .map(_.getInt(0)).sorted
+            if (days.nonEmpty) {
+              val base = spark.read.parquet(out)
+              val merged = base.filter($"day".isin(days.map(Int.box): _*))
+                .join(b.select($"event_id"), Seq("event_id"), "left_anti")
+                .unionByName(b)
+              graft.sources.LakeOps.rewritePartitions(spark, merged, out,
+                days)
+            }
+          } finally b.unpersist()
         }
         .start()
       drain(q)
@@ -518,7 +546,11 @@ object StreamingOps {
           // day per batch, written in parallel) so the MoR merge can
           // prune delta partitions exactly like base partitions at scale.
           val b = batch.persist()
-          try {
+          // an empty micro-batch must commit NOTHING: writing it would
+          // create schema-less delta/deletes dirs (only _SUCCESS) that
+          // crash the MoR read's schema inference — the same guard the
+          // CoW sink carries on its day list
+          try if (!b.isEmpty) {
             b.repartition($"day")
               .write.mode(org.apache.spark.sql.SaveMode.Append)
               .partitionBy("day")
@@ -585,8 +617,17 @@ object StreamingOps {
   private[graft] def compactStreamMor(spark: SparkSession, base: String,
       delta: String, deletes: String): Unit = {
     import spark.implicits._
-    val del = spark.read.parquet(deletes)
-    val add = spark.read.parquet(delta)
+    // absent sidecars are a LEGAL table state (no stream committed yet,
+    // a prior compaction already folded them, or a crash landed only
+    // one side) — each missing side reads as empty, and nothing at all
+    // is a no-op, not a crash
+    val hasAdd = graft.sources.IngestOps.fsExists(spark, delta)
+    val hasDel = graft.sources.IngestOps.fsExists(spark, deletes)
+    if (!hasAdd && !hasDel) return
+    val del = if (hasDel) spark.read.parquet(deletes)
+      else spark.range(0).select($"id".as("event_id"))
+    val add = if (hasAdd) spark.read.parquet(delta)
+      else spark.read.parquet(base).limit(0)
     val touched = spark.read.parquet(base)
       .join(broadcast(del), Seq("event_id"), "left_semi")
       .select($"day").distinct().collect().map(_.getInt(0)).toSet
@@ -645,9 +686,9 @@ object StreamingOps {
         .queryName(queryName).start()
       drain(q)
     }
-    spark.table(queryName)
+    releaseSink(spark, queryName)(spark.table(queryName)
       .select($"day".cast("long").as("day"), $"n", $"sum_value")
-      .orderBy($"day")
+      .orderBy($"day"))
   }
 
   /** Drain the resume-test stream once: file source over `src`, parquet
@@ -694,10 +735,11 @@ object StreamingOps {
     def land(batch: String): Unit = {
       import java.nio.file._
       Files.createDirectories(Paths.get(src))
-      Files.list(Paths.get(lay, batch)).forEach { f =>
+      val ls = Files.list(Paths.get(lay, batch))
+      try ls.forEach { f =>
         if (f.getFileName.toString.endsWith(".parquet"))
           Files.copy(f, Paths.get(src, f.getFileName.toString))
-      }
+      } finally ls.close()
     }
     land("b1")
     val schema = spark.read.parquet(src).schema
