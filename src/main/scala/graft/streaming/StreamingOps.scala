@@ -11,7 +11,10 @@ import graft.sources.Tables
   * latest event's FULL ordering key (ts ordinal, event_id), not just
   * its type: without it, any event in a later micro-batch — even an
   * OLDER late arrival — would overwrite last_type, because the
-  * in-batch comparison would restart from Long.MinValue. */
+  * in-batch comparison would restart from Long.MinValue. The
+  * transition itself is [[StreamingOps.stateStep]], split out so
+  * StateStepSpec can drive a MULTI-batch sequence through it (the
+  * single-file fixture stream only ever yields one data batch). */
 case class UserState(n: Long, maxValue: Double, lastTs: Long,
     lastId: Long, lastType: String)
 
@@ -29,6 +32,30 @@ object StreamingOps {
   /** Drain a finite streaming query and stop it; with DEBUG_STREAM set,
     * print per-batch progress (the durationMs breakdown) so harness
     * constants can be audited per key. */
+  /** One micro-batch's worth of per-user state transition (rows are
+    * (user_id, value, event_type, ts_ord, event_id) tuples): count,
+    * running max, and last_type by the (ts_ord, event_id) total order,
+    * seeded FROM THE PREVIOUS STATE so an older late arrival in a later
+    * batch can never overwrite a newer event's type. */
+  private[graft] def stateStep(prevOpt: Option[UserState],
+      rows: Iterator[(Long, Double, String, Long, Long)]): UserState = {
+    val prev = prevOpt.getOrElse(UserState(0L, Double.MinValue,
+      Long.MinValue, Long.MinValue, ""))
+    var n = prev.n
+    var mx = prev.maxValue
+    var lastKey = (prev.lastTs, prev.lastId)
+    var lastType = prev.lastType
+    rows.foreach { case (_, v, t, ord, id) =>
+      n += 1
+      if (v > mx) mx = v
+      if (ord > lastKey._1 || (ord == lastKey._1 && id > lastKey._2)) {
+        lastKey = (ord, id)
+        lastType = t
+      }
+    }
+    UserState(n, mx, lastKey._1, lastKey._2, lastType)
+  }
+
   /** Materialize a memory-sink result and release its catalog entry:
     * sink tables are uniquely named per invocation, so without the drop
     * every streaming-key run would park its full result rows in the
@@ -262,25 +289,9 @@ object StreamingOps {
     val stateStream = src.groupByKey(_._1)
       .mapGroupsWithState[UserState, (Long, Long, Double, String)](
         GroupStateTimeout.NoTimeout) { case (user, rows, state) =>
-        val prev = state.getOption.getOrElse(UserState(0L, Double.MinValue,
-          Long.MinValue, Long.MinValue, ""))
-        var n = prev.n
-        var mx = prev.maxValue
-        // seed from state: a later batch's events must BEAT the
-        // previous batches' latest event, not a fresh MinValue
-        var lastKey = (prev.lastTs, prev.lastId)
-        var lastType = prev.lastType
-        rows.foreach { case (_, v, t, ord, id) =>
-          n += 1
-          if (v > mx) mx = v
-          if (ord > lastKey._1 || (ord == lastKey._1 && id > lastKey._2)) {
-            lastKey = (ord, id)
-            lastType = t
-          }
-        }
-        val next = UserState(n, mx, lastKey._1, lastKey._2, lastType)
+        val next = stateStep(state.getOption, rows)
         state.update(next)
-        (user, n, mx, lastType)
+        (user, next.n, next.maxValue, next.lastType)
       }
       .toDF("user_id", "n", "max_value", "last_type")
     withStatePartitions(spark, 8) {
