@@ -21,7 +21,12 @@ object PipelineOps {
   /** Multiplicative integer hash → uniform bucket in [0, m). Spelled
     * identically in the DuckDB twin (`(doc_id * K) % m`); pure integer
     * arithmetic, so both engines agree bit-for-bit. K primes chosen
-    * per-use so sampling and splitting decisions are independent. */
+    * per-use so sampling and splitting decisions are independent.
+    * Domain bound: `id * K` must fit Int64 — for the largest K here
+    * that is id < ~3.5e9. Beyond it Spark (non-ANSI) wraps while
+    * DuckDB raises, so the cross-engine contract ends there; a corpus
+    * with wider ids should fold them (e.g. `hash(id) & 0x7fffffff`)
+    * before bucketing, at the cost of re-deriving the twin. */
   private def hashBucket(id: org.apache.spark.sql.Column, k: Long,
       m: Long): org.apache.spark.sql.Column = pmod(id * lit(k), lit(m))
 
@@ -107,12 +112,20 @@ object PipelineOps {
     * `f`, restored after — the sliver-sized dedup-graph stages where
     * fixed per-task overhead dominates. */
   private def withReducedShuffle[T](spark: SparkSession, n: Int = 8)(
-      f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(n, prev.toInt).toString)
-    try f finally spark.conf.set(key, prev)
-  }
+      f: => T): T =
+    // shuffle-partition tuning has no per-plan knob, so the session
+    // conf must flip — serialized through the shared lock so two scopes
+    // can't interleave their save/restore and strand the session at 8
+    // (the conf-race class the lake layer's per-write option fixed).
+    // Residual: unrelated planning on OTHER threads during the scope
+    // still sees 8 — acceptable for these sliver-sized graph stages,
+    // and AQE re-coalesces partitions at runtime regardless.
+    graft.sources.IngestOps.sessionConfLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, math.min(n, prev.toInt).toString)
+      try f finally spark.conf.set(key, prev)
+    }
 
   private def connectedComponentsLoop(nodes: DataFrame,
       edges: DataFrame): DataFrame = {
@@ -150,7 +163,12 @@ object PipelineOps {
     // it truncates lineage, so freeing the superseded step's blocks
     // can't cascade-invalidate the new step's cache the way unpersisting
     // a parent of a cached plan does.
-    def labelSum() = labels.agg(sum($"label")).head().getLong(0)
+    def labelSum() = {
+      // SUM over an empty frame is NULL, not 0 — an empty node/edge set
+      // must read as trivially converged, never NPE the driver unbox
+      val r = labels.agg(sum($"label")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     var prevSum = -1L
     var converged = false
     var steps = 0
@@ -270,12 +288,6 @@ object PipelineOps {
       .orderBy($"lang")
   }
 
-  /** `sample_stratified` — deterministic per-language downsampling: the
-    * dominant language keeps 25 % of docs, the rest keep 75 %, decided by
-    * a per-row multiplicative hash of doc_id (no RNG — re-runs and
-    * cluster-size changes can't move a row in or out of the sample). The
-    * filter is a narrow codegen'd expression; only the per-stratum audit
-    * count shuffles. */
   /** `shuffle_epoch` — deterministic per-epoch corpus shuffle, the order
     * a training run reads documents in. A global ORDER BY + row_number
     * would funnel the corpus through ONE partition; the scale-safe
@@ -299,6 +311,12 @@ object PipelineOps {
       .orderBy($"shard", $"pos")
   }
 
+  /** `sample_stratified` — deterministic per-language downsampling: the
+    * dominant language keeps 25 % of docs, the rest keep 75 %, decided by
+    * a per-row multiplicative hash of doc_id (no RNG — re-runs and
+    * cluster-size changes can't move a row in or out of the sample). The
+    * filter is a narrow codegen'd expression; only the per-stratum audit
+    * count shuffles. */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rate = when($"lang" === "en", lit(250L)).otherwise(lit(750L))
@@ -527,12 +545,15 @@ object PipelineOps {
       iters: Int): DataFrame = {
     import spark.implicits._
     val k = 8
-    // cached: every Lloyd iteration re-reads vecs — without this the
-    // source scan + transform cost multiplies by the iteration count
+    // checkpointed: every Lloyd iteration re-reads vecs — without the
+    // cut the source scan + transform cost multiplies by the iteration
+    // count. localCheckpoint, NOT cache: the ContextCleaner frees the
+    // blocks when the returned plan is dropped, where a cache() pins
+    // the table in executor storage for the session's lifetime.
     val vecs = Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
-      .cache()
+      .localCheckpoint()
     val seeds: Array[Seq[Double]] = vecs.filter($"vec_id" < k)
       .orderBy($"vec_id").collect().map(_.getSeq[Double](1))
 
@@ -789,6 +810,18 @@ object PipelineOps {
     PqrModel(cents, bookR, rows(5L))
   }
 
+  /** Build BOTH models from pqrModel's ONE collect (its row set is a
+    * strict superset of pqModel's; the coarse centroids ARE the PQ
+    * book's source vectors): the back-to-back call sites previously
+    * paid two scans for duplicated driver-side slicing. */
+  private[graft] def pqModels(spark: SparkSession,
+      dir: String): (PqModel, PqrModel) = {
+    val pqr = pqrModel(spark, dir)
+    val book = (0 until 8).map(s => (0 until 8).map(c =>
+      pqr.centroids(c).slice(s * 8, (s + 1) * 8)))
+    (PqModel(book, pqr.q), pqr)
+  }
+
   /** Build the PQ model: codebook seeds + query are 9 driver-side rows —
     * metadata cardinality, like Iceberg's manifest planning. */
   private[graft] def pqModel(spark: SparkSession, dir: String): PqModel = {
@@ -806,10 +839,10 @@ object PipelineOps {
     * spec can check seeds, for which ADC is EXACT (a codebook vector's
     * codes reproduce its own slices, so the table lookups sum to the
     * true query distance). */
-  private[graft] def embedPqAll(spark: SparkSession,
-      dir: String): DataFrame = {
+  private[graft] def embedPqAll(spark: SparkSession, dir: String,
+      model: Option[PqModel] = None): DataFrame = {
     import spark.implicits._
-    val pq = pqModel(spark, dir)
+    val pq = model.getOrElse(pqModel(spark, dir))
     val vecs = Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
@@ -843,15 +876,23 @@ object PipelineOps {
     val vecs = Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
-    val q = vecs.filter($"vec_id" === 5).head().getSeq[Double](1)
-    // exact squared-L2 to the query, same fold order as the oracle
+    // the model already carries the query vector — reusing it (and
+    // passing the model into embedPqAll) saves two embeddings-scan
+    // collect jobs per run
+    val pq = pqModel(spark, dir)
+    val q = pq.q
+    // exact squared-L2 to the query, same fold order as the oracle;
+    // nulls LAST like embedPqAll's ADC cut — if the validity guard ever
+    // regresses, a null distance must not silently crown the exact
+    // top-k and deflate the recall it anchors
     val exactD2 = graft.functions.VectorFunctions.l2sq(
       $"v", array(q.map(lit): _*))
     val exactTop = vecs.filter($"vec_id" =!= 5)
       .select($"vec_id", round(exactD2, 6).as("d2"))
-      .orderBy($"d2", $"vec_id").limit(k)
+      .orderBy($"d2".asc_nulls_last, $"vec_id").limit(k)
       .select($"vec_id")
-    val adcTop = embedPqAll(spark, dir).limit(k).select($"vec_id")
+    val adcTop = embedPqAll(spark, dir, Some(pq)).limit(k)
+      .select($"vec_id")
     adcTop.join(exactTop, Seq("vec_id"), "left_semi")
       .agg(count(lit(1)).as("n_hits"))
       .select(lit(k.toLong).as("k"), $"n_hits",

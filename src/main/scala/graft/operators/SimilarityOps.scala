@@ -173,8 +173,8 @@ object SimilarityOps {
     val out = graft.sources.IngestOps.sharedFor(spark, "ivfpqr_index_v2", dir)
     graft.sources.IngestOps.buildShared(spark, out, root =>
       graft.sources.IngestOps.fsExists(spark, s"$root/_DONE")) { tmpRoot =>
-      val pq = PipelineOps.pqModel(spark, dir)   // coarse assignment
-      val pqr = PipelineOps.pqrModel(spark, dir) // residual encoding
+      // coarse assignment + residual encoding from one collect
+      val (pq, pqr) = PipelineOps.pqModels(spark, dir)
       Tables.embeddingsValid(spark, dir)
         .select($"vec_id",
           transform($"embedding", x => x.cast("double")).as("v"))
@@ -206,8 +206,7 @@ object SimilarityOps {
   def simIvfpqResidual(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = ivfpqrIndexLayout(spark, dir)
-    val pq = PipelineOps.pqModel(spark, dir)
-    val pqr = PipelineOps.pqrModel(spark, dir)
+    val (pq, pqr) = PipelineOps.pqModels(spark, dir)
     val probeIds = (0 until pq.k).map(c => (pq.qd2Full(c), c))
       .sorted.take(2).map(_._2)
     val adc = when($"bucket" === probeIds.head,
@@ -262,8 +261,7 @@ object SimilarityOps {
   def simIvfpqrRerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = ivfpqrIndexLayout(spark, dir)
-    val pq = PipelineOps.pqModel(spark, dir)
-    val pqr = PipelineOps.pqrModel(spark, dir)
+    val (pq, pqr) = PipelineOps.pqModels(spark, dir)
     val probeIds = (0 until pq.k).map(c => (pq.qd2Full(c), c))
       .sorted.take(2).map(_._2)
     val adc = when($"bucket" === probeIds.head,

@@ -110,6 +110,12 @@ object IngestOps {
     out
   }
 
+  /** Serializes session-conf save/set/restore scopes (shuffle-partition
+    * tuning has no per-plan knob): two interleaved scopes would strand
+    * the session at the reduced value. Reentrant, so nested scopes on
+    * one thread are fine. */
+  private[graft] val sessionConfLock = new Object
+
   private[graft] def pidAlive(p: Long): Boolean = {
     val h = java.lang.ProcessHandle.of(p)
     h.isPresent && h.get().isAlive

@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.operators.{dec, dsum}
 import graft.sources.Tables
 
-/** Per-user custom state carried by mapGroupsWithState (top-level so the
-  * Catalyst encoder's generated code can reach the accessors). */
-/** Per-user running state for `stream_custom_state`. Carries the
+/** Per-user running state for `stream_custom_state`, carried by
+  * mapGroupsWithState (top-level so the Catalyst encoder's generated
+  * code can reach the accessors). Carries the
   * latest event's FULL ordering key (ts ordinal, event_id), not just
   * its type: without it, any event in a later micro-batch — even an
   * OLDER late arrival — would overwrite last_type, because the
@@ -29,9 +29,6 @@ case class UserState(n: Long, maxValue: Double, lastTs: Long,
   */
 object StreamingOps {
 
-  /** Drain a finite streaming query and stop it; with DEBUG_STREAM set,
-    * print per-batch progress (the durationMs breakdown) so harness
-    * constants can be audited per key. */
   /** One micro-batch's worth of per-user state transition (rows are
     * (user_id, value, event_type, ts_ord, event_id) tuples): count,
     * running max, and last_type by the (ts_ord, event_id) total order,
@@ -70,6 +67,9 @@ object StreamingOps {
     out
   }
 
+  /** Drain a finite streaming query and stop it; with DEBUG_STREAM set,
+    * print per-batch progress (the durationMs breakdown) so harness
+    * constants can be audited per key. */
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
       tag: String = "stream"): Unit =
     try q.processAllAvailable() finally {
@@ -83,12 +83,16 @@ object StreamingOps {
     * drains 8 stores beat 32 on fixed per-store overhead. Restores the
     * session conf afterwards. */
   private def withStatePartitions[T](spark: SparkSession, n: Int)
-      (body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
-  }
+      (body: => T): T =
+    // serialized with every other session-conf scope (IngestOps.
+    // sessionConfLock): interleaved save/restore would strand the
+    // session at the reduced value for all later queries
+    graft.sources.IngestOps.sessionConfLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, prev)
+    }
 
   /** Run `body` without the watermark-advance NO-DATA micro-batch.
     * After the data batch, Spark runs one extra empty batch purely to

@@ -102,6 +102,17 @@ class PipelineSpec extends SparkSpecBase {
       chainNodes, chainEdges).collect()
     assert(adaptive.length == n && adaptive.forall(_.getLong(1) == 0L),
       "adaptive CC returned wrong labels past the propagation cap")
+    // degenerate graphs: no edges -> every node its own singleton; no
+    // nodes at all -> empty answer, never an NPE on the null label SUM
+    val singletons = PipelineOps.connectedComponents(
+      chainNodes, spark.emptyDataset[(Long, Long)].toDF("src", "dst"))
+      .collect()
+    assert(singletons.length == n &&
+      singletons.forall(r => r.getLong(0) == r.getLong(1)))
+    val none = PipelineOps.connectedComponents(
+      spark.emptyDataset[Long].toDF("node"),
+      spark.emptyDataset[(Long, Long)].toDF("src", "dst")).collect()
+    assert(none.isEmpty)
   }
 
   test("dedup_resolve keeps exactly one canonical doc per component") {
