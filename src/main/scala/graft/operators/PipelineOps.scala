@@ -549,11 +549,12 @@ object PipelineOps {
     // cut the source scan + transform cost multiplies by the iteration
     // count. localCheckpoint, NOT cache: the ContextCleaner frees the
     // blocks when the returned plan is dropped, where a cache() pins
-    // the table in executor storage for the session's lifetime.
+    // the table in executor storage for the session's lifetime. LAZY:
+    // the seeds collect right below materializes it in its own job.
     val vecs = Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val seeds: Array[Seq[Double]] = vecs.filter($"vec_id" < k)
       .orderBy($"vec_id").collect().map(_.getSeq[Double](1))
 

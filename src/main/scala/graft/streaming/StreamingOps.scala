@@ -53,18 +53,20 @@ object StreamingOps {
     UserState(n, mx, lastKey._1, lastKey._2, lastType)
   }
 
-  /** Materialize a memory-sink result and release its catalog entry:
-    * sink tables are uniquely named per invocation, so without the drop
-    * every streaming-key run would park its full result rows in the
-    * driver's catalog for the JVM's lifetime (90 tables after a
-    * min-of-10 bench over the 9 memory-sink keys). The results are
-    * aggregate-sized; the eager cut is noise next to the drain. */
+  /** Release a memory-sink's catalog entry: sink tables are uniquely
+    * named per invocation, so without the drop every streaming-key run
+    * would park its full result rows in the driver's catalog for the
+    * JVM's lifetime (90 tables after a min-of-10 bench over the 9
+    * memory-sink keys). No materialization needed: Dataset construction
+    * runs the analyzer, so `result`'s plan already holds the sink
+    * relation directly — the rows stay reachable through the returned
+    * frame and are collected when the CALLER drops it, which is the
+    * right lifetime (an eager cut here measured ~70 ms/key). */
   private def releaseSink(spark: org.apache.spark.sql.SparkSession,
       queryName: String)(
       result: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val out = result.localCheckpoint(true)
     spark.catalog.dropTempView(queryName)
-    out
+    result
   }
 
   /** Drain a finite streaming query and stop it; with DEBUG_STREAM set,
