@@ -107,7 +107,14 @@ object Joins {
     * the most recent prior click of the same user. Composed as equi+range
     * join then `row_number()=1`; at scale both sides shuffle once on
     * user_id and the window sorts within partitions. */
-  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+  def joinAsof(spark: SparkSession, dir: String): DataFrame =
+    asOfJoined(spark, dir, tolerance = None)
+
+  /** The shared as-of core: equi+range join then rank-1 per purchase,
+    * optionally bounded by a staleness tolerance — ONE spelling for
+    * both keys so the tie-break and projections cannot drift. */
+  private def asOfJoined(spark: SparkSession, dir: String,
+      tolerance: Option[String]): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir).filter($"user_id" < 50)
     val purchases = ev.filter($"event_type" === "purchase")
@@ -117,8 +124,11 @@ object Joins {
         $"ts".as("c_ts"))
     val w = Window.partitionBy($"p_id")
       .orderBy($"c_ts".desc, $"c_id".desc)
+    val range = tolerance.foldLeft(
+      $"user_id" === $"c_user" && $"c_ts" <= $"p_ts")(
+      (cond, t) => cond && $"c_ts" >= $"p_ts" - expr(s"INTERVAL $t"))
     purchases
-      .join(clicks, $"user_id" === $"c_user" && $"c_ts" <= $"p_ts", "left")
+      .join(clicks, range, "left")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"p_id", $"user_id", $"p_ts", $"c_id".as("asof_click_id"),
@@ -134,26 +144,8 @@ object Joins {
     * small: with a bound, state per key is one tolerance-window of rows
     * (the same bound that makes the STREAMING interval join's state
     * finite), where unbounded as-of must keep full history. */
-  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ev = Tables.events(spark, dir).filter($"user_id" < 50)
-    val purchases = ev.filter($"event_type" === "purchase")
-      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
-    val clicks = ev.filter($"event_type" === "click")
-      .select($"event_id".as("c_id"), $"user_id".as("c_user"),
-        $"ts".as("c_ts"))
-    val w = Window.partitionBy($"p_id")
-      .orderBy($"c_ts".desc, $"c_id".desc)
-    purchases
-      .join(clicks, $"user_id" === $"c_user" &&
-        $"c_ts" <= $"p_ts" &&
-        $"c_ts" >= $"p_ts" - expr("INTERVAL 2 HOURS"), "left")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"p_id", $"user_id", $"p_ts", $"c_id".as("asof_click_id"),
-        $"c_ts".as("asof_click_ts"))
-      .orderBy($"p_id")
-  }
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame =
+    asOfJoined(spark, dir, tolerance = Some("2 HOURS"))
 
   /** `join_bucketed` — co-located fact⋈fact join over bucketed tables:
     * both sides written `bucketBy(8, key)` + `sortBy(key)` into the
@@ -205,12 +197,13 @@ object Joins {
     import spark.implicits._
     val orders = bucketedTable(spark, dir, "orders_bkt",
       "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE",
-      "o_custkey") {
+      "o_custkey", srcTable = "orders") {
       Tables.orders(spark, dir)
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     }
     val customer = bucketedTable(spark, dir, "customer_bkt",
-      "c_custkey BIGINT, c_mktsegment STRING", "c_custkey") {
+      "c_custkey BIGINT, c_mktsegment STRING", "c_custkey",
+      srcTable = "customer") {
       Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment")
     }
     (orders, customer)
@@ -222,7 +215,7 @@ object Joins {
     import spark.implicits._
     bucketedTable(spark, dir, "orders_pt",
       "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
-        "o_totalprice DOUBLE", "o_custkey") {
+        "o_totalprice DOUBLE", "o_custkey", srcTable = "orders") {
       Tables.orders(spark, dir)
         .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
           $"o_totalprice")
@@ -244,11 +237,18 @@ object Joins {
     * (Spark's `BucketingUtils` contract), so a re-registered catalog
     * entry prunes and zip-joins exactly like the writing session's. */
   private def bucketedTable(spark: SparkSession, dir: String, base: String,
-      ddlSchema: String, key: String)(rows: => DataFrame): String = {
+      ddlSchema: String, key: String, srcTable: String)(
+      rows: => DataFrame): String = {
     import graft.sources.IngestOps.{buildShared, fsExists, shared,
-      sourceFingerprint}
+      tableFingerprint}
     spark.sql("CREATE DATABASE IF NOT EXISTS graft")
-    val fp = sourceFingerprint(spark, dir)
+    // keyed on the SOURCE TABLE's fingerprint (these are the only
+    // layouts not derived from events, which the events-anchored
+    // sourceFingerprint would not see regenerate) plus the sanitized
+    // dir, so fingerprint collisions across corpus dirs cannot alias
+    // catalog entries — the same two-component key sharedFor spells
+    val fp = dir.replaceAll("[^A-Za-z0-9]+", "_") + "_" +
+      tableFingerprint(spark, dir, srcTable)
     val name = s"graft.${base}_$fp"
     val loc = shared(s"${base}_$fp")
     buildShared(spark, loc, root => fsExists(spark, s"$root/_SUCCESS")) {
@@ -258,7 +258,10 @@ object Joins {
           .option("path", tmpRoot).saveAsTable(name)
     }
     if (!spark.catalog.tableExists(name))
-      spark.sql(s"""CREATE TABLE $name ($ddlSchema) USING PARQUET
+      // IF NOT EXISTS: two threads can reach here after both saw the
+      // layout complete — registration must be idempotent, not a race
+      spark.sql(s"""CREATE TABLE IF NOT EXISTS $name ($ddlSchema)
+        USING PARQUET
         CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
         LOCATION '$loc'""")
     name
@@ -274,12 +277,20 @@ object Joins {
     * instead of 5 hot ones. The shuffle_hash hint keeps the demo honest
     * at test scale (Catalyst would broadcast the 80-row dim). Results are
     * provably identical to the unsalted join (JoinSpec + oracle). */
+  /** The 5-row event_type→weight dimension both skew keys join (the two
+    * oracles restate it as VALUES): one engine-side spelling, so a
+    * weight change cannot fork the pair. */
+  private def weightsDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("click", "0.5"), ("view", "0.1"), ("purchase", "5.0"),
+      ("signup", "2.0"), ("error", "0.25")).toDF("et", "w")
+      .withColumn("weight", $"w".cast("decimal(4,2)"))
+  }
+
   def joinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nSalts = 16
-    val dim = Seq(("click", "0.5"), ("view", "0.1"), ("purchase", "5.0"),
-      ("signup", "2.0"), ("error", "0.25")).toDF("et", "w")
-      .withColumn("weight", $"w".cast("decimal(4,2)"))
+    val dim = weightsDim(spark)
       .withColumn("d_salt", explode(sequence(lit(0), lit(nSalts - 1))))
     val fact = Tables.events(spark, dir)
       .withColumn("salt", pmod(hash($"event_id"), lit(nSalts)))
@@ -326,9 +337,7 @@ object Joins {
   private[graft] def skewAqeJoined(spark: SparkSession,
       dir: String): DataFrame = {
     import spark.implicits._
-    val dim = Seq(("click", "0.5"), ("view", "0.1"), ("purchase", "5.0"),
-      ("signup", "2.0"), ("error", "0.25")).toDF("et", "w")
-      .withColumn("weight", $"w".cast("decimal(4,2)"))
+    val dim = weightsDim(spark)
     // AQE splits a skewed reduce partition along MAPPER boundaries; the
     // test corpus is one small parquet file = one map task = no seams.
     // A 100 TB fact arrives in thousands of map tasks — recreate that
@@ -346,7 +355,12 @@ object Joins {
     * scale the DEFAULTS fire — 256 MB threshold, 5× median; only these
     * numbers change, not the plan shape) and restore the session conf
     * afterwards. */
-  private[graft] def withSkewAqeConf[T](spark: SparkSession)(body: => T): T = {
+  private[graft] def withSkewAqeConf[T](spark: SparkSession)(body: => T): T =
+    // serialized with every other session-conf scope: interleaved
+    // save/restore from two threads would strand forceOptimizeSkewedJoin
+    // and the 1k thresholds on the session, force-splitting every later
+    // sort-merge join in the JVM
+    graft.sources.IngestOps.sessionConfLock.synchronized {
     val tuned = Seq(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
@@ -362,7 +376,7 @@ object Joins {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
-  }
+    }
 
   /** Full outer join: customers vs active event users, null-safe key. */
   def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {

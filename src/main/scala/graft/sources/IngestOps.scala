@@ -257,6 +257,18 @@ object IngestOps {
     * the cached layouts below so a regenerated dataset under the same path
     * can never be served stale, and sanitization collisions between
     * distinct dirs ('sf-1' vs 'sf_1') can't alias. */
+  /** Fingerprint of ONE named table file under `dir` — for layouts
+    * derived from a table other than events: [[sourceFingerprint]]
+    * anchors on events.parquet alone, so a layout built from, say,
+    * orders would not see orders regenerate. */
+  private[graft] def tableFingerprint(spark: SparkSession, dir: String,
+      table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p)
+    s"${st.getLen}_${st.getModificationTime}"
+  }
+
   private[graft] def sourceFingerprint(spark: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
