@@ -20,13 +20,22 @@ object WeightedAvgCents
   def zero: (Long, Long) = (0L, 0L)
 
   def reduce(b: (Long, Long), in: (Double, Long)): (Long, Long) = {
-    val cents = math.round(in._1 * 100)
+    // half-AWAY-FROM-ZERO like DuckDB's round(): math.round is
+    // floor(x+0.5), which sends -2.5 to -2 where the oracle says -3 —
+    // invisible on non-negative prices, a one-cent divergence the day
+    // the domain admits negatives
+    val scaled = in._1 * 100
+    val cents = if (scaled >= 0) math.round(scaled)
+                else -math.round(-scaled)
     (b._1 + cents * in._2, b._2 + in._2)
   }
 
   def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
     (a._1 + b._1, a._2 + b._2)
 
+  // zero total weight yields 0.0 by convention; unreachable from the
+  // registered key (weights are p_size >= 1 and groups are non-empty),
+  // so the oracle does not spell the branch
   def finish(r: (Long, Long)): Double =
     if (r._2 == 0L) 0.0 else r._1.toDouble / (100.0 * r._2)
 

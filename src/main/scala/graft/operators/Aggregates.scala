@@ -70,9 +70,12 @@ object Aggregates {
   def aggCountRecords(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val counted = Seq("lineitem", "orders", "customer", "events", "documents")
+    // GLOBAL agg per table, not groupBy: a global count yields its one
+    // row even over an empty table, matching the oracle's UNION ALL of
+    // COUNT(*) — a groupBy would silently drop an empty table's row
     counted.map { t =>
-      Tables(spark, dir, t).select(lit(t).as("tbl"), lit(1).as("one"))
-        .groupBy($"tbl").agg(count(lit(1)).as("n"))
+      Tables(spark, dir, t).agg(count(lit(1)).as("n"))
+        .select(lit(t).as("tbl"), col("n"))
     }.reduce(_.unionByName(_)).orderBy($"tbl")
   }
 
@@ -230,16 +233,25 @@ object Aggregates {
     * shuffle. */
   def aggCountMin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bytes = Tables.events(spark, dir)
+    // the sketch stays IN-PLAN: one aggregate row cross-joined (and
+    // broadcast) against the 5 fixed probe keys, estimated by a probe
+    // UDF — justified like the Bloom probe: Spark's CountMinSketchAgg
+    // builds sketches but exposes no probe expression. The previous
+    // spelling collected the sketch at DataFrame-construction time, so
+    // plan-only callers paid a full events scan and the bench measured
+    // a pre-materialized local relation.
+    val sk = Tables.events(spark, dir)
       .select(expr("count_min_sketch(event_type, 0.0001d, 0.99d, 42)")
         .as("sk"))
-      .head().getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val probe = udf((bytes: Array[Byte], t: String) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .estimateCount(org.apache.spark.unsafe.types
+          .UTF8String.fromString(t).getBytes))
     Seq("click", "error", "purchase", "signup", "view")
-      .map(t => (t, cms.estimateCount(org.apache.spark.unsafe.types
-        .UTF8String.fromString(t).getBytes)))
-      .toDF("event_type", "est_n")
+      .toDF("event_type")
+      .crossJoin(broadcast(sk))
+      .select($"event_type", probe($"sk", $"event_type").as("est_n"))
       .orderBy($"event_type")
   }
 
@@ -326,7 +338,6 @@ object Aggregates {
       .orderBy($"status", $"priority")
   }
 
-  /** Exact interpolated percentiles (median/p90) on cent-exact values. */
   /** `agg_quantile_sketch` — distributed MERGEABLE quantile sketch: a
     * fixed-width histogram (bin = floor(price/100)) whose state is exact
     * integer counts, so partial aggregation, merging across executors,
@@ -393,6 +404,7 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** Exact interpolated percentiles (median/p90) on cent-exact values. */
   def aggPercentile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, dir)
@@ -415,7 +427,9 @@ object Aggregates {
       .pivot("event_type",
         Seq("click", "error", "purchase", "signup", "view"))
       .count()
-      .na.fill(0L)
+      // fill ONLY the pivoted counts: a blanket fill would also rewrite
+      // a NULL day group key to 0, diverging from the oracle's NULL key
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy($"day")
   }
 
@@ -596,12 +610,16 @@ object Aggregates {
         |LEFT JOIN p USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the CMS estimates are collision-free at this domain size, so the
-    // oracle checks them against exact counts
+    // oracle checks them against exact counts — over the FIXED probe
+    // domain (point queries probe keys whether or not they occur, and
+    // an absent key must read 0 on both sides, not vanish)
     "agg_count_min" ->
-      """SELECT event_type, COUNT(*) AS est_n
-        |FROM events
-        |WHERE event_type IN ('click','error','purchase','signup','view')
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS est_n
+        |FROM (VALUES ('click'),('error'),('purchase'),('signup'),
+        |  ('view')) t(event_type)
+        |LEFT JOIN (SELECT event_type, COUNT(*) AS n FROM events
+        |  GROUP BY 1) c USING (event_type)
+        |ORDER BY t.event_type""".stripMargin,
     "agg_rollup" ->
       s"""SELECT COALESCE(r_name, 'ALL') AS region,
          |  COALESCE(n_name, 'ALL') AS nation, COUNT(*) AS n,
