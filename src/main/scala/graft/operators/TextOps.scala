@@ -116,6 +116,10 @@ object TextOps {
     val sz = 32; val stride = 24
     Tables.documents(spark, dir)
       .select($"doc_id", tokens($"text").as("t"))
+      // a token-free document (empty, whitespace-only, or null text)
+      // has no chunkable content: emitting its "chunk" would give every
+      // such doc the identical md5('') digest — dropped on BOTH sides
+      .filter(size($"t") > 0)
       // integer ceil-div chunk count; GREATEST guards the short-doc case
       // against floor-vs-truncate division divergence across engines
       .withColumn("nc", expr(
@@ -133,13 +137,25 @@ object TextOps {
   /** `text_fingerprint` — normalized-content digest (md5 of
     * lower+whitespace-collapsed text) + polynomial rolling hash of the
     * character stream (mod 1e9+7, seeded by the first char — identical
-    * fold in DuckDB's list_reduce). */
+    * fold in DuckDB's list_reduce). Known exception to the file's
+    * whole-stage-codegen contract: the transform+aggregate fold is
+    * CodegenFallback (as is textRepetition's transform) — a fused
+    * expression in the Shingles3 style is the upgrade path if this op
+    * ever shows up hot; it has not (0.1 s at sf0.1, linear at 10×). */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val norm = lower(trim(regexp_replace($"text", "\\s+", " ")))
+    // explicit whitespace class, not \s: Java \s matches vertical tab,
+    // RE2 (DuckDB) \s does not — either engine's shorthand would
+    // silently fork the twins on the first \x0B in a crawl
+    val norm = lower(trim(regexp_replace($"text",
+      "[ \t\n\r\u000B\f]+", " ")))
     val charCodes = transform(split($"text", ""), c => ascii(c).cast("long"))
+    // the fold covers the ENTIRE character stream (slice length =
+    // size-1): a fixed cap would silently fingerprint only a prefix of
+    // long documents while the oracle folds everything
     val rolling = aggregate(
-      slice(charCodes, 2, 1000000), element_at(charCodes, 1),
+      slice(charCodes, lit(2), greatest(size(charCodes) - 1, lit(0))),
+      element_at(charCodes, 1),
       (acc, x) => pmod(acc * 31 + x, lit(1000000007L)))
     Tables.documents(spark, dir)
       .select($"doc_id",
@@ -227,7 +243,8 @@ object TextOps {
       lit("</title><script>var t=1;</script></head><body><p>"), $"text",
       lit("</p><br/><div class=\"nav\">menu</div></body></html>"))
     val stripped = trim(regexp_replace(regexp_replace(regexp_replace(
-      html, "<script>[^<]*</script>", " "), "<[^>]+>", " "), "\\s+", " "))
+      html, "<script>[^<]*</script>", " "), "<[^>]+>", " "),
+      "[ \t\n\r\u000B\f]+", " "))
     Tables.documents(spark, dir)
       .select($"lang", length(html).cast("long").as("html_chars"),
         length(stripped).cast("long").as("clean_chars"))
@@ -288,10 +305,11 @@ object TextOps {
     "text_chunk" ->
       s"""WITH d AS (
          |  SELECT doc_id, $TOKS AS t FROM documents),
+         |d2 AS (SELECT * FROM d WHERE len(t) > 0),
          |c AS (
          |  SELECT doc_id, i AS chunk_idx,
          |    t[(i*24+1)::INT:(i*24+32)::INT] AS chunk
-         |  FROM d, UNNEST(range(0,
+         |  FROM d2, UNNEST(range(0,
          |    GREATEST(0, len(t) - 32 + 23) // 24 + 1)) AS u(i))
          |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
          |  CAST(len(chunk) AS BIGINT) AS n_tokens,
@@ -307,7 +325,7 @@ object TextOps {
         |  CAST(SUM(length(html)) AS BIGINT) AS html_chars,
         |  CAST(SUM(length(trim(regexp_replace(regexp_replace(regexp_replace(
         |    html, '<script>[^<]*</script>', ' ', 'g'),
-        |    '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')))) AS BIGINT)
+        |    '<[^>]+>', ' ', 'g'), '[ \t\n\r\x0B\f]+', ' ', 'g')))) AS BIGINT)
         |    AS clean_chars
         |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
     "text_rarity" ->
@@ -340,23 +358,26 @@ object TextOps {
     "text_quality" ->
       s"""SELECT doc_id, lang, length(text) AS n_chars_m,
          |  length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
-         |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+         |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / NULLIF(length(text), 0) AS punct_ratio,
          |  len($TOKS) AS n_tokens,
          |  CAST(len(list_filter($TOKS, t -> t IN ('the','a','and','of'))) AS DOUBLE) / len($TOKS) AS stopword_ratio,
          |  len($TOKS) BETWEEN 5 AND 1000 AND
-         |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) < 0.2 AS quality_ok
+         |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / NULLIF(length(text), 0) < 0.2 AS quality_ok
          |FROM documents ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       s"""SELECT doc_id,
-         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         |  len(regexp_extract_all(text,
+         |    '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\x0B\\f]'))
          |    AS n_bpe_tokens,
          |  len($TOKS) AS n_ws_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
-        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |  md5(lower(trim(regexp_replace(text,
+        |    '[ \t\n\r\x0B\f]+', ' ', 'g'))))
         |    AS content_md5,
-        |  substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 16)
+        |  substr(md5(lower(trim(regexp_replace(text,
+        |    '[ \t\n\r\x0B\f]+', ' ', 'g')))), 1, 16)
         |    AS fp16,
         |  list_reduce(
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
