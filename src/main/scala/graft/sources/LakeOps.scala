@@ -660,6 +660,15 @@ object LakeOps {
     val refs = readRefs(spark, root) + (name -> snap)
     writeManifest(spark, root, "refs.txt",
       refs.toSeq.map { case (n, s) => s"$n=$s" })
+    // moving MAIN is a made-current event: append it to the history
+    // log here — in the shared mechanism every op goes through — so the
+    // `history` metadata table stays truthful for any root mutated by
+    // real engine ops, not just the hand-choreographed fixture
+    if (name == "main") {
+      val log = IngestOps.readMetaLines(spark, root, "metadata/ref-log.txt")
+      writeManifest(spark, root, "ref-log.txt",
+        log :+ s"${log.size + 1}=$snap")
+    }
   }
 
   /** Live file list (relative to data/) as of snapshot `s`. */
@@ -822,11 +831,13 @@ object LakeOps {
       writeManifest(spark, root, "snap-4.txt",
         listData(spark, data) -- before)
       writeManifest(spark, root, "parents.txt", Seq("2=1", "3=2", "4=2"))
+      setRef(spark, root, "main", 4)
       // the made-current log (seq=snap): 1, 2, 3 committed; rollback to
-      // 2; divergent 4 lands
+      // 2; divergent 4 lands. Written AFTER setRef (which now appends
+      // main moves itself) so the fixture's exact choreography — five
+      // events including the rollback — is the authoritative log
       writeManifest(spark, root, "ref-log.txt",
         Seq("1=1", "2=2", "3=3", "4=2", "5=4"))
-      setRef(spark, root, "main", 4)
       // completeness marker LAST — this write is the publish
       IngestOps.writeMetaLines(spark, root, "metadata/_DONE_HISTORY",
         Seq("done"))

@@ -78,6 +78,13 @@ class GraftMetaSource extends TableProvider {
 }
 
 object GraftMetaSource {
+  /** The manifest naming contract, defined ONCE for every consumer in
+    * this file (planning, the manifests table, the removed map) — the
+    * writers in LakeOps/IngestOps spell the same names. */
+  private[sources] val AddsManifest = "snap-(\\d+)\\.txt".r
+  private[sources] val RemovesManifest = "snap-(\\d+)\\.removed\\.txt".r
+  private[sources] val StatsManifest = "snap-(\\d+)\\.stats\\.txt".r
+
   /** One row per data file per committing snapshot — the Iceberg
     * `files` metadata-table shape: identity, size, and the per-file
     * stats the writer recorded (record count + column bounds,
@@ -190,23 +197,42 @@ object GraftMetaSource {
     val spark = SparkSession.active
     // `seq=snap` lines: the manifest writer normalizes line order, so
     // the move sequence is explicit in the data, not the file order
-    val log = IngestOps.readMetaLines(spark, root, "metadata/ref-log.txt")
-      .map { l => val Array(i, s) = l.split("=", 2); i.toInt -> s.toInt }
-      .sortBy(_._1)
+    def kv(rel: String): Seq[(Int, Int)] =
+      IngestOps.readMetaLines(spark, root, s"metadata/$rel").map { l =>
+        // loud, located parse failure — a truncated or hand-mangled
+        // line must name its file, not throw a bare MatchError
+        l.split("=", 2) match {
+          case Array(a, b) =>
+            try a.toInt -> b.toInt
+            catch { case _: NumberFormatException =>
+              throw new IllegalStateException(
+                s"malformed $rel line at $root: '$l'") }
+          case _ => throw new IllegalStateException(
+            s"malformed $rel line at $root: '$l'")
+        }
+      }
+    val log = kv("ref-log.txt").sortBy(_._1)
     if (log.isEmpty) return Seq.empty
     val snaps = log.map(_._2)
-    val parents: Map[Int, Int] =
-      IngestOps.readMetaLines(spark, root, "metadata/parents.txt") match {
-        case Seq() => snaps.distinct.sorted.sliding(2)
-          .collect { case Seq(p, c) => c -> p }.toMap
-        case lines => lines.map { l =>
-          val Array(c, p) = l.split("=", 2); c.toInt -> p.toInt
-        }.toMap
-      }
-    val ancestors = Iterator.iterate(Option(snaps.last))(
-      _.flatMap(parents.get)).takeWhile(_.isDefined).flatten.toSet
+    val parents: Map[Int, Int] = kv("parents.txt") match {
+      case Seq() => snaps.distinct.sorted.sliding(2)
+        .collect { case Seq(p, c) => c -> p }.toMap
+      case pairs => pairs.toMap
+    }
+    // the walk is BOUNDED by the parent-map size: corrupt metadata with
+    // a cycle (or a self-parent) must fail loudly, not spin the driver
+    // inside query planning forever
+    val ancestors = scala.collection.mutable.Set.empty[Int]
+    var cur = Option(snaps.last)
+    while (cur.isDefined) {
+      val c = cur.get
+      if (!ancestors.add(c))
+        throw new IllegalStateException(
+          s"cycle in metadata/parents.txt at $root involving snapshot $c")
+      cur = parents.get(c)
+    }
     log.map { case (seq, s) =>
-      HistoryRow(seq, s, parents.get(s), ancestors(s))
+      HistoryRow(seq, s, parents.get(s), ancestors.contains(s))
     }
   }
 
@@ -219,17 +245,20 @@ object GraftMetaSource {
     val spark = SparkSession.active
     val metaDir = new org.apache.hadoop.fs.Path(root, "metadata")
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val adds = "snap-(\\d+)\\.txt".r
-    val removes = "snap-(\\d+)\\.removed\\.txt".r
-    val stats = "snap-(\\d+)\\.stats\\.txt".r
-    fs.listStatus(metaDir).toSeq.flatMap { st =>
+    val listing = fs.listStatus(metaDir).toSeq
+    // the .FULL rewrite markers are already IN the listing — testing
+    // membership there instead of one fs.exists per adds manifest
+    // saves a HEAD request per manifest per plan on an object store
+    val fullRe = "snap-(\\d+)\\.FULL".r
+    val full = listing.map(_.getPath.getName)
+      .collect { case fullRe(n) => n.toInt }.toSet
+    listing.flatMap { st =>
       val name = st.getPath.getName
       val kind = name match {
-        case adds(n) =>
-          Some(n.toInt -> (if (fs.exists(new org.apache.hadoop.fs.Path(
-            metaDir, s"snap-$n.FULL"))) "full" else "adds"))
-        case removes(n) => Some(n.toInt -> "removes")
-        case stats(n) => Some(n.toInt -> "stats")
+        case AddsManifest(n) =>
+          Some(n.toInt -> (if (full(n.toInt)) "full" else "adds"))
+        case RemovesManifest(n) => Some(n.toInt -> "removes")
+        case StatsManifest(n) => Some(n.toInt -> "stats")
         case _ => None
       }
       kind.map { case (n, k) =>
@@ -277,15 +306,7 @@ object GraftMetaSource {
       case "day" => Some(day)
       case _ => None
     }
-    case "refs" => {
-      case "snapshot_id" => Some(snap)
-      case _ => None
-    }
-    case "history" => {
-      case "snapshot_id" => Some(snap)
-      case _ => None
-    }
-    case "manifests" => {
+    case "refs" | "history" | "manifests" => {
       case "snapshot_id" => Some(snap)
       case _ => None
     }
@@ -307,9 +328,8 @@ object GraftMetaSource {
     val metaDir = new org.apache.hadoop.fs.Path(root, "metadata")
     // match ONLY plain add-manifests (snap-<n>.txt) — sidecars like
     // snap-<n>.stats.txt and snap-<n>.removed.txt are different surfaces
-    val snapName = "snap-(\\d+)\\.txt".r
     val snaps = fs.listStatus(metaDir).map(_.getPath.getName)
-      .collect { case snapName(n) => n.toInt }.sorted
+      .collect { case AddsManifest(n) => n.toInt }.sorted
     snaps.flatMap { n =>
       val p = new org.apache.hadoop.fs.Path(metaDir, s"snap-$n.txt")
       val in = fs.open(p)
@@ -335,9 +355,8 @@ object GraftMetaSource {
     val spark = SparkSession.active
     val metaDir = new org.apache.hadoop.fs.Path(root, "metadata")
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val name = "snap-(\\d+)\\.removed\\.txt".r
     fs.listStatus(metaDir).map(_.getPath.getName)
-      .collect { case name(n) => n.toInt ->
+      .collect { case RemovesManifest(n) => n.toInt ->
         IngestOps.readMetaLines(spark, root,
           s"metadata/snap-$n.removed.txt").toSet }
       .toMap
