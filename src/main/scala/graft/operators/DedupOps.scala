@@ -93,7 +93,7 @@ object DedupOps {
 
   /** All doc pairs with character-3-gram Jaccard ≥ threshold, via the
     * AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07): candidates
-    * come from an equi-join restricted to each doc's `floor((1-t)·n)+1`
+    * come from an equi-join restricted to each doc's `n - ceil(t·n) + 1`
     * globally-RAREST shingles, then exact Jaccard is confirmed with one
     * `array_intersect` per candidate pair.
     *
@@ -126,9 +126,16 @@ object DedupOps {
     // same cut for the prefix table: it is both sides of the candidate
     // self-join, and the window+join subtree is the edge build's most
     // expensive stage
+    // the required bound is n - ceil(t·n) + 1; computing it as
+    // floor((1-t)·n)+1 under-counts by 1 whenever (1-t) is inexact in
+    // binary (t=0.8, n=10: floor(1.999…96)+1 = 2, not 3) and a short
+    // prefix silently DROPS qualifying pairs. The epsilon guards the
+    // dual hazard — t·n landing a hair above its exact integer value —
+    // by erring toward a one-longer prefix (still lossless, just less
+    // pruning). All current callers pass t=0.5 where both forms agree.
     val prefix = sh.join(freq, "s")
       .withColumn("rk", row_number().over(byRarity))
-      .filter($"rk" <= floor((lit(1.0) - threshold) * $"n") + 1)
+      .filter($"rk" <= $"n" - ceil(lit(threshold) * $"n" - lit(1e-9)) + 1)
       .select($"doc_id", $"s")
       .localCheckpoint()
     val cand = prefix.as("a").join(prefix.as("b"),

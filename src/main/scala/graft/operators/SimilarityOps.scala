@@ -23,6 +23,57 @@ object SimilarityOps {
   private def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.cosine(a, b)
 
+  /** IVF coarse assignment: every vector to its nearest centroid
+    * (cosine, tie → lowest centroid id) via one broadcast pass — the ONE
+    * spelling of the index-build subtree shared by the persisted layout,
+    * the in-plan kNN, and the recall report, so a tie-break or metric
+    * change can't drift the three apart. */
+  private def assignToCentroids(e: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy($"c_cos".desc, $"c_id")
+    e.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"embedding", $"c_id",
+        cosine($"embedding", $"c_emb").as("c_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"c_id".as("bucket"))
+  }
+
+  /** Probe selection shared by the whole IVF-PQ family: rank the 8
+    * coarse centroids against the query driver-side (pure arithmetic on
+    * the broadcast-tiny codebook, no job) and keep the top-2. */
+  private def topProbes(pq: PipelineOps.PqModel): Seq[Int] =
+    (0 until pq.k).map(c => (pq.qd2Full(c), c)).sorted.take(2).map(_._2)
+
+  /** Residual ADC over the 2 probed buckets: each probed cell gets its
+    * OWN lookup table (the query residual differs per cell). One
+    * spelling for the residual index key and its rerank/recall twins. */
+  private def residualAdc(pqr: PipelineOps.PqrModel,
+      probeIds: Seq[Int]): Column =
+    when(col("bucket") === probeIds.head,
+      pqr.adcFromCodes(col("codes"), probeIds.head))
+      .otherwise(pqr.adcFromCodes(col("codes"), probeIds(1)))
+
+  /** Stage-2 exact refine: fetch ONLY the shortlisted vectors (broadcast
+    * semi-join into the corpus) and re-rank by true squared L2 to the
+    * model's query. Shared by both rerank keys — exact work stays
+    * O(shortlist) at any corpus size. */
+  private def exactRerank(spark: SparkSession, dir: String,
+      q: IndexedSeq[Double], shortlist: DataFrame): DataFrame = {
+    import spark.implicits._
+    val exactD2 = graft.functions.VectorFunctions.l2sq(
+      $"v", array(q.map(lit): _*))
+    Tables.embeddingsValid(spark, dir)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .join(broadcast(shortlist), Seq("vec_id"), "left_semi")
+      .select($"vec_id", round(exactD2, 6).as("d2"))
+      .orderBy($"d2", $"vec_id")
+      .limit(10)
+  }
+
   /** Write-once IVF index layout: every corpus vector assigned to its
     * nearest of 8 fixed centroids, persisted as parquet PARTITIONED BY
     * bucket — the inverted lists are physical directories, so probing a
@@ -38,14 +89,7 @@ object SimilarityOps {
       val e = Tables.embeddingsValid(spark, dir).select($"vec_id", $"embedding")
       val centroids = e.filter($"vec_id" < 8)
         .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
-      val wAssign = Window.partitionBy($"vec_id")
-        .orderBy($"c_cos".desc, $"c_id")
-      e.crossJoin(broadcast(centroids))
-        .select($"vec_id", $"embedding", $"c_id",
-          cosine($"embedding", $"c_emb").as("c_cos"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"embedding", $"c_id".as("bucket"))
+      assignToCentroids(e, centroids)
         .repartition($"bucket")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("compression", "zstd")
@@ -145,14 +189,17 @@ object SimilarityOps {
     * ADC kernel; at 100 TB a query reads probes/nlist of a codes table
     * that is itself 32× smaller than the vectors. [[simIvfpqRecall]]
     * reports what the two approximations cost. */
-  def simIvfpqIndex(spark: SparkSession, dir: String): DataFrame = {
+  def simIvfpqIndex(spark: SparkSession, dir: String): DataFrame =
+    simIvfpqIndexWith(spark, dir, PipelineOps.pqModel(spark, dir))
+
+  /** [[simIvfpqIndex]] with a caller-supplied model, so the recall
+    * report doesn't pay a second model-build collect (commit-24aa30e
+    * model-reuse discipline). */
+  private def simIvfpqIndexWith(spark: SparkSession, dir: String,
+      pq: PipelineOps.PqModel): DataFrame = {
     import spark.implicits._
     val root = ivfpqIndexLayout(spark, dir)
-    val pq = PipelineOps.pqModel(spark, dir)
-    // probe selection: rank the 8 centroids against the query — pure
-    // driver arithmetic on the broadcast-tiny codebook, no job at all
-    val probeIds = (0 until pq.k).map(c => (pq.qd2Full(c), c))
-      .sorted.take(2).map(_._2)
+    val probeIds = topProbes(pq)
     spark.read.parquet(s"$root/data")
       .filter($"bucket".isin(probeIds.map(Int.box): _*) && $"vec_id" =!= 5)
       .select($"vec_id", $"bucket".cast("long").as("bucket"),
@@ -204,18 +251,21 @@ object SimilarityOps {
     * (SimilaritySpec asserts on the book seeds). Same 100 TB posture —
     * codes-only scan, static dir pruning, zero float decode. */
   def simIvfpqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val (pq, pqr) = PipelineOps.pqModels(spark, dir)
+    simIvfpqResidualWith(spark, dir, pq, pqr)
+  }
+
+  /** [[simIvfpqResidual]] with caller-supplied models — same model-reuse
+    * seam as [[simIvfpqIndexWith]]. */
+  private def simIvfpqResidualWith(spark: SparkSession, dir: String,
+      pq: PipelineOps.PqModel, pqr: PipelineOps.PqrModel): DataFrame = {
     import spark.implicits._
     val root = ivfpqrIndexLayout(spark, dir)
-    val (pq, pqr) = PipelineOps.pqModels(spark, dir)
-    val probeIds = (0 until pq.k).map(c => (pq.qd2Full(c), c))
-      .sorted.take(2).map(_._2)
-    val adc = when($"bucket" === probeIds.head,
-      pqr.adcFromCodes($"codes", probeIds.head))
-      .otherwise(pqr.adcFromCodes($"codes", probeIds(1)))
+    val probeIds = topProbes(pq)
     spark.read.parquet(s"$root/data")
       .filter($"bucket".isin(probeIds.map(Int.box): _*) && $"vec_id" =!= 5)
       .select($"vec_id", $"bucket".cast("long").as("bucket"),
-        round(adc, 6).as("adc_d2"))
+        round(residualAdc(pqr, probeIds), 6).as("adc_d2"))
       .orderBy($"adc_d2", $"vec_id")
       .limit(10)
   }
@@ -228,7 +278,8 @@ object SimilarityOps {
   def simIvfpqrRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = 10
-    val pq = PipelineOps.pqModel(spark, dir)
+    // ONE model build feeds both the ground truth and the probed path
+    val (pq, pqr) = PipelineOps.pqModels(spark, dir)
     val vecs = Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("v"))
@@ -238,7 +289,7 @@ object SimilarityOps {
       .select($"vec_id", round(exactD2, 6).as("d2"))
       .orderBy($"d2", $"vec_id").limit(k)
       .select($"vec_id")
-    simIvfpqResidual(spark, dir).select($"vec_id")
+    simIvfpqResidualWith(spark, dir, pq, pqr).select($"vec_id")
       .join(exactTop, Seq("vec_id"), "left_semi")
       .agg(count(lit(1)).as("n_hits"))
       .select(lit(k.toLong).as("k"), lit(2L).as("probes"), $"n_hits",
@@ -262,28 +313,15 @@ object SimilarityOps {
     import spark.implicits._
     val root = ivfpqrIndexLayout(spark, dir)
     val (pq, pqr) = PipelineOps.pqModels(spark, dir)
-    val probeIds = (0 until pq.k).map(c => (pq.qd2Full(c), c))
-      .sorted.take(2).map(_._2)
-    val adc = when($"bucket" === probeIds.head,
-      pqr.adcFromCodes($"codes", probeIds.head))
-      .otherwise(pqr.adcFromCodes($"codes", probeIds(1)))
+    val probeIds = topProbes(pq)
     // stage 1: residual-ADC shortlist from the codes-only index
     val shortlist = spark.read.parquet(s"$root/data")
       .filter($"bucket".isin(probeIds.map(Int.box): _*) && $"vec_id" =!= 5)
-      .select($"vec_id", round(adc, 6).as("adc_d2"))
+      .select($"vec_id", round(residualAdc(pqr, probeIds), 6).as("adc_d2"))
       .orderBy($"adc_d2", $"vec_id")
       .limit(32)
       .select($"vec_id")
-    // stage 2: exact re-rank of ONLY the shortlisted vectors
-    val exactD2 = graft.functions.VectorFunctions.l2sq(
-      $"v", array(pq.q.map(lit): _*))
-    Tables.embeddingsValid(spark, dir)
-      .select($"vec_id",
-        transform($"embedding", x => x.cast("double")).as("v"))
-      .join(broadcast(shortlist), Seq("vec_id"), "left_semi")
-      .select($"vec_id", round(exactD2, 6).as("d2"))
-      .orderBy($"d2", $"vec_id")
-      .limit(10)
+    exactRerank(spark, dir, pq.q, shortlist)
   }
 
   /** `sim_ivfpq_rerank` — the REFINE stage of two-stage retrieval (the
@@ -300,8 +338,7 @@ object SimilarityOps {
     import spark.implicits._
     val root = ivfpqIndexLayout(spark, dir)
     val pq = PipelineOps.pqModel(spark, dir)
-    val probeIds = (0 until pq.k).map(c => (pq.qd2Full(c), c))
-      .sorted.take(2).map(_._2)
+    val probeIds = topProbes(pq)
     // stage 1: ADC shortlist from the codes-only index
     val shortlist = spark.read.parquet(s"$root/data")
       .filter($"bucket".isin(probeIds.map(Int.box): _*) && $"vec_id" =!= 5)
@@ -310,16 +347,7 @@ object SimilarityOps {
       .orderBy($"adc_d2", $"vec_id")
       .limit(32)
       .select($"vec_id")
-    // stage 2: exact re-rank of ONLY the shortlisted vectors
-    val exactD2 = graft.functions.VectorFunctions.l2sq(
-      $"v", array(pq.q.map(lit): _*))
-    Tables.embeddingsValid(spark, dir)
-      .select($"vec_id",
-        transform($"embedding", x => x.cast("double")).as("v"))
-      .join(broadcast(shortlist), Seq("vec_id"), "left_semi")
-      .select($"vec_id", round(exactD2, 6).as("d2"))
-      .orderBy($"d2", $"vec_id")
-      .limit(10)
+    exactRerank(spark, dir, pq.q, shortlist)
   }
 
   /** `sim_ivfpq_recall` — the honesty report for [[simIvfpqIndex]]:
@@ -330,6 +358,7 @@ object SimilarityOps {
   def simIvfpqRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = 10
+    // ONE model build feeds both the ground truth and the probed path
     val pq = PipelineOps.pqModel(spark, dir)
     val vecs = Tables.embeddingsValid(spark, dir)
       .select($"vec_id",
@@ -341,7 +370,7 @@ object SimilarityOps {
       .select($"vec_id", round(exactD2, 6).as("d2"))
       .orderBy($"d2", $"vec_id").limit(k)
       .select($"vec_id")
-    val approxTop = simIvfpqIndex(spark, dir).select($"vec_id")
+    val approxTop = simIvfpqIndexWith(spark, dir, pq).select($"vec_id")
     approxTop.join(exactTop, Seq("vec_id"), "left_semi")
       .agg(count(lit(1)).as("n_hits"))
       .select(lit(k.toLong).as("k"), lit(2L).as("probes"), $"n_hits",
@@ -383,11 +412,8 @@ object SimilarityOps {
     * The bucket join replaces the cross join — this is the 100 TB path. */
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
-    val bucket = concat(dims.map(i =>
-      when(element_at($"embedding", i) >= 0f, "1").otherwise("0")): _*)
     val e = Tables.embeddingsValid(spark, dir).filter($"vec_id" < 2000)
-      .select($"vec_id", $"embedding", bucket.as("bucket"))
+      .select($"vec_id", $"embedding", signBucket($"embedding").as("bucket"))
     e.as("a").join(e.as("b"),
         $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
       .select($"a.bucket".as("bucket"), $"a.vec_id".as("va"),
@@ -404,6 +430,15 @@ object SimilarityOps {
     import spark.implicits._
     val e = Tables.embeddingsValid(spark, dir).filter($"vec_id" < 600)
       .select($"vec_id", $"embedding")
+    // KNOWN double-eval, measured cheaper than the cure: the filter on
+    // computed raw_cos is pushed below the Project and re-inlines the
+    // fused kernel, so cosine runs twice per candidate pair. A lazy
+    // localCheckpoint before the filter (the thresholdJaccard pattern)
+    // was A/B'd at sf0.1 and measured SLOWER (min-of-3 0.46→0.51 s):
+    // materializing ~180k pair rows costs more than re-running an O(d)
+    // kernel inside one streaming codegen stage. thresholdJaccard's cut
+    // pays off because its duplicated work is an O(|ss|) set intersect,
+    // ~50× this kernel — the cut is worth it only past that ratio.
     e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
         cosine($"a.embedding", $"b.embedding").as("raw_cos"))
@@ -481,16 +516,12 @@ object SimilarityOps {
     val e = Tables.embeddingsValid(spark, dir).select($"vec_id", $"embedding")
     val centroids = e.filter($"vec_id" < 8)
       .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
-    val wAssign = Window.partitionBy($"vec_id")
-      .orderBy($"c_cos".desc, $"c_id")
-    val assigned = e.crossJoin(broadcast(centroids))
-      .select($"vec_id", $"embedding", $"c_id",
-        cosine($"embedding", $"c_emb").as("c_cos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"embedding", $"c_id".as("bucket"))
-    // query = vec 0: probe its two nearest centroid lists
-    val qProbe = assigned.filter($"vec_id" === 0)
+    val assigned = assignToCentroids(e, centroids)
+    // query = vec 0: probe its two nearest centroid lists. The query
+    // embedding comes straight from the source (assignment doesn't
+    // alter it) — routing it through `assigned` would plan a second
+    // copy of the crossJoin+window subtree for an 8-row probe.
+    val qProbe = e.filter($"vec_id" === 0)
       .select($"embedding".as("q_emb"))
       .crossJoin(broadcast(centroids))
       .select($"c_id", $"q_emb", cosine($"q_emb", $"c_emb").as("c_cos"))
@@ -524,14 +555,7 @@ object SimilarityOps {
     val e = Tables.embeddingsValid(spark, dir).select($"vec_id", $"embedding")
     val centroids = e.filter($"vec_id" < nCentroids)
       .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
-    val wAssign = Window.partitionBy($"vec_id")
-      .orderBy($"c_cos".desc, $"c_id")
-    val assigned = e.crossJoin(broadcast(centroids))
-      .select($"vec_id", $"embedding", $"c_id",
-        cosine($"embedding", $"c_emb").as("c_cos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"embedding", $"c_id".as("bucket"))
+    val assigned = assignToCentroids(e, centroids)
     val queries = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
     val wq = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
@@ -687,6 +711,33 @@ object SimilarityOps {
        |  JOIN qtab t ON t.bkt = a.bucket AND t.s = k.s AND t.rc = k.rc
        |  GROUP BY k.vec_id, a.bucket)""".stripMargin
 
+  /** ONE oracle for `sim_ivf_index` and `sim_ivf_knn`: the persisted
+    * index holds the same assignment the in-plan build computes, so the
+    * two keys MUST return the same answer — sharing the string makes
+    * that equivalence structural instead of a copy-paste invariant. */
+  private val IVF_KNN_SQL =
+    s"""WITH c AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id < 8),
+       |assigned AS (
+       |  SELECT vec_id, embedding, c_id AS bucket FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id)
+       |        AS rn
+       |    FROM embeddings e CROSS JOIN c)
+       |  WHERE rn = 1),
+       |probe AS (
+       |  SELECT c.c_id, q.embedding AS q_emb FROM c,
+       |    (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |  ORDER BY ${cosSql("q.embedding", "c.c_emb")} DESC, c.c_id
+       |  LIMIT 2)
+       |SELECT a.vec_id, a.bucket,
+       |  round(${cosSql("a.embedding", "p.q_emb")}, 6) AS cos
+       |FROM assigned a JOIN probe p ON a.bucket = p.c_id
+       |WHERE a.vec_id <> 0
+       |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_ivfpqr_recall" ->
       s"""WITH $IVFPQR_CTES,
@@ -788,52 +839,8 @@ object SimilarityOps {
          |FROM exact x WHERE EXISTS (
          |  SELECT 1 FROM approx a
          |  WHERE a.q_id = x.q_id AND a.vec_id = x.vec_id)""".stripMargin,
-    // same answer as sim_ivf_knn: the persisted index holds the same
-    // assignment, so the probed read must reproduce the in-plan result
-    "sim_ivf_index" ->
-      s"""WITH c AS (
-         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-         |  WHERE vec_id < 8),
-         |assigned AS (
-         |  SELECT vec_id, embedding, c_id AS bucket FROM (
-         |    SELECT e.vec_id, e.embedding, c.c_id,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id)
-         |        AS rn
-         |    FROM embeddings e CROSS JOIN c)
-         |  WHERE rn = 1),
-         |probe AS (
-         |  SELECT c.c_id, q.embedding AS q_emb FROM c,
-         |    (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-         |  ORDER BY ${cosSql("q.embedding", "c.c_emb")} DESC, c.c_id
-         |  LIMIT 2)
-         |SELECT a.vec_id, a.bucket,
-         |  round(${cosSql("a.embedding", "p.q_emb")}, 6) AS cos
-         |FROM assigned a JOIN probe p ON a.bucket = p.c_id
-         |WHERE a.vec_id <> 0
-         |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin,
-    "sim_ivf_knn" ->
-      s"""WITH c AS (
-         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-         |  WHERE vec_id < 8),
-         |assigned AS (
-         |  SELECT vec_id, embedding, c_id AS bucket FROM (
-         |    SELECT e.vec_id, e.embedding, c.c_id,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id)
-         |        AS rn
-         |    FROM embeddings e CROSS JOIN c)
-         |  WHERE rn = 1),
-         |probe AS (
-         |  SELECT c.c_id, q.embedding AS q_emb FROM c,
-         |    (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-         |  ORDER BY ${cosSql("q.embedding", "c.c_emb")} DESC, c.c_id
-         |  LIMIT 2)
-         |SELECT a.vec_id, a.bucket,
-         |  round(${cosSql("a.embedding", "p.q_emb")}, 6) AS cos
-         |FROM assigned a JOIN probe p ON a.bucket = p.c_id
-         |WHERE a.vec_id <> 0
-         |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin,
+    "sim_ivf_index" -> IVF_KNN_SQL,
+    "sim_ivf_knn" -> IVF_KNN_SQL,
     "sim_cosine_topk" ->
       s"""SELECT a.vec_id AS va, b.vec_id AS vb,
          |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
@@ -849,17 +856,7 @@ object SimilarityOps {
          |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
     "sim_ann_lsh" ->
       s"""WITH e AS (
-         |  SELECT vec_id, embedding,
-         |    concat(
-         |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-         |      CASE WHEN embedding[9] >= 0 THEN '1' ELSE '0' END,
-         |      CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END,
-         |      CASE WHEN embedding[25] >= 0 THEN '1' ELSE '0' END,
-         |      CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END,
-         |      CASE WHEN embedding[41] >= 0 THEN '1' ELSE '0' END,
-         |      CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END,
-         |      CASE WHEN embedding[57] >= 0 THEN '1' ELSE '0' END
-         |    ) AS bucket
+         |  SELECT vec_id, embedding, $BUCKET_SQL AS bucket
          |  FROM embeddings WHERE vec_id < 2000)
          |SELECT a.bucket AS bucket, a.vec_id AS va, b.vec_id AS vb,
          |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
