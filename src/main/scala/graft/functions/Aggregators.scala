@@ -20,6 +20,13 @@ object WeightedAvgCents
   def zero: (Long, Long) = (0L, 0L)
 
   def reduce(b: (Long, Long), in: (Double, Long)): (Long, Long) = {
+    // fail LOUDLY on non-finite values: math.round(NaN) is 0 and
+    // round(±Inf) saturates to Long.Max/Min, so an unfenced NaN price
+    // would count its weight against a phantom 0-cent value — a finite,
+    // wrong average where the oracle's DECIMAL cast errors out. Loud
+    // beats silently-plausible; the registered key feeds real prices.
+    require(java.lang.Double.isFinite(in._1),
+      s"weighted_avg_cents: non-finite value ${in._1}")
     // half-AWAY-FROM-ZERO like DuckDB's round(): math.round is
     // floor(x+0.5), which sends -2.5 to -2 where the oracle says -3 —
     // invisible on non-negative prices, a one-cent divergence the day

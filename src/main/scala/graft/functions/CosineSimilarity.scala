@@ -16,7 +16,10 @@ import org.apache.spark.sql.types._
   * Numerics contract (keeps the DuckDB oracle bit-exact): every product and
   * accumulation is float64 in ascending index order — identical to
   * `list_dot_product(a::DOUBLE[], b::DOUBLE[]) / (sqrt(...) * sqrt(...))`
-  * with IEEE-correctly-rounded sqrt. Null vectors propagate null, and
+  * with IEEE-correctly-rounded sqrt. Mismatched lengths yield NULL
+  * (the [[L2Squared]] contract; DuckDB's list_dot_product errors — a
+  * truncated-prefix score would silently rank incomparables). Null
+  * vectors propagate null, and
   * so does a null ELEMENT (reading the slot as a phantom 0.0 would
   * silently skew the score; the check is emitted only when a child's
   * array type admits nulls, like [[L2Squared]]). A NON-FINITE
@@ -66,7 +69,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched lengths null out (the [[L2Squared]] contract): a
+    // truncated-prefix cosine is a finite, ranked, WRONG similarity —
+    // worse than no answer after a partial re-encoding
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val (ld, rd) = (leftIsDouble, rightIsDouble)
     val checkNulls = mayHaveNullElems
     var dot = 0.0
@@ -107,23 +114,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
            |  }""".stripMargin
       else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullCheck
-         |  double $xi = $ax;
-         |  double $yi = $by;
-         |  $dot += $xi * $yi;
-         |  $na += $xi * $xi;
-         |  $nb += $yi * $yi;
-         |}
-         |if (!${ev.isNull}) {
-         |  double $r = $dot / (java.lang.Math.sqrt($na) *
-         |    java.lang.Math.sqrt($nb));
-         |  if (java.lang.Double.isFinite($r)) {
-         |    ${ev.value} = $r;
-         |  } else {
-         |    ${ev.isNull} = true;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    double $xi = $ax;
+         |    double $yi = $by;
+         |    $dot += $xi * $yi;
+         |    $na += $xi * $xi;
+         |    $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $r = $dot / (java.lang.Math.sqrt($na) *
+         |      java.lang.Math.sqrt($nb));
+         |    if (java.lang.Double.isFinite($r)) {
+         |      ${ev.value} = $r;
+         |    } else {
+         |      ${ev.isNull} = true;
+         |    }
          |  }
          |}
        """.stripMargin

@@ -166,7 +166,22 @@ final class TDigest(val compression: Int) extends Serializable {
     }
     val vlo = valueAt(lo)
     val vhi = valueAt(hi)
-    vlo + (h - lo) * (vhi - vlo)
+    // infinity-robust interpolation: add() fences NaN but admits ±Inf,
+    // and the aggregate's contract is "never NaN in the result array".
+    // Naive vlo + (h-lo)*(vhi-vlo) manufactures NaN whenever an
+    // infinity appears (Inf - Inf, or Inf·0 at the bracket edge), so
+    // the degenerate cases short-circuit first: equal brackets and
+    // edge fractions take the bracket value; a single infinite bracket
+    // dominates any interior convex combination. Only the unbracketable
+    // (-Inf, +Inf) interior point stays NaN — there IS no number there.
+    val loInf = java.lang.Double.isInfinite(vlo)
+    val hiInf = java.lang.Double.isInfinite(vhi)
+    if (vlo == vhi || h == lo.toDouble) vlo
+    else if (h == hi.toDouble) vhi
+    else if (loInf && hiInf) Double.NaN
+    else if (loInf) vlo
+    else if (hiInf) vhi
+    else vlo + (h - lo) * (vhi - vlo)
   }
 
   def centroidCount: Int = { flush(); means.length }

@@ -25,13 +25,21 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * (`TimeBasedPartitioningExamples.java:180-195`).
   *
   * The rule augments (never replaces) time comparisons: for
-  * `timestamp_micros(x div 1000) >= lit(T)` it conjoins `x >= T*1000`,
-  * which is sargable and flows into parquet row-group/page stats. Floor
-  * semantics of `div` make the bounds exact:
-  *   micros(x) >= T  ⟺  x >= T*1000
-  *   micros(x) <= T  ⟺  x <= T*1000 + 999
-  *   micros(x) >  T  ⟺  x >= (T+1)*1000
-  *   micros(x) <  T  ⟺  x <  T*1000
+  * `timestamp_micros(x div 1000) >= lit(T)` it conjoins a sargable
+  * raw-nanos bound that flows into parquet row-group/page stats.
+  * Spark's `div` (IntegralDivide) truncates TOWARD ZERO, not toward
+  * −∞, so the exact bounds depend on the literal's sign (q = x div
+  * 1000):
+  *   q >= T  ⟺  x >= (T > 0  ? T*1000 : T*1000 − 999)
+  *   q <= T  ⟺  x <= (T >= 0 ? T*1000 + 999 : T*1000)
+  *   q >  T  ⟺  q >= T+1;   q < T  ⟺  q <= T−1
+  * A floor-semantics derivation (the first cut here) silently DROPPED
+  * pre-epoch rows: x = −500 has q = 0, which passes `ts >= epoch`, but
+  * fails the floor bound `x >= 0`. Derivation is also skipped when
+  * |T| is large enough that ×1000 would overflow Long (e.g. the
+  * year-9999 sentinel literal, 2.5e17 µs) — an overflowed bound is a
+  * predicate that matches nothing, turning a conservative optimization
+  * into an empty result set.
   * Registered via `spark.experimental.extraOptimizations` (no session
   * extension needed — Verify/Bench attach it at startup).
   */
@@ -46,9 +54,13 @@ object TimestampPushdownRule extends Rule[LogicalPlan] {
     }
   }
 
-  private def usLit(e: Expression): Option[Long] = e match {
-    case Literal(v: Long, TimestampType) => Some(v)
-    case _ => None
+  /** A timestamp literal whose µs value survives the ×1000 derivation
+    * without Long overflow. */
+  private object UsLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, TimestampType) if safeUs(v) => Some(v)
+      case _ => None
+    }
   }
 
   private def nsLit(v: Long): Literal = Literal(v, LongType)
@@ -58,22 +70,42 @@ object TimestampPushdownRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** The sargable raw-nanos twin of one top-level conjunct, if any. */
+  /** ×1000 (±1 for the strict forms, ±999 for the truncation shift)
+    * must not overflow — an overflowed bound matches nothing and the
+    * conjoined predicate would silently empty the result. */
+  private def safeUs(t: Long): Boolean =
+    math.abs(t) <= Long.MaxValue / 1000 - 2
+
+  /** x >= bound ⟺ (x div 1000) >= t, under truncation-toward-zero. */
+  private def lowerNs(t: Long): Long =
+    if (t > 0) t * 1000 else t * 1000 - 999
+
+  /** x <= bound ⟺ (x div 1000) <= t, under truncation-toward-zero. */
+  private def upperNs(t: Long): Long =
+    if (t >= 0) t * 1000 + 999 else t * 1000
+
+  /** The sargable raw-nanos twin of one top-level conjunct, if any.
+    * Strict forms reduce to the inclusive ones on t±1; flipped operand
+    * order (lit OP micros) is each case's mirror. */
   private def derive(conjunct: Expression): Option[Expression] =
     conjunct match {
-      case GreaterThanOrEqual(MicrosOfNanos(raw), l) if usLit(l).isDefined =>
-        Some(GreaterThanOrEqual(raw, nsLit(usLit(l).get * 1000)))
-      case LessThanOrEqual(MicrosOfNanos(raw), l) if usLit(l).isDefined =>
-        Some(LessThanOrEqual(raw, nsLit(usLit(l).get * 1000 + 999)))
-      case GreaterThan(MicrosOfNanos(raw), l) if usLit(l).isDefined =>
-        Some(GreaterThanOrEqual(raw, nsLit((usLit(l).get + 1) * 1000)))
-      case LessThan(MicrosOfNanos(raw), l) if usLit(l).isDefined =>
-        Some(LessThan(raw, nsLit(usLit(l).get * 1000)))
+      case GreaterThanOrEqual(MicrosOfNanos(raw), UsLit(t)) =>
+        Some(GreaterThanOrEqual(raw, nsLit(lowerNs(t))))
+      case LessThanOrEqual(MicrosOfNanos(raw), UsLit(t)) =>
+        Some(LessThanOrEqual(raw, nsLit(upperNs(t))))
+      case GreaterThan(MicrosOfNanos(raw), UsLit(t)) =>
+        Some(GreaterThanOrEqual(raw, nsLit(lowerNs(t + 1))))
+      case LessThan(MicrosOfNanos(raw), UsLit(t)) =>
+        Some(LessThanOrEqual(raw, nsLit(upperNs(t - 1))))
       // flipped operand order: lit OP micros(ns)
-      case GreaterThanOrEqual(l, MicrosOfNanos(raw)) if usLit(l).isDefined =>
-        Some(LessThanOrEqual(raw, nsLit(usLit(l).get * 1000 + 999)))
-      case LessThanOrEqual(l, MicrosOfNanos(raw)) if usLit(l).isDefined =>
-        Some(GreaterThanOrEqual(raw, nsLit(usLit(l).get * 1000)))
+      case GreaterThanOrEqual(UsLit(t), MicrosOfNanos(raw)) =>
+        Some(LessThanOrEqual(raw, nsLit(upperNs(t))))
+      case LessThanOrEqual(UsLit(t), MicrosOfNanos(raw)) =>
+        Some(GreaterThanOrEqual(raw, nsLit(lowerNs(t))))
+      case GreaterThan(UsLit(t), MicrosOfNanos(raw)) =>
+        Some(LessThanOrEqual(raw, nsLit(upperNs(t - 1))))
+      case LessThan(UsLit(t), MicrosOfNanos(raw)) =>
+        Some(GreaterThanOrEqual(raw, nsLit(lowerNs(t + 1))))
       case _ => None
     }
 

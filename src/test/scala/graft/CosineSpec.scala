@@ -70,6 +70,18 @@ class CosineSpec extends SparkSpecBase {
     assert(r.head.isNullAt(0))
   }
 
+  test("cosine nulls out on length mismatch — a truncated-prefix score " +
+      "would silently rank incomparable vectors (L2Squared contract)") {
+    import spark.implicits._
+    val rows = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f)),
+      (Array(1f, 0f), Array(1f, 0f))).toDF("a", "b")
+      .select(VectorFunctions.cosine($"a", $"b").as("cos"))
+      .collect()
+    assert(rows(0).isNullAt(0), "mismatched lengths must null out")
+    assert(rows(1).getDouble(0) == 1.0)
+  }
+
   // ---- L2Squared: must be EXACTLY the aggregate(zip_with) fold it
   // replaced — same float64 ascending accumulation — plus the fold's
   // null semantics on mismatched lengths and hostile elements.

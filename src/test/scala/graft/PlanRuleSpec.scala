@@ -71,6 +71,50 @@ class PlanRuleSpec extends SparkSpecBase {
     assert(pushed.distinct.length <= 2, s"rule not idempotent: $pushed")
   }
 
+  test("truncation semantics: pre-epoch (negative nanos) rows survive " +
+      "augmentation in every operator spelling") {
+    import spark.implicits._
+    // `div` truncates TOWARD ZERO (n / 1000 in Java), not toward -inf:
+    // -500 div 1000 = 0, so x = -500 must pass ts >= epoch. A
+    // floor-semantics bound (x >= 0) silently dropped these rows.
+    val ns = Seq(-2000L, -1999L, -1500L, -1000L, -999L, -500L, -1L,
+      0L, 1L, 999L, 1000L)
+    val df = ns.toDF("ts_ns")
+      .select($"ts_ns", timestamp_micros(expr("ts_ns div 1000")).as("ts"))
+    def got(c: org.apache.spark.sql.Column) =
+      df.filter(c).select($"ts_ns").collect().map(_.getLong(0)).toSet
+    def expected(p: Long => Boolean) = ns.filter(n => p(n / 1000L)).toSet
+    for (tUs <- Seq(-2L, -1L, 0L, 1L)) {
+      val t = timestamp_micros(lit(tUs))
+      assert(got($"ts" >= t) == expected(_ >= tUs), s"ge T=$tUs")
+      assert(got($"ts" <= t) == expected(_ <= tUs), s"le T=$tUs")
+      assert(got($"ts" > t) == expected(_ > tUs), s"gt T=$tUs")
+      assert(got($"ts" < t) == expected(_ < tUs), s"lt T=$tUs")
+      // flipped operand order (lit OP ts), strict forms included —
+      // these spellings previously derived no twin at all
+      assert(got(t <= $"ts") == expected(_ >= tUs), s"flip-le T=$tUs")
+      assert(got(t < $"ts") == expected(_ > tUs), s"flip-lt T=$tUs")
+      assert(got(t >= $"ts") == expected(_ <= tUs), s"flip-ge T=$tUs")
+      assert(got(t > $"ts") == expected(_ < tUs), s"flip-gt T=$tUs")
+    }
+  }
+
+  test("overflow guard: far-future/far-past literals derive no bound " +
+      "and drop no rows") {
+    import spark.implicits._
+    // 9999-12-31 is ~2.5e17 us; x1000 overflows Long. An overflowed
+    // bound matches nothing — the augmented filter would return an
+    // EMPTY result where the unaugmented one returns every row.
+    val ns = Seq(-1000000000L, 0L, 1706400000000000000L)
+    val df = ns.toDF("ts_ns")
+      .select($"ts_ns", timestamp_micros(expr("ts_ns div 1000")).as("ts"))
+    val hi = lit("9999-12-31 23:59:59").cast("timestamp")
+    val lo = lit("1677-01-01 00:00:00").cast("timestamp")
+    assert(df.filter($"ts" <= hi).count() == 3)
+    assert(df.filter($"ts" >= lo).count() == 3)
+    assert(df.filter($"ts" < hi && $"ts" > lo).count() == 3)
+  }
+
   test("rule result matches unaugmented semantics on real events") {
     import spark.implicits._
     val ev = graft.sources.Tables.events(spark, sf)

@@ -56,6 +56,28 @@ class TDigestSpec extends SparkSpecBase {
     }
   }
 
+  test("infinite values interpolate to themselves, never NaN: equal " +
+      "brackets short-circuit before Inf - Inf arithmetic") {
+    // add() fences NaN but admits +/-Inf; at prob 1.0 both brackets
+    // land on the same infinite centroid and naive interpolation is
+    // Inf + 0*NaN = NaN — which would leak into the result array the
+    // aggregate promises is NaN-free
+    val d = new TDigest(100)
+    Seq(1.0, 2.0, Double.PositiveInfinity).foreach(d.add)
+    assert(d.quantile(1.0) == Double.PositiveInfinity)
+    assert(d.quantile(0.0) == 1.0)
+    val neg = new TDigest(100)
+    Seq(Double.NegativeInfinity, 5.0).foreach(neg.add)
+    assert(neg.quantile(0.0) == Double.NegativeInfinity)
+    assert(neg.quantile(1.0) == 5.0)
+    // interior convex combination with ONE infinite bracket is that
+    // infinity (the limit), not Inf - Inf = NaN
+    assert(neg.quantile(0.5) == Double.NegativeInfinity)
+    val pos = new TDigest(100)
+    Seq(1.0, Double.PositiveInfinity).foreach(pos.add)
+    assert(pos.quantile(0.5) == Double.PositiveInfinity)
+  }
+
   test("lossy regime: state stays bounded and rank error stays small, " +
       "including for a merged-from-parts digest") {
     val rnd = new scala.util.Random(13)
