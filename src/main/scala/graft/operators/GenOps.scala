@@ -51,7 +51,7 @@ object GenOps {
   /** Deterministic hash-mix "random" in [0, m) from the row index — the
     * seeded stand-in for ThreadLocalRandom (`Creator:244-248`). */
   private def mix(i: org.apache.spark.sql.Column, salt: Long, m: Long) =
-    pmod(i * 2654435761L + salt, lit(m))
+    pmod(i * MixConst + salt, lit(m))
 
   /** Base timestamp: 2024-01-15 00:00:00 UTC in epoch millis — the fixed
     * literal replacing `System.currentTimeMillis()` (`Creator:213`). */
@@ -64,14 +64,12 @@ object GenOps {
   def genEvents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = 1000L
-    val providers = array(Seq("openai", "anthropic", "cohere", "google",
-      "aws-bedrock").map(lit): _*)
+    val providers = array(AiProviders.map(lit): _*)
     val services = array(Seq("ai-gateway-v1", "ai-gateway-v2", "ai-proxy",
       "ml-service").map(lit): _*)
     val pops = array(Seq("us-west-2", "us-east-1", "eu-west-1",
       "ap-southeast-1").map(lit): _*)
-    val models = array(Seq("gpt-4", "claude-3", "llama-2", "gemini-pro",
-      "titan-xl").map(lit): _*)
+    val models = array(AiModels.map(lit): _*)
     val i = $"id"
     val ts = lit(baseMs) + i * 60000L   // one event per minute
     val t = timestamp_millis(ts)
@@ -229,7 +227,7 @@ object GenOps {
 
   /** The DuckDB twin of gen_events — same arithmetic over range(1000). */
   private val genSql: String = {
-    val mixS = (salt: Long, m: Long) => s"(i * 2654435761 + $salt) % $m"
+    val mixS = (salt: Long, m: Long) => s"(i * $MixConst + $salt) % $m"
     s"""SELECT CAST(i AS INT) AS transaction_id,
        |  CAST(1000 + i % 10 AS INT) AS tenant_id,
        |  (['us-west-2','us-east-1','eu-west-1','ap-southeast-1'])
@@ -238,9 +236,9 @@ object GenOps {
        |    [CAST(i % 4 AS INT) + 1] AS service_id,
        |  $baseMs + i * 60000 AS "timestamp",
        |  'aig' AS type,
-       |  (['openai','anthropic','cohere','google','aws-bedrock'])
+       |  ${sqlList(AiProviders)}
        |    [CAST(i % 5 AS INT) + 1] AS ai_provider_id,
-       |  (['gpt-4','claude-3','llama-2','gemini-pro','titan-xl'])
+       |  ${sqlList(AiModels)}
        |    [CAST((i * 7 + 3) % 5 AS INT) + 1] AS cs_model,
        |  ([200, 400, 500])[CAST(
        |    CASE WHEN ${mixS(17L, 10L)} < 8 THEN 0

@@ -27,7 +27,10 @@ object MultimodalOps {
         $"text".cast("binary").as("payload"),
         struct($"source".as("origin"), $"lang".as("language"),
           lit("text/plain").as("mime_type"),
-          length($"text").cast("long").as("bytes")).as("meta"))
+          // a field named `bytes` holds BYTES — length() counts chars
+          // and silently under-reports on any multi-byte payload
+          octet_length($"text".cast("binary")).cast("long")
+            .as("bytes")).as("meta"))
       .select($"doc_id",
         octet_length($"payload").cast("long").as("n_bytes"),
         md5($"payload").as("payload_md5"),
@@ -41,20 +44,44 @@ object MultimodalOps {
     * fixed 256-char "frames" (stand-in for video frame extraction), digest
     * each frame, aggregate per doc. Pure expressions → codegen, streams at
     * scan speed. */
-  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    framesOver(Tables.documents(spark, dir)).drop("n_bytes")
+
+  /** The frame pipeline over an arbitrary documents frame —
+    * `robust_multimodal` drives the SAME logic over the malformed
+    * corpus, so the hostile-payload contract below is oracle-checked,
+    * not just asserted in a spec. */
+  private[operators] def framesOver(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val frameLen = 256
-    val frames = transform(
-      sequence(lit(0),
-        floor((length($"text") - 1) / frameLen).cast("int")),
-      i => $"text".substr(i * frameLen + 1, lit(frameLen)))
-    Tables.documents(spark, dir)
-      .select($"doc_id", frames.as("frames"))
+    // empty/null payloads are EXPLICITLY zero frames: unguarded,
+    // sequence(0, floor((0-1)/256)) is sequence(0, -1), whose default
+    // step is -1 — two phantom frames [0, -1] for an empty doc (and
+    // the DuckDB twin's truncating `//` would say ONE frame; the guard
+    // pins the same contract on both engines)
+    val frames = when(length(coalesce($"text", lit(""))) > 0,
+      transform(
+        sequence(lit(0),
+          floor((length($"text") - 1) / frameLen).cast("int")),
+        i => $"text".substr(i * frameLen + 1, lit(frameLen))))
+      .otherwise(typedLit(Seq.empty[String]))
+    docs
       .select($"doc_id",
+        octet_length($"text".cast("binary")).cast("long").as("n_bytes"),
+        frames.as("frames"))
+      .select($"doc_id", $"n_bytes",
         size($"frames").cast("long").as("n_frames"),
-        md5(element_at($"frames", 1).cast("binary")).as("first_frame_md5"),
-        md5(concat_ws("", transform($"frames",
-          f => md5(f.cast("binary")))).cast("binary")).as("digest_of_digests"))
+        // try_element_at: ANSI element_at THROWS on the empty frames
+        // array; the contract (and DuckDB's frames[1]) is NULL
+        md5(try_element_at($"frames", lit(1)).cast("binary"))
+          .as("first_frame_md5"),
+        // a frameless doc has NO digest-of-digests (NULL), not the
+        // md5 of the empty concatenation — the twin's string_agg over
+        // an empty list is NULL and the engine must agree
+        when(size($"frames") === 0, lit(null).cast("string"))
+          .otherwise(md5(concat_ws("", transform($"frames",
+            f => md5(f.cast("binary")))).cast("binary")))
+          .as("digest_of_digests"))
       .orderBy($"doc_id")
   }
 
@@ -116,29 +143,51 @@ object MultimodalOps {
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_decode" -> (multimodalDecode _))
 
+  // Oracle notes: strlen() is DuckDB's BYTE length (length() counts
+  // characters), matching the engine's octet_length over the UTF-8
+  // payload; md5(VARCHAR) hashes UTF-8 bytes on both engines. The
+  // per-byte fields (header_a/b, byte_sum, head_md5's 16-unit window)
+  // are spelled with character functions and are byte-accurate only on
+  // ASCII payloads — the documented domain of the decode stand-in.
+  // coalesce(text, '') mirrors decodePayload's null-payload contract:
+  // a missing payload decodes as the EMPTY payload, never as NULLs.
   val oracles: Map[String, String] = Map(
     "multimodal_decode" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-        |  ascii(substr(text, 1, 1)) AS header_a,
-        |  ascii(substr(text, 2, 1)) AS header_b,
-        |  CAST(list_sum(list_transform(split(text, ''), c -> ascii(c)))
+      """WITH t AS (
+        |  SELECT doc_id, coalesce(text, '') AS t FROM documents)
+        |SELECT doc_id, CAST(strlen(t) AS BIGINT) AS n_bytes,
+        |  ascii(substr(t, 1, 1)) AS header_a,
+        |  ascii(substr(t, 2, 1)) AS header_b,
+        |  CAST(list_sum(list_transform(split(t, ''), c -> ascii(c)))
         |    AS BIGINT) AS byte_sum,
-        |  md5(substr(text, 1, 16)) AS head_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |  md5(substr(t, 1, 16)) AS head_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
-      """SELECT doc_id, length(text) AS n_bytes, md5(text) AS payload_md5,
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5,
         |  'text/plain' AS mime_type, source AS origin,
-        |  length(text) AS bytes
+        |  CAST(strlen(text) AS BIGINT) AS bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "multimodal_frames" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    list_transform(range(0, ((length(text) - 1) // 256) + 1),
-        |      i -> substr(text, (i * 256 + 1)::INT, 256)) AS frames
-        |  FROM documents)
-        |SELECT doc_id, len(frames) AS n_frames,
-        |  md5(frames[1]) AS first_frame_md5,
-        |  md5(list_aggregate(list_transform(frames, x -> md5(x)),
-        |    'string_agg', '')) AS digest_of_digests
-        |FROM f ORDER BY doc_id""".stripMargin)
+    "multimodal_frames" -> framesOracleSql("documents", withBytes = false))
+
+  /** DuckDB twin of [[framesOver]] parameterized by the source relation
+    * (a table name or a parenthesizable SELECT), so the real-corpus key
+    * and `robust_multimodal` replay the SAME pipeline. */
+  private[operators] def framesOracleSql(src: String,
+      withBytes: Boolean): String = {
+    val bytesCol =
+      if (withBytes) "CAST(strlen(text) AS BIGINT) AS n_bytes," else ""
+    s"""WITH f AS (
+       |  SELECT doc_id, $bytesCol
+       |    CASE WHEN length(coalesce(text, '')) = 0 THEN []::VARCHAR[]
+       |         ELSE list_transform(range(0, ((length(text) - 1) // 256) + 1),
+       |           i -> substr(text, (i * 256 + 1)::INT, 256)) END AS frames
+       |  FROM $src)
+       |SELECT doc_id, ${if (withBytes) "n_bytes," else ""}
+       |  len(frames) AS n_frames,
+       |  md5(frames[1]) AS first_frame_md5,
+       |  md5(list_aggregate(list_transform(frames, x -> md5(x)),
+       |    'string_agg', '')) AS digest_of_digests
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
 }

@@ -105,10 +105,22 @@ object RobustOps {
   def robustBm25(spark: SparkSession, dir: String): DataFrame =
     RetrievalOps.bm25TopkOver(malformedDocs(spark, dir))
 
+  /** `robust_multimodal` — the frame-decomposition pipeline
+    * ([[MultimodalOps.framesOver]], byte counts included) over the
+    * malformed corpus: empty/null/whitespace payloads are EXPLICITLY
+    * zero frames with NULL digests (unguarded sequence arithmetic
+    * yields phantom frames — the exact divergence this key exists to
+    * catch), 5-6 KB repeats decompose into full frame runs, and the
+    * multibyte case pins char-framing vs byte-counting on both
+    * engines. */
+  def robustMultimodal(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.framesOver(malformedDocs(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "robust_token_count" -> (robustTokenCount _),
     "robust_dedup_minhash" -> (robustDedupMinhash _),
-    "robust_bm25" -> (robustBm25 _))
+    "robust_bm25" -> (robustBm25 _),
+    "robust_multimodal" -> (robustMultimodal _))
 
   private val TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
@@ -122,5 +134,7 @@ object RobustOps {
          |  len($TOKS) AS n_ws_tokens
          |FROM m ORDER BY doc_id""".stripMargin,
     "robust_dedup_minhash" -> DedupOps.minhashOracle(MALFORMED_SRC),
-    "robust_bm25" -> RetrievalOps.bm25OracleSql(MALFORMED_SRC))
+    "robust_bm25" -> RetrievalOps.bm25OracleSql(MALFORMED_SRC),
+    "robust_multimodal" ->
+      MultimodalOps.framesOracleSql(s"($MALFORMED_SRC)", withBytes = true))
 }

@@ -177,17 +177,15 @@ object Scalars {
     * model arrays) — pmod + element_at. */
   def fnModCycle(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val providers = array(Seq("openai", "anthropic", "cohere", "google",
-      "aws-bedrock").map(lit): _*)
-    val models = array(Seq("gpt-4", "claude-3", "llama-2", "gemini-pro",
-      "titan-xl").map(lit): _*)
+    val providers = array(AiProviders.map(lit): _*)
+    val models = array(AiModels.map(lit): _*)
     Tables.events(spark, dir).filter($"event_id" < 1000)
       .select($"event_id",
         element_at(providers, (pmod($"event_id", lit(5)) + 1).cast("int"))
           .as("ai_provider_id"),
         element_at(models, (pmod($"event_id" * 3 + 1, lit(5)) + 1).cast("int"))
           .as("cs_model"),
-        pmod($"event_id" * 2654435761L + 12345L, lit(1000L)).as("prng"))
+        pmod($"event_id" * MixConst + 12345L, lit(1000L)).as("prng"))
       .orderBy($"event_id")
   }
 
@@ -416,12 +414,12 @@ object Scalars {
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
     "fn_mod_cycle" ->
-      """SELECT event_id,
-        |  (['openai','anthropic','cohere','google','aws-bedrock'])
+      s"""SELECT event_id,
+        |  ${sqlList(AiProviders)}
         |    [CAST(event_id % 5 AS INT) + 1] AS ai_provider_id,
-        |  (['gpt-4','claude-3','llama-2','gemini-pro','titan-xl'])
+        |  ${sqlList(AiModels)}
         |    [CAST((event_id * 3 + 1) % 5 AS INT) + 1] AS cs_model,
-        |  (event_id * 2654435761 + 12345) % 1000 AS prng
+        |  (event_id * $MixConst + 12345) % 1000 AS prng
         |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
     "fn_math" ->
       """SELECT c_custkey,

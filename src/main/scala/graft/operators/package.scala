@@ -24,4 +24,24 @@ package object operators {
   /** Exact average: decimal sum divided by count, in double at the end.
     * Twin: `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(x)`. */
   def davg(c: Column): Column = sum(dec(c)).cast("double") / count(c)
+
+  /** The reference's cyclic categorical vocabularies (Creator:219-243),
+    * defined ONCE for both consumers — the event generator
+    * (GenOps.genEvents) and the scalar cycle key (Scalars.fnModCycle) —
+    * and their SQL twins via [[sqlList]]: editing a vocabulary updates
+    * every consumer or none, instead of silently forking the "same"
+    * domain across files. */
+  val AiProviders: Seq[String] =
+    Seq("openai", "anthropic", "cohere", "google", "aws-bedrock")
+  val AiModels: Seq[String] =
+    Seq("gpt-4", "claude-3", "llama-2", "gemini-pro", "titan-xl")
+
+  /** Knuth multiplicative-hash constant behind every seeded mix
+    * (the deterministic stand-in for ThreadLocalRandom, Creator:244-248). */
+  val MixConst: Long = 2654435761L
+
+  /** DuckDB list-literal spelling of a vocabulary, e.g.
+    * `(['a','b'])` — index with `[CAST(expr AS INT) + 1]`. */
+  def sqlList(xs: Seq[String]): String =
+    xs.mkString("(['", "','", "'])")
 }

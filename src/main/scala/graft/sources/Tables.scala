@@ -59,8 +59,10 @@ object Tables {
     * TimestampType (UTC-instant) column so downstream operators and the
     * DuckDB oracles agree:
     *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it
-    *     (SPARK-40819) — read as long nanos and floor-convert to micros
-    *     (exactly DuckDB's truncation);
+    *     (SPARK-40819) — read as long nanos; `div 1000` truncates
+    *     TOWARD ZERO, which is exactly DuckDB's ns→µs cast semantics
+    *     (verified: −1500 ns → −1 µs on both engines, NOT floor's −2),
+    *     so pre-epoch values agree too;
     *   - timestamp[us] isAdjustedToUTC=false → Spark's TIMESTAMP_NTZ:
     *     cast to TimestampType — the session TZ is pinned UTC, so the
     *     NTZ→instant mapping is bijective and hashes are unchanged;
