@@ -37,10 +37,17 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
-    import glob
+    import glob, os
     dumped = sorted(
         p.split("/")[-1] for p in glob.glob(f"{OUT}/*") if "." not in p.split("/")[-1])
     n_pass = n_fail = n_noracle = 0
+    # keys that threw inside graft.Verify leave no dump to glob — without
+    # this they'd silently vanish from the tally instead of failing
+    fpath = f"{OUT}/failures.json"
+    if os.path.exists(fpath):
+        for name, err in json.load(open(fpath)).items():
+            print(f"FAIL {name}: verify threw: {err[:200]}")
+            n_fail += 1
     for name in dumped:
         try:
             got = duckdb.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()

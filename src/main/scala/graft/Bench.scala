@@ -17,11 +17,30 @@ object Bench {
       .findFirstMatchIn(txt).map(_.group(1))
     if (!sfOk || queriesObj.isEmpty) Map.empty
     else {
-      val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+      // full JSON number shape incl. exponents: [0-9.]+ alone parses
+      // 9.5e-05 as 9.5 — a silently 10^5-inflated baseline that disarms
+      // the regression gate for that key
+      val entry = """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
       entry.findAllMatchIn(queriesObj.get)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
   } catch { case _: Throwable => Map.empty }
+
+  /** Locale-pinned %.3f: the f-interpolator formats with the JVM
+    * default locale, and a comma decimal ("1,003") corrupts both the
+    * stdout summary and BENCH_SUMMARY.json into unparseable JSON. */
+  private def num3(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  /** Median, NaN on empty — shared by the contention index and the
+    * re-pass gate so the two can't diverge. */
+  private def median(xs: Seq[Double]): Double =
+    if (xs.isEmpty) Double.NaN
+    else {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,7 +89,10 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name)) }
     def sample(name: String): Double = {
-      val fn = SparkEntry.queries(name)
+      // selected, not SparkEntry.queries: the latter is a def that
+      // re-merges ~20 module maps per call, and sample runs ~500 times
+      // per suite inside the timed window
+      val fn = selected(name)
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
@@ -88,12 +110,15 @@ object Bench {
     val canaryKeys = Seq("limit_n", "fn_math", "fn_rand_int")
       .filter(selected.contains)
     val canaryRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def runCanaries(): Unit = canaryKeys.foreach { k =>
-      baselines.get(k).filter(_ > 0).foreach { base =>
-        try canaryRatios += sample(k) / base
-        catch { case _: Throwable => () }
+    // ONE canary-probe spelling for both the contention index and the
+    // re-pass gate — a protocol tweak applied to one copy can't
+    // silently diverge the two
+    def canaryProbe(): Seq[Double] = canaryKeys.flatMap { k =>
+      baselines.get(k).filter(_ > 0).flatMap { base =>
+        try Some(sample(k) / base) catch { case _: Throwable => None }
       }
     }
+    def runCanaries(): Unit = canaryRatios ++= canaryProbe()
     // untimed canary warmup: the first execution of a key pays one-off
     // plan-build/codegen costs the baseline (min-of-2 in a warm suite)
     // never includes — without this the start-of-suite canary reads ~3×
@@ -122,13 +147,8 @@ object Bench {
       results(name) = t
     }
     runCanaries()
-    val contentionIndex =
-      if (canaryRatios.isEmpty) Double.NaN
-      else { // median: robust to one canary landing on a load spike
-        val s = canaryRatios.toSeq.sorted
-        if (s.size % 2 == 1) s(s.size / 2)
-        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-      }
+    // median: robust to one canary landing on a load spike
+    val contentionIndex = median(canaryRatios.toSeq)
     // failed queries live ONLY in the errors map — a 0.0 timing would
     // read as the suite's fastest query in a round-over-round diff
     val timed = scala.collection.mutable.LinkedHashMap(
@@ -161,16 +181,7 @@ object Bench {
     // affects canaries and flagged keys alike can't read as a code
     // regression. The wait budget (~45 s max) is small against the
     // suite wall and is spent only when keys were flagged at all.
-    def repassCanaryRatio(): Double = {
-      val rs = canaryKeys.flatMap { k =>
-        baselines.get(k).filter(_ > 0).flatMap { base =>
-          try Some(sample(k) / base) catch { case _: Throwable => None }
-        }
-      }.sorted
-      if (rs.isEmpty) Double.NaN
-      else if (rs.size % 2 == 1) rs(rs.size / 2)
-      else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2
-    }
+    def repassCanaryRatio(): Double = median(canaryProbe())
     var repassRatio = Double.NaN
     var repassWaitSec = 0.0
     if (firstPassFlags.nonEmpty) {
@@ -205,7 +216,7 @@ object Bench {
         s">2x vs BASELINE_QUERIES.json after re-pass: " +
         regressions.keys.mkString(","))
     val ciJson = if (contentionIndex.isNaN) "null"
-      else f"$contentionIndex%.3f"
+      else num3(contentionIndex)
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     // short machine-readable summary LAST: the driver captures a bounded
     // stdout tail, and the 100+-entry line above overflows it (r1 had
@@ -219,11 +230,11 @@ object Bench {
     val flaggedJson = firstPassFlags.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val setupDetailJson = prewarm.buildSec
-      .map { case (n, s) => f""""$n":$s%.3f""" }.mkString("{", ",", "}")
-    val repassJson = if (repassRatio.isNaN) "null" else f"$repassRatio%.3f"
+      .map { case (n, s) => s""""$n":${num3(s)}""" }.mkString("{", ",", "}")
+    val repassJson = if (repassRatio.isNaN) "null" else num3(repassRatio)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$repoRoot/BENCH_SUMMARY.json"),
-      s"""{"total":$total,"n_queries":${results.size},"cpus":"$cpus","setup_sec":$setupSec,"setup_detail":$setupDetailJson,"wall_sec":$wallSec,"samples_per_query":2,"contention_index":$ciJson,"canary_ratios":${canaryRatios.map(r => f"$r%.3f").mkString("[", ",", "]")},"flagged_first_pass":$flaggedJson,"repass_canary_ratio":$repassJson,"repass_gate_scale":$repassGateScale,"repass_wait_sec":$repassWaitSec,"prewarm_failures":$prewarmJson,"errors":$errJson,"regressions":$regJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"total":$total,"n_queries":${results.size},"cpus":"$cpus","setup_sec":$setupSec,"setup_detail":$setupDetailJson,"wall_sec":$wallSec,"samples_per_query":2,"contention_index":$ciJson,"canary_ratios":${canaryRatios.map(num3).mkString("[", ",", "]")},"flagged_first_pass":$flaggedJson,"repass_canary_ratio":$repassJson,"repass_gate_scale":$repassGateScale,"repass_wait_sec":$repassWaitSec,"prewarm_failures":$prewarmJson,"errors":$errJson,"regressions":$regJson,"queries":$qs,"sf":"$sfDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

@@ -19,16 +19,21 @@ object DebugRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Tables.warmup(spark)
+    val queries = SparkEntry.queries
     names.foreach { n =>
       val t0 = System.nanoTime()
-      val cnt = SparkEntry.queries(n)(spark, sfDir).count()
+      // build ONCE: some keys run eager construction-time work (model
+      // collects, lazy-checkpoint planting) that explain/show would
+      // otherwise repeat per flag
+      val df = queries(n)(spark, sfDir)
+      val cnt = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[debug] $n%-28s $sec%8.2f s  rows=$cnt")
-      if (sys.env.contains("DEBUG_EXPLAIN"))
-        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
-      if (sys.env.contains("DEBUG_SHOW"))
-        SparkEntry.queries(n)(spark, sfDir)
-          .show(sys.env("DEBUG_SHOW").toInt, false)
+      if (sys.env.contains("DEBUG_EXPLAIN")) df.explain("formatted")
+      // DEBUG_SHOW=true (flag-style) means the default depth, not a crash
+      sys.env.get("DEBUG_SHOW").foreach { v =>
+        df.show(v.toIntOption.getOrElse(20), false)
+      }
     }
     spark.stop()
   }

@@ -46,14 +46,14 @@ object Fixtures {
       "events_blooms" ->
         (() => sources.IngestOps.bloomSidecar(spark, dir,
           sources.IngestOps.snapshotLayout(spark, dir))),
-      // one entry PER clustering bound (the graphs differ: an edge
-      // through a node outside the bound can merge components)
       "stream_latedrops" ->
         (() => streaming.StreamingOps.lateDropLayout(spark, dir)),
       "events_streambase" ->
         (() => streaming.StreamingOps.upsertBaseLayout(spark, dir)),
       "stream_resumebatches" ->
         (() => streaming.StreamingOps.resumeBatchesLayout(spark, dir)),
+      // one entry PER clustering bound (the graphs differ: an edge
+      // through a node outside the bound can merge components)
       "dedup_labels_40" ->
         (() => operators.PipelineOps.dedupLabelsLayout(spark, dir, 40)),
       "dedup_labels_200" ->

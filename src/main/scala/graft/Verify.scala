@@ -27,11 +27,21 @@ object Verify {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name)) }
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        // the gate builds its work list by globbing outDir — a stale
+        // dump from a previous run would be hash-compared as if
+        // current, reporting a broken query as PASS. Failure must
+        // leave NO dump behind (overwrite-mode only deletes once the
+        // write job starts, which a planning-time throw never reaches).
+        val stale = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+        stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(stale, true)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -49,6 +59,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable failure record (Bench's errors-map discipline):
+    // a key that threw must be VISIBLE in the artifact, not only on
+    // stderr — a vanished glob entry reads as "never registered"
+    Files.writeString(Paths.get(s"$outDir/failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    // exit 0 even on failures: the driver compares per-key, and a
+    // nonzero exit could zero the whole round over one flaky key —
+    // the artifact plus the deleted dump make the failure visible
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} keys FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }
