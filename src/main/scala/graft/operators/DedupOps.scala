@@ -106,7 +106,7 @@ object DedupOps {
     * which is what keeps this shape viable at 100 TB.
     * Columns: da, db, inter, na, nb, jaccard (rounded 6dp). Also the edge
     * generator for [[PipelineOps.dedupCluster]]. */
-  private[operators] def jaccardPairs(docs: DataFrame,
+  private[graft] def jaccardPairs(docs: DataFrame,
       threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -241,4 +241,26 @@ class DedupSpec extends SparkSpecBase {
       if (bfHandle != null) bfHandle.destroy()
     }
   }
+
+  test("jaccardPairs prefix filter is lossless at a threshold where " +
+      "(1-t) is inexact in binary (the floor((1-t)*n) regression)") {
+    import spark.implicits._
+    // doc 2's text is a strict prefix of doc 1's: 12 chars -> 10
+    // distinct shingles vs 10 chars -> 8 shingles, all shared, so
+    // J = 8/10 = exactly the 0.8 threshold. Under the old FP bound
+    // doc 1's prefix allowance was floor(0.19999...*10)+1 = 2 - just
+    // its two df=1 shingles - so no shared shingle reached both
+    // prefixes and this true pair silently vanished. The integer-safe
+    // bound (n - ceil(t*n) + 1 = 3) admits one shared shingle.
+    val docs = Seq(
+      (1L, "abcdefghijkl"),
+      (2L, "abcdefghij"),
+      (3L, "zzzz other text entirely")).toDF("doc_id", "text")
+    val pairs = DedupOps.jaccardPairs(docs, 0.8)
+      .select($"da", $"db", $"jaccard").collect()
+    assert(pairs.length == 1, s"expected exactly the planted pair: " +
+      pairs.mkString(", "))
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 0.8)
+  }
 }
