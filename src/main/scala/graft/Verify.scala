@@ -39,9 +39,16 @@ object Verify {
         // current, reporting a broken query as PASS. Failure must
         // leave NO dump behind (overwrite-mode only deletes once the
         // write job starts, which a planning-time throw never reaches).
-        val stale = new org.apache.hadoop.fs.Path(s"$outDir/$name")
-        stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(stale, true)
+        // the delete must not itself abort the run: the remaining keys'
+        // dumps and failures.json are what keep the gate honest
+        try {
+          val stale = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+          stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(stale, true)
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name stale-dump delete failed: " +
+            e2.getMessage)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

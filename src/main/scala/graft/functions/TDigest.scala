@@ -174,10 +174,11 @@ final class TDigest(val compression: Int) extends Serializable {
     // edge fractions take the bracket value; a single infinite bracket
     // dominates any interior convex combination. Only the unbracketable
     // (-Inf, +Inf) interior point stays NaN — there IS no number there.
+    // (an integral h forces lo == hi, hence vlo == vhi — no separate
+    // edge-fraction cases exist)
     val loInf = java.lang.Double.isInfinite(vlo)
     val hiInf = java.lang.Double.isInfinite(vhi)
-    if (vlo == vhi || h == lo.toDouble) vlo
-    else if (h == hi.toDouble) vhi
+    if (vlo == vhi) vlo
     else if (loInf && hiInf) Double.NaN
     else if (loInf) vlo
     else if (hiInf) vhi

@@ -74,7 +74,10 @@ object TimestampPushdownRule extends Rule[LogicalPlan] {
     * must not overflow — an overflowed bound matches nothing and the
     * conjoined predicate would silently empty the result. */
   private def safeUs(t: Long): Boolean =
-    math.abs(t) <= Long.MaxValue / 1000 - 2
+    // Long.MinValue first: math.abs(Long.MinValue) is NEGATIVE (its
+    // negation doesn't exist), so the magnitude test alone would pass
+    // the one value guaranteed to wrap
+    t != Long.MinValue && math.abs(t) <= Long.MaxValue / 1000 - 2
 
   /** x >= bound ⟺ (x div 1000) >= t, under truncation-toward-zero. */
   private def lowerNs(t: Long): Long =
