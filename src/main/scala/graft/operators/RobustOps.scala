@@ -116,11 +116,39 @@ object RobustOps {
   def robustMultimodal(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.framesOver(malformedDocs(spark, dir))
 
+  /** `robust_partition_derive` — the reference's null-partition-value
+    * case (`HiddenPartitionLoader.java:217-220`) as an oracle key:
+    * hidden-partition values derived from a CASE-mutated events subset
+    * where every 5th row's ts is NULL. Null rows land in the EXPLICIT
+    * null cell (Hive's `__HIVE_DEFAULT_PARTITION__` convention — the
+    * same place Spark's own partitioned writer files them), lose
+    * nothing, and the derived directory path is a defined string for
+    * every row — cross-engine, not just spec-asserted. */
+  def robustPartitionDerive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nullCell = "__HIVE_DEFAULT_PARTITION__"
+    def cell(prefix: String, c: Column): Column =
+      concat(lit(prefix), coalesce(c.cast("string"), lit(nullCell)))
+    Tables.events(spark, dir).filter($"event_id" < 200)
+      .select($"event_id",
+        when(pmod($"event_id", lit(5)) === 0, lit(null).cast("timestamp"))
+          .otherwise($"ts").as("ts"))
+      .select($"event_id",
+        year($"ts").cast("long").as("year"),
+        month($"ts").cast("long").as("month"),
+        dayofmonth($"ts").cast("long").as("day"),
+        $"ts".isNull.as("null_cell"),
+        concat(cell("year=", year($"ts")), cell("/month=", month($"ts")),
+          cell("/day=", dayofmonth($"ts"))).as("part_path"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "robust_token_count" -> (robustTokenCount _),
     "robust_dedup_minhash" -> (robustDedupMinhash _),
     "robust_bm25" -> (robustBm25 _),
-    "robust_multimodal" -> (robustMultimodal _))
+    "robust_multimodal" -> (robustMultimodal _),
+    "robust_partition_derive" -> (robustPartitionDerive _))
 
   private val TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
@@ -136,5 +164,20 @@ object RobustOps {
     "robust_dedup_minhash" -> DedupOps.minhashOracle(MALFORMED_SRC),
     "robust_bm25" -> RetrievalOps.bm25OracleSql(MALFORMED_SRC),
     "robust_multimodal" ->
-      MultimodalOps.framesOracleSql(s"($MALFORMED_SRC)", withBytes = true))
+      MultimodalOps.framesOracleSql(s"($MALFORMED_SRC)", withBytes = true),
+    "robust_partition_derive" ->
+      """WITH m AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE ts END AS ts
+        |  FROM events WHERE event_id < 200)
+        |SELECT event_id,
+        |  year(ts) AS year, month(ts) AS month, day(ts) AS day,
+        |  ts IS NULL AS null_cell,
+        |  'year=' || coalesce(CAST(year(ts) AS VARCHAR),
+        |      '__HIVE_DEFAULT_PARTITION__')
+        |  || '/month=' || coalesce(CAST(month(ts) AS VARCHAR),
+        |      '__HIVE_DEFAULT_PARTITION__')
+        |  || '/day=' || coalesce(CAST(day(ts) AS VARCHAR),
+        |      '__HIVE_DEFAULT_PARTITION__') AS part_path
+        |FROM m ORDER BY event_id""".stripMargin)
 }
