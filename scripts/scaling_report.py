@@ -78,7 +78,10 @@ OVERRIDES = {
     "dedup_lsh_parity": "bounded",       # vec_id < 600
     "sim_lsh_parity": "bounded",         # vec_id < 400
     "sim_cosine_topk": "bounded",
-    "sim_knn_query": "bounded",
+    # sim_knn_query has NO subset bound: it is one scan of the whole
+    # embeddings table + a top-k merge — honestly linear (the IVF/PQ
+    # index family is the sublinear path a deployment uses instead)
+    "sim_knn_query": "linear",
     "text_pii_redact": "bounded",        # event_id < 500
     "contamination_check": "bounded",
     "dedup_cluster": "bounded",          # 40-doc edge fixture
