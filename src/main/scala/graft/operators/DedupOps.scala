@@ -435,13 +435,17 @@ object DedupOps {
     * is SCANNED once and the three logical passes (sizing count, bloom
     * aggregation, confirm anti-join) all read the cached columns (at
     * scale the filter is a maintained artifact like the IVF index,
-    * rebuilt per corpus snapshot, not per batch). The probe UDF is
-    * justified: Spark's own runtime bloom join filters use the internal
-    * `BloomFilterMightContain` expression, which has no public surface.
-    * The result is materialized eagerly (localCheckpoint) so the bloom
-    * broadcast and the corpus cache can be released before returning —
-    * repeated invocations (bench's 2 samples, spec runs) must not
-    * accumulate broadcast blocks until the ContextCleaner wakes up.
+    * rebuilt per corpus snapshot, not per batch). The probe is Spark's
+    * own codegen'd `BloomFilterMightContain` expression — the same one
+    * the optimizer's runtime bloom joins inject — fed by a
+    * `BloomFilterAggregate` scalar subquery over the corpus, so the
+    * sketch is built by one aggregate job and broadcast to every probe
+    * task without ever materializing on the driver, and the membership
+    * test stays inside whole-stage codegen (no scalar UDF). The result
+    * is materialized eagerly (localCheckpoint) so the corpus cache can
+    * be released before returning — repeated invocations (bench's 2
+    * samples, spec runs) must not accumulate cache blocks until the
+    * ContextCleaner wakes up.
     *
     * Membership layout (both engines compute it from doc_id alone):
     * corpus = even doc_ids plus every 7th doc (the re-delivered ones);
@@ -453,40 +457,58 @@ object DedupOps {
       .select($"doc_id", md5($"text".cast("binary")).as("h"))
     val corpus = d.filter($"doc_id" % 2 === 0 || $"doc_id" % 7 === 0)
       .select($"h").persist()
-    val (novel, _, bfB) = bloomMembershipNovel(inc = d.filter($"doc_id" % 2 === 1),
+    val (novel, _) = bloomMembershipNovel(inc = d.filter($"doc_id" % 2 === 1),
       corpus = corpus, fpp = 0.03)
-    // eager: novel's lineage (bloom UDF + anti-join against the cache)
+    // eager: novel's lineage (bloom probe + anti-join against the cache)
     // runs NOW; the returned frame reads only checkpoint blocks, so the
-    // broadcast and the cache are safe to drop synchronously
+    // cache is safe to drop synchronously
     val out = novel.orderBy($"doc_id").localCheckpoint(true)
-    bfB.destroy()
     corpus.unpersist()
     out
   }
 
   /** The bloom-prefiltered membership split behind [[dedupCorpusBloom]]:
     * returns (novel = proven-negatives ∪ anti-join-confirmed false
-    * positives, bloom-positive candidates, the filter's broadcast
-    * handle — the CALLER owns its lifetime and must `destroy()` it once
-    * the frames are materialized). Split out so DedupSpec can assert
-    * the scale claims — the candidate set is bounded by
-    * members + fpp·|inc|, and the negative path's plan holds no join. */
+    * positives, bloom-positive candidates). Split out so DedupSpec can
+    * assert the scale claims — the candidate set is bounded by
+    * members + fpp·|inc|, and the negative path's plan holds no join.
+    *
+    * The sketch is a `BloomFilterAggregate` over `xxhash64(h)` carried
+    * as a scalar subquery: Spark evaluates the one-row aggregate once,
+    * broadcasts the serialized filter to every probe task, and the
+    * probe (`BloomFilterMightContain`) compiles into whole-stage
+    * codegen — the same machinery `spark.sql.optimizer.runtime
+    * .bloomFilter` injects, used directly because the optimizer's
+    * injection is stats-gated and this split must hold by construction.
+    * Bits are sized from the corpus count at the caller's fpp
+    * (m = −n·ln p ⁄ ln²2, the standard optimum). */
   private[graft] def bloomMembershipNovel(inc: DataFrame,
-      corpus: DataFrame, fpp: Double): (DataFrame, DataFrame,
-        org.apache.spark.broadcast.Broadcast[
-          org.apache.spark.util.sketch.BloomFilter]) = {
+      corpus: DataFrame, fpp: Double): (DataFrame, DataFrame) = {
     val spark = inc.sparkSession
     import spark.implicits._
-    val bf = corpus.stat.bloomFilter("h",
-      math.max(corpus.count(), 64L), fpp)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val might = udf((s: String) => s != null && bfB.value.mightContain(s))
-    val neg = inc.filter(!might($"h"))
-    val pos = inc.filter(might($"h"))
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val n = math.max(corpus.count(), 64L)
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomPlan = corpus
+      .select(GraftBridge.column(new BloomFilterAggregate(
+          GraftBridge.eagerExpression(xxhash64($"h")),
+          Literal(n), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .queryExecution.analyzed
+    // fresh ScalarSubquery per use (each carries its own ExprId); the
+    // shared analyzed plan means both probes reuse one sketch build
+    def might = GraftBridge.column(new BloomFilterMightContain(
+      ScalarSubquery(bloomPlan),
+      GraftBridge.eagerExpression(xxhash64($"h"))))
+    val neg = inc.filter(!might)
+    val pos = inc.filter(might)
     val novel = neg.unionByName(
       pos.join(corpus, Seq("h"), "left_anti")
         .select(inc.columns.map(org.apache.spark.sql.functions.col): _*))
-    (novel, pos, bfB)
+    (novel, pos)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -206,11 +206,9 @@ class DedupSpec extends SparkSpecBase {
     val corpus = d.filter($"doc_id" % 2 === 0 || $"doc_id" % 7 === 0)
       .select($"h")
     val inc = d.filter($"doc_id" % 2 === 1).persist()
-    var bfHandle: org.apache.spark.broadcast.Broadcast[_] = null
     try {
-      val (novel, pos, bfB) =
+      val (novel, pos) =
         DedupOps.bloomMembershipNovel(inc, corpus, fpp)
-      bfHandle = bfB
       // exactness: bloom false positives must be weeded by the confirm
       // anti-join — result identical to the direct (full-batch) anti-join
       val direct = inc.join(corpus, Seq("h"), "left_anti")
@@ -236,9 +234,22 @@ class DedupSpec extends SparkSpecBase {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
       }
       assert(joins.isEmpty, "bloom-negative branch must be join-free")
+      // the membership probe is the native codegen'd expression, not a
+      // scalar UDF — and the native probe actually reached the plan
+      val exprs = novel.queryExecution.optimizedPlan.collect {
+        case p => p.expressions.flatMap(_.collect {
+          case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+        })
+      }.flatten
+      assert(exprs.isEmpty, "membership path must hold no scalar UDF")
+      val probes = novel.queryExecution.optimizedPlan.collect {
+        case p => p.expressions.flatMap(_.collect {
+          case b: org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain => b
+        })
+      }.flatten
+      assert(probes.nonEmpty, "expected a BloomFilterMightContain probe")
     } finally {
       inc.unpersist()
-      if (bfHandle != null) bfHandle.destroy()
     }
   }
 
