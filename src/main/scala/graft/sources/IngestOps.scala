@@ -142,10 +142,21 @@ object IngestOps {
     val me = java.lang.ProcessHandle.current().pid().toString
     var held = false
     while (!held) {
+      // open (CREATE_NEW) and write as separate steps so a torn write
+      // is distinguishable from a lost race: `created` is true only
+      // once OUR exclusive create succeeded, and only then may the
+      // cleanup delete the file — another JVM's create-then-write
+      // passes through a momentarily-empty state, and deleting a lock
+      // on empty content alone would double-grant against it
+      var created = false
       try {
-        java.nio.file.Files.write(lock, me.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
+        val ch = java.nio.channels.FileChannel.open(lock,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        created = true
+        try ch.write(java.nio.ByteBuffer.wrap(me.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)))
+        finally ch.close()
         held = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -157,15 +168,13 @@ object IngestOps {
           if (ownerAlive) Thread.sleep(100)
           else breakDeadLock(lock)
         case e: java.io.IOException =>
-          // a torn CREATE_NEW (disk full mid-write) can leave OUR
-          // ownerless 0-byte lock behind; best-effort removal of an
-          // empty file spares the next entrant the break dance (the
-          // dead-content rule above remains the kill -9 backstop)
-          try {
-            if (new String(java.nio.file.Files.readAllBytes(lock),
-              java.nio.charset.StandardCharsets.UTF_8).trim.isEmpty)
-              java.nio.file.Files.deleteIfExists(lock)
-          } catch { case _: java.io.IOException => () }
+          // a torn write (disk full) left OUR provably-owned 0-byte
+          // lock behind; removing it spares the next entrant the break
+          // dance (the dead-pid rule remains the kill -9 backstop)
+          if (created) {
+            try java.nio.file.Files.deleteIfExists(lock)
+            catch { case _: java.io.IOException => () }
+          }
           throw e
       }
     }

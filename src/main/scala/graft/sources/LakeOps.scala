@@ -666,8 +666,11 @@ object LakeOps {
     // real engine ops, not just the hand-choreographed fixture
     if (name == "main") {
       val log = IngestOps.readMetaLines(spark, root, "metadata/ref-log.txt")
-      writeManifest(spark, root, "ref-log.txt",
-        log :+ s"${log.size + 1}=$snap")
+      // next seq = max(existing)+1, not size+1: a sparse or non-1-based
+      // log (external fixture, manual surgery) must never collide
+      val nextSeq = log.flatMap(_.split("=", 2).headOption
+        .flatMap(_.trim.toIntOption)).maxOption.getOrElse(0) + 1
+      writeManifest(spark, root, "ref-log.txt", log :+ s"$nextSeq=$snap")
     }
   }
 
