@@ -448,7 +448,8 @@ object LakeOps {
     * next one, exactly Iceberg's commit-retry loop against the catalog
     * pointer. */
   private[graft] def tryCommit(spark: SparkSession, root: String, n: Int,
-      files: Iterable[String]): Boolean = {
+      files: Iterable[String],
+      onStep: String => Unit = _ => ()): Boolean = {
     val dir = java.nio.file.Paths.get(root, "metadata")
     java.nio.file.Files.createDirectories(dir)
     // attempt name unique per process AND thread AND call — two threads
@@ -459,6 +460,7 @@ object LakeOps {
       s"${Thread.currentThread().getId}-${System.nanoTime()}")
     java.nio.file.Files.write(attempt, files.toSeq.sorted.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    onStep("attempt-written")
     try {
       java.nio.file.Files.createLink(dir.resolve(s"snap-$n.txt"), attempt)
       true
@@ -466,6 +468,74 @@ object LakeOps {
       case _: java.nio.file.FileAlreadyExistsException => false
     } finally java.nio.file.Files.deleteIfExists(attempt)
   }
+
+  /** The full single-writer append-commit choreography, in commit
+    * order: (1) data files land under `data/` (never visible — readers
+    * plan from manifests, not directory listings); (2) the snapshot
+    * manifest is CAS'd into its slot ([[tryCommit]]: complete-in-
+    * attempt-file, then an atomic hard link); (3) the `main` ref moves.
+    * Each boundary calls `onStep` — production passes the no-op, the
+    * crash-consistency specs throw there to prove a writer killed at
+    * ANY point leaves readers on the old snapshot (never a torn one)
+    * and leaves only debris [[orphanSweep]] can reclaim. This is the
+    * reference's atomic-commit contract (`Bulk:97-101`): the pointer
+    * move is the linearization point; everything before it is invisible.
+    * Returns false when the CAS lost (caller re-reads and retries). */
+  private[graft] def appendCommit(spark: SparkSession, root: String,
+      slice: DataFrame, slot: Int,
+      onStep: String => Unit = _ => ()): Boolean = {
+    import slice.sparkSession.implicits._
+    val data = s"$root/data"
+    val before = listData(spark, data)
+    slice.repartition($"day")
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .partitionBy("day").parquet(data)
+    onStep("data-written")
+    val delta = listData(spark, data) -- before
+    val won = tryCommit(spark, root, slot, delta, onStep)
+    if (won) {
+      onStep("linked")
+      setRef(spark, root, "main", slot)
+    }
+    won
+  }
+
+  /** Orphan cleanup (Iceberg's `remove_orphan_files`): reclaim every
+    * file a crashed writer left that NO committed snapshot references —
+    * data files absent from all `snap-*.txt` manifests, plus stale
+    * `*.attempt-*` CAS leftovers. Conservative by construction: a file
+    * any manifest names is never touched, so a commit that reached its
+    * link (even if the writer died before the ref move) keeps all its
+    * files and stays recoverable by rolling the ref forward. Returns
+    * the reclaimed root-relative paths. */
+  private[graft] def orphanSweep(spark: SparkSession,
+      root: String): Seq[String] = {
+    val meta = java.nio.file.Paths.get(root, "metadata")
+    val snapRe = """snap-(\d+)\.txt""".r
+    val st = java.nio.file.Files.list(meta)
+    val snaps = try st.toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+    finally st.close()
+    val referenced = snaps.collect { case snapRe(n) => n.toInt }
+      .flatMap(n => readManifest(spark, root, s"snap-$n.txt")).toSet
+    val dataOrphans = (listData(spark, s"$root/data") -- referenced).toSeq
+    val fs = hfs(spark, root)
+    dataOrphans.foreach { rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/data/$rel"), false)
+    }
+    val attemptOrphans = snaps.filter(_.contains(".attempt-"))
+    attemptOrphans.foreach(a => java.nio.file.Files.deleteIfExists(
+      meta.resolve(a)))
+    dataOrphans.sorted.map(r => s"data/$r") ++
+      attemptOrphans.sorted.map(a => s"metadata/$a")
+  }
+
+  /** The default reader: follow the `main` ref to its snapshot and
+    * plan from the manifests at or below it — the view every kill
+    * point in [[appendCommit]] must leave intact. */
+  private[graft] def readCurrent(spark: SparkSession,
+      root: String): DataFrame =
+    readLive(spark, root, 1 to readRefs(spark, root)("main"))
 
   /** `commit_conflict_retry` — the optimistic-concurrency commit
     * protocol (the serializable-snapshot contract behind the
@@ -890,7 +960,7 @@ object LakeOps {
           "were reclaimed; read a ref-pinned snapshot instead")
   }
 
-  private def readLive(spark: SparkSession, root: String,
+  private[graft] def readLive(spark: SparkSession, root: String,
       snaps: Seq[Int]): DataFrame = {
     if (snaps.nonEmpty) requireNotExpired(spark, root, snaps.max)
     val files = liveFiles(spark, root, snaps).map(rel => s"$root/data/$rel")

@@ -762,4 +762,81 @@ class LakeSpec extends SparkSpecBase {
     assert(!below.exists(_.isInstanceOf[ShuffleExchangeLike]),
       s"shuffle under the bucketed join:\n${smj.get}")
   }
+
+  // --- crash consistency: appendCommit killed at every step ------------
+  // The atomic-commit contract under fault injection: a writer that dies
+  // at ANY boundary of the choreography (data files landed / manifest
+  // attempt written / manifest linked but ref unmoved) must leave the
+  // default reader (follow `main`) bit-identical to the pre-commit view,
+  // must never expose a torn snapshot to time travel, and must leave
+  // only debris orphanSweep reclaims — after which a retried commit
+  // lands the append exactly once.
+
+  /** Order-independent exact fingerprint: (row count, multiset checksum
+    * of event ids) — wrap-around addition is deterministic. */
+  private def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(count(lit(1)),
+      sum(pmod(xxhash64(col("event_id")), lit(1000000007L)))).collect().head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private case class Kill(step: String) extends RuntimeException(step)
+
+  for (kp <- Seq("data-written", "attempt-written", "linked"))
+  test(s"crash consistency at '$kp': reader stays on the old snapshot, " +
+      "orphan sweep reclaims the debris, retry lands exactly once") {
+    import spark.implicits._
+    val L = sources.LakeOps
+    val out = sources.IngestOps.tmp(s"events_crash_${kp.replace('-', '_')}")
+    L.cloneTree(L.versionedBaseLayout(spark, sf), out)
+    L.setRef(spark, out, "main", 3)
+    val baseline = fingerprint(L.readCurrent(spark, out))
+    val slice = sources.IngestOps.eventsWithParts(spark, sf)
+      .filter($"day" === 16)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+      .localCheckpoint()
+    val sliceN = slice.count()
+    assert(sliceN > 0, "fixture must have day-16 rows to append")
+    val sliceSum = slice.agg(sum(pmod(xxhash64($"event_id"),
+      lit(1000000007L)))).collect().head.getLong(0)
+    intercept[Kill] {
+      L.appendCommit(spark, out, slice, 4,
+        onStep = s => if (s == kp) throw Kill(s))
+    }
+    // 1) the default reader is untouched at every kill point
+    assert(fingerprint(L.readCurrent(spark, out)) == baseline,
+      s"reader view changed after a writer died at $kp")
+    val snap4 = java.nio.file.Paths.get(out, "metadata", "snap-4.txt")
+    if (kp == "linked") {
+      // the link is the linearization point: snapshot 4 exists and is
+      // COMPLETE (time travel to it sees the full append), only the
+      // ref move is missing — recovery rolls forward, sweep keeps all
+      assert(java.nio.file.Files.exists(snap4))
+      assert(fingerprint(L.readLive(spark, out, 1 to 4)) ==
+        (baseline._1 + sliceN, baseline._2 + sliceSum),
+        "linked snapshot must be complete, never torn")
+      assert(L.orphanSweep(spark, out).isEmpty,
+        "sweep must not reclaim files a linked manifest references")
+      L.setRef(spark, out, "main", 4) // roll-forward recovery
+    } else {
+      // pre-link kills: slot 4 never exists, so time travel cannot
+      // observe a torn snapshot; debris (data files and, after the
+      // attempt-written kill, the CAS attempt file) is sweepable
+      assert(!java.nio.file.Files.exists(snap4),
+        s"kill at $kp must not publish snapshot 4")
+      val swept = L.orphanSweep(spark, out)
+      assert(swept.exists(_.startsWith("data/")),
+        s"sweep after $kp must reclaim the uncommitted data files: $swept")
+      if (kp == "attempt-written")
+        assert(swept.exists(_.contains(".attempt-")),
+          s"sweep after $kp must reclaim the CAS attempt file: $swept")
+      assert(L.orphanSweep(spark, out).isEmpty, "sweep must converge")
+      // retry of the SAME logical commit lands exactly once
+      assert(L.appendCommit(spark, out, slice, 4))
+    }
+    assert(fingerprint(L.readCurrent(spark, out)) ==
+      (baseline._1 + sliceN, baseline._2 + sliceSum),
+      s"recovered table after $kp must hold the append exactly once")
+  }
 }
