@@ -136,7 +136,7 @@ object IngestOps {
     * crashed build never wedges the layout. Pid-reuse can mis-read a
     * dead owner as alive for one reap cycle — acceptable for scratch
     * coordination (the lock is retried, never abandoned). */
-  private def withLayoutLock[T](out: String)(body: => T): T = {
+  private[graft] def withLayoutLock[T](out: String)(body: => T): T = {
     val lock = java.nio.file.Paths.get(out + ".lock")
     java.nio.file.Files.createDirectories(lock.getParent)
     val me = java.lang.ProcessHandle.current().pid().toString

@@ -469,33 +469,80 @@ object LakeOps {
     } finally java.nio.file.Files.deleteIfExists(attempt)
   }
 
-  /** The full single-writer append-commit choreography, in commit
-    * order: (1) data files land under `data/` (never visible — readers
-    * plan from manifests, not directory listings); (2) the snapshot
-    * manifest is CAS'd into its slot ([[tryCommit]]: complete-in-
-    * attempt-file, then an atomic hard link); (3) the `main` ref moves.
-    * Each boundary calls `onStep` — production passes the no-op, the
-    * crash-consistency specs throw there to prove a writer killed at
-    * ANY point leaves readers on the old snapshot (never a torn one)
-    * and leaves only debris [[orphanSweep]] can reclaim. This is the
-    * reference's atomic-commit contract (`Bulk:97-101`): the pointer
-    * move is the linearization point; everything before it is invisible.
-    * Returns false when the CAS lost (caller re-reads and retries). */
+  /** Next free snapshot slot: max committed + 1 (re-listed per CAS
+    * attempt — the cross-process retry loop's re-read of table state). */
+  private[graft] def nextSlot(root: String): Int = {
+    val meta = java.nio.file.Paths.get(root, "metadata")
+    val snapRe = """snap-(\d+)\.txt""".r
+    val st = java.nio.file.Files.list(meta)
+    try st.toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .collect { case snapRe(n) => n.toInt }
+      .maxOption.getOrElse(0) + 1
+    finally st.close()
+  }
+
+  /** The full append-commit choreography, multi-writer-safe across
+    * PROCESSES, in commit order: (1) data files land in a private
+    * staging dir (unique per writer — the only way to know EXACTLY
+    * which files are this commit's: a before/after directory diff of
+    * `data/` races a concurrent writer and would claim its files);
+    * (2) they move into `data/` under their job-unique names (invisible
+    * — readers plan from manifests, never directory listings); (3) the
+    * snapshot manifest is CAS'd into the next free slot ([[tryCommit]]:
+    * complete-in-attempt-file, then an atomic hard link), re-reading
+    * the slot number and retrying up to `maxAttempts` times when
+    * another writer wins the race — data files are REUSED across
+    * retries, exactly Iceberg's commit-retry loop; (4) the `main` ref
+    * moves, forward-only ([[setRefIfForward]]), so a slower writer can
+    * never unpublish a faster one's higher slot. Each boundary calls
+    * `onStep` ("staged" / "data-written" / "attempt-written" /
+    * "linked") — production passes the no-op, the crash-consistency
+    * specs throw there to prove a writer killed at ANY point leaves
+    * readers on the old snapshot (never a torn one) and leaves only
+    * debris [[orphanSweep]] can reclaim. This is the reference's
+    * atomic-commit contract (`Bulk:97-101`): the manifest link is the
+    * linearization point; everything before it is invisible. Returns
+    * the slot won, or -1 when every CAS attempt lost. */
   private[graft] def appendCommit(spark: SparkSession, root: String,
-      slice: DataFrame, slot: Int,
-      onStep: String => Unit = _ => ()): Boolean = {
+      slice: DataFrame, maxAttempts: Int = 1,
+      onStep: String => Unit = _ => ()): Int = {
     import slice.sparkSession.implicits._
     val data = s"$root/data"
-    val before = listData(spark, data)
+    val stage = s"$root/.stage-${java.lang.ProcessHandle.current().pid()}" +
+      s"-${Thread.currentThread().getId}-${System.nanoTime()}"
     slice.repartition($"day")
-      .write.mode(SaveMode.Append).option("compression", "zstd")
-      .partitionBy("day").parquet(data)
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .partitionBy("day").parquet(stage)
+    onStep("staged")
+    // publish bytes under their (job-UUID-unique) names: collision-free
+    // against any concurrent writer, so delta is known exactly
+    val stRoot = java.nio.file.Paths.get(stage)
+    val w = java.nio.file.Files.walk(stRoot)
+    val delta = try w.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val rel = stRoot.relativize(p).toString
+        val dst = java.nio.file.Paths.get(data, rel)
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.move(p, dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        rel
+      }
+    finally w.close()
+    org.apache.spark.network.util.JavaUtils
+      .deleteRecursively(new java.io.File(stage))
     onStep("data-written")
-    val delta = listData(spark, data) -- before
-    val won = tryCommit(spark, root, slot, delta, onStep)
-    if (won) {
+    var attempt = 0
+    var won = -1
+    while (won < 0 && attempt < maxAttempts) {
+      attempt += 1
+      val slot = nextSlot(root)
+      if (tryCommit(spark, root, slot, delta, onStep)) won = slot
+    }
+    if (won > 0) {
       onStep("linked")
-      setRef(spark, root, "main", slot)
+      setRefIfForward(spark, root, "main", won)
     }
     won
   }
@@ -506,8 +553,11 @@ object LakeOps {
     * `*.attempt-*` CAS leftovers. Conservative by construction: a file
     * any manifest names is never touched, so a commit that reached its
     * link (even if the writer died before the ref move) keeps all its
-    * files and stays recoverable by rolling the ref forward. Returns
-    * the reclaimed root-relative paths. */
+    * files and stays recoverable by rolling the ref forward. Like
+    * Iceberg's procedure this must not run concurrently with IN-FLIGHT
+    * writers (production gates reclaim on file age for that reason —
+    * here the sweep is a post-mortem tool). Returns the reclaimed
+    * root-relative paths. */
   private[graft] def orphanSweep(spark: SparkSession,
       root: String): Seq[String] = {
     val meta = java.nio.file.Paths.get(root, "metadata")
@@ -526,8 +576,17 @@ object LakeOps {
     val attemptOrphans = snaps.filter(_.contains(".attempt-"))
     attemptOrphans.foreach(a => java.nio.file.Files.deleteIfExists(
       meta.resolve(a)))
+    // staging dirs a writer abandoned before publishing any byte
+    val rootSt = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+    val stages = try rootSt.toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.startsWith(".stage-"))
+    finally rootSt.close()
+    stages.foreach(s => org.apache.spark.network.util.JavaUtils
+      .deleteRecursively(s.toFile))
     dataOrphans.sorted.map(r => s"data/$r") ++
-      attemptOrphans.sorted.map(a => s"metadata/$a")
+      attemptOrphans.sorted.map(a => s"metadata/$a") ++
+      stages.map(s => s.getFileName.toString).sorted
   }
 
   /** The default reader: follow the `main` ref to its snapshot and
@@ -724,25 +783,47 @@ object LakeOps {
       n -> s.toInt
     }.toMap
 
-  /** Create or move a ref: one metadata write, zero data IO. */
+  /** Create or move a ref: one metadata write, zero data IO. Serialized
+    * cross-process through the refs lock — refs.txt is a read-modify-
+    * write of the WHOLE map, so two unserialized movers would lose one
+    * ref (the layout-lock spelling: O_EXCL pid file, dead-owner break). */
   private[graft] def setRef(spark: SparkSession, root: String,
       name: String, snap: Int): Unit = {
-    val refs = readRefs(spark, root) + (name -> snap)
-    writeManifest(spark, root, "refs.txt",
-      refs.toSeq.map { case (n, s) => s"$n=$s" })
-    // moving MAIN is a made-current event: append it to the history
-    // log here — in the shared mechanism every op goes through — so the
-    // `history` metadata table stays truthful for any root mutated by
-    // real engine ops, not just the hand-choreographed fixture
-    if (name == "main") {
-      val log = IngestOps.readMetaLines(spark, root, "metadata/ref-log.txt")
-      // next seq = max(existing)+1, not size+1: a sparse or non-1-based
-      // log (external fixture, manual surgery) must never collide
-      val nextSeq = log.flatMap(_.split("=", 2).headOption
-        .flatMap(_.trim.toIntOption)).maxOption.getOrElse(0) + 1
-      writeManifest(spark, root, "ref-log.txt", log :+ s"$nextSeq=$snap")
-    }
+    setRefLocked(spark, root, name, snap, onlyForward = false); ()
   }
+
+  /** Move a ref only FORWARD (committers racing on the pointer: the
+    * loser of the snapshot CAS may reach the ref move after the winner
+    * of a HIGHER slot already did — moving `main` back would unpublish
+    * the later commit). Returns whether the ref moved. */
+  private[graft] def setRefIfForward(spark: SparkSession, root: String,
+      name: String, snap: Int): Boolean =
+    setRefLocked(spark, root, name, snap, onlyForward = true)
+
+  private def setRefLocked(spark: SparkSession, root: String,
+      name: String, snap: Int, onlyForward: Boolean): Boolean =
+    IngestOps.withLayoutLock(s"$root/metadata/refs.txt") {
+      val refs = readRefs(spark, root)
+      if (onlyForward && refs.get(name).exists(_ >= snap)) false
+      else {
+        writeManifest(spark, root, "refs.txt",
+          (refs + (name -> snap)).toSeq.map { case (n, s) => s"$n=$s" })
+        // moving MAIN is a made-current event: append it to the history
+        // log here — in the shared mechanism every op goes through — so
+        // the `history` metadata table stays truthful for any root
+        // mutated by real engine ops, not just the choreographed fixture
+        if (name == "main") {
+          val log = IngestOps.readMetaLines(spark, root,
+            "metadata/ref-log.txt")
+          // next seq = max(existing)+1, not size+1: a sparse or
+          // non-1-based log must never produce a colliding entry
+          val nextSeq = log.flatMap(_.split("=", 2).headOption
+            .flatMap(_.trim.toIntOption)).maxOption.getOrElse(0) + 1
+          writeManifest(spark, root, "ref-log.txt", log :+ s"$nextSeq=$snap")
+        }
+        true
+      }
+    }
 
   /** Live file list (relative to data/) as of snapshot `s`. */
   private[graft] def liveFiles(spark: SparkSession, root: String,

@@ -783,7 +783,7 @@ class LakeSpec extends SparkSpecBase {
 
   private case class Kill(step: String) extends RuntimeException(step)
 
-  for (kp <- Seq("data-written", "attempt-written", "linked"))
+  for (kp <- Seq("staged", "data-written", "attempt-written", "linked"))
   test(s"crash consistency at '$kp': reader stays on the old snapshot, " +
       "orphan sweep reclaims the debris, retry lands exactly once") {
     import spark.implicits._
@@ -801,7 +801,7 @@ class LakeSpec extends SparkSpecBase {
     val sliceSum = slice.agg(sum(pmod(xxhash64($"event_id"),
       lit(1000000007L)))).collect().head.getLong(0)
     intercept[Kill] {
-      L.appendCommit(spark, out, slice, 4,
+      L.appendCommit(spark, out, slice,
         onStep = s => if (s == kp) throw Kill(s))
     }
     // 1) the default reader is untouched at every kill point
@@ -821,22 +821,73 @@ class LakeSpec extends SparkSpecBase {
       L.setRef(spark, out, "main", 4) // roll-forward recovery
     } else {
       // pre-link kills: slot 4 never exists, so time travel cannot
-      // observe a torn snapshot; debris (data files and, after the
-      // attempt-written kill, the CAS attempt file) is sweepable
+      // observe a torn snapshot; debris (the staging dir, published
+      // data files, the CAS attempt file — by kill point) is sweepable
       assert(!java.nio.file.Files.exists(snap4),
         s"kill at $kp must not publish snapshot 4")
       val swept = L.orphanSweep(spark, out)
-      assert(swept.exists(_.startsWith("data/")),
-        s"sweep after $kp must reclaim the uncommitted data files: $swept")
+      if (kp == "staged")
+        assert(swept.exists(_.startsWith(".stage-")),
+          s"sweep after $kp must reclaim the staging dir: $swept")
+      else
+        assert(swept.exists(_.startsWith("data/")),
+          s"sweep after $kp must reclaim the uncommitted data files: $swept")
       if (kp == "attempt-written")
         assert(swept.exists(_.contains(".attempt-")),
           s"sweep after $kp must reclaim the CAS attempt file: $swept")
       assert(L.orphanSweep(spark, out).isEmpty, "sweep must converge")
       // retry of the SAME logical commit lands exactly once
-      assert(L.appendCommit(spark, out, slice, 4))
+      assert(L.appendCommit(spark, out, slice) == 4)
     }
     assert(fingerprint(L.readCurrent(spark, out)) ==
       (baseline._1 + sliceN, baseline._2 + sliceSum),
       s"recovered table after $kp must hold the append exactly once")
+  }
+
+  // --- reader isolation during a compaction replace-commit -------------
+  test("a time-travel reader pinned at snapshot 3 is bit-identical at " +
+      "EVERY intermediate state of a compaction replace-commit, and the " +
+      "published compaction preserves content") {
+    import spark.implicits._
+    val L = sources.LakeOps
+    val out = sources.IngestOps.tmp("events_compact_isolation")
+    L.cloneTree(L.versionedBaseLayout(spark, sf), out)
+    L.setRef(spark, out, "main", 3)
+    val pinned = fingerprint(L.readLive(spark, out, 1 to 3))
+    def assertPinned(state: String): Unit =
+      assert(fingerprint(L.readLive(spark, out, 1 to 3)) == pinned,
+        s"snapshot-3 reader saw a different table $state")
+    // the replace-commit, step by step, a reader interleaved after
+    // EVERY intermediate state. Ordering is the protocol under test:
+    // the removal manifest lands BEFORE the link, so at the instant
+    // snapshot 4 becomes visible both its halves (added + removed)
+    // already exist — there is no moment a current reader could see
+    // the compacted copies WITHOUT the fragment removal (doubled rows).
+    val data = s"$out/data"
+    val frag = L.liveFiles(spark, out, Seq(1))
+    val compacted = L.readLive(spark, out, Seq(1)).localCheckpoint()
+    // (1) compacted files land under data/
+    val before = sources.IngestOps.listDataFiles(spark, data)
+    compacted.repartition($"day")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd").partitionBy("day").parquet(data)
+    val delta = sources.IngestOps.listDataFiles(spark, data) -- before
+    assertPinned("after the compacted files landed")
+    // (2) the removal manifest (the replace half) — pre-link, inert
+    sources.IngestOps.writeMetaLines(spark, out,
+      "metadata/snap-4.removed.txt", frag)
+    assertPinned("after the removal manifest landed")
+    // (3) the link publishes snapshot 4 atomically — both halves live
+    assert(L.tryCommit(spark, out, 4, delta))
+    assertPinned("after the manifest link")
+    assert(fingerprint(L.readLive(spark, out, 1 to 4)) == pinned,
+      "the replace commit must be content-preserving the instant it " +
+        "becomes visible")
+    // (4) the ref move: current readers switch, pinned readers don't
+    L.setRef(spark, out, "main", 4)
+    assert(fingerprint(L.readCurrent(spark, out)) == pinned,
+      "compaction must preserve content")
+    // old files still back the pinned snapshot (no premature delete)
+    assertPinned("after publish")
   }
 }
