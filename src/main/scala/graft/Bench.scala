@@ -97,6 +97,41 @@ object Bench {
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // --- spill accounting -------------------------------------------------
+    // Task-level spill bytes accumulated by a listener and attributed to
+    // the key running when they land (the bus is async, so attribution
+    // is approximate at key boundaries — fine for the artifact's
+    // purpose: proving memory-constrained runs SPILL instead of OOM,
+    // and showing which keys carry the memory pressure).
+    val spillAcc = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) spillAcc.addAndGet(
+            m.diskBytesSpilled + m.memoryBytesSpilled)
+        }
+      })
+    val spills = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // --- per-query scheduling floor --------------------------------------
+    // Every key pays a fixed cost before touching data: plan build, one
+    // scheduled job wave across the local[cpus] threads, count collection.
+    // At ~0.1 s/key over 200+ keys that's tens of seconds of the suite
+    // total, and it DILUTES the regression gate: a 0.05 s kernel that
+    // regresses 4x still reads ~1.4x with the floor folded in. Measure
+    // the floor with an empty-plan probe (1 row through a repartition —
+    // the task-wave shape shuffle-bearing keys pay), and compute the
+    // gate's RATIO on above-floor time. The absolute-delta arm
+    // (now-base > 0.5 s) is untouched — the floor is a constant, so
+    // deltas never contained it.
+    def floorProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1).repartition(cpus.toInt).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).foreach(_ => floorProbe()) // warm the probe's codegen
+    val floorSec = median((1 to 7).map(_ => floorProbe()))
     // --- contention canaries -------------------------------------------
     // Three near-constant-cost keys re-timed at suite start/middle/end.
     // Their ratio to baseline is a pure measure of MACHINE state (another
@@ -130,6 +165,7 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     names.zipWithIndex.foreach { case (name, i) =>
       if (i == names.size / 2) runCanaries()
+      val spill0 = spillAcc.get()
       // two samples, report the min: a single sample is dominated by
       // machine-load noise for the slow tail (r6 verdict measured 4-6×
       // inflation on singly-sampled queries under load spikes)
@@ -145,6 +181,8 @@ object Bench {
           Double.NaN
       }
       results(name) = t
+      val ds = spillAcc.get() - spill0
+      if (ds > 0) spills(name) = ds
     }
     runCanaries()
     // median: robust to one canary landing on a load spike
@@ -167,9 +205,14 @@ object Bench {
     def flagged(m: collection.Map[String, Double],
         gateScale: Double = 1.0): Map[String, Double] =
       baselines.collect { case (name, base)
-        if m.get(name).exists(now =>
-          now > base * 2.0 * gateScale && now - base > 0.5) =>
-        name -> base }
+        if m.get(name).exists { now =>
+          // ratio on above-floor time (floor-diluted ratios under-read
+          // real regressions on cheap keys); epsilon keeps a baseline
+          // at-or-below the floor from dividing by ~0
+          val adjBase = math.max(base - floorSec, 0.010)
+          (now - floorSec) > adjBase * 2.0 * gateScale &&
+            now - base > 0.5
+        } => name -> base }
     val firstPassFlags = flagged(timed).keys.toSeq.sorted
     // re-pass gating: re-timing a flagged key while the machine is
     // STILL contended just reproduces the inflated number (r13: the
@@ -221,7 +264,7 @@ object Bench {
     // short machine-readable summary LAST: the driver captures a bounded
     // stdout tail, and the 100+-entry line above overflows it (r1 had
     // parsed:null). A failed query is an error entry, never a fake timing.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"wall_sec":$wallSec,"contention_index":$ciJson,"n_flagged_first_pass":${firstPassFlags.size},"n_regressions":${regressions.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"wall_sec":$wallSec,"contention_index":$ciJson,"floor_sec":${num3(floorSec)},"n_flagged_first_pass":${firstPassFlags.size},"n_regressions":${regressions.size},"sf":"$sfDir"}""")
     // full per-query detail ALSO goes to a file: the driver's stdout tail
     // truncates the 100+-entry line, which left 48/108 timings
     // unrecoverable in r3 — BENCH_SUMMARY.json is the durable record
@@ -232,9 +275,11 @@ object Bench {
     val setupDetailJson = prewarm.buildSec
       .map { case (n, s) => s""""$n":${num3(s)}""" }.mkString("{", ",", "}")
     val repassJson = if (repassRatio.isNaN) "null" else num3(repassRatio)
+    val spillJson = spills.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$repoRoot/BENCH_SUMMARY.json"),
-      s"""{"total":$total,"n_queries":${results.size},"cpus":"$cpus","setup_sec":$setupSec,"setup_detail":$setupDetailJson,"wall_sec":$wallSec,"samples_per_query":2,"contention_index":$ciJson,"canary_ratios":${canaryRatios.map(num3).mkString("[", ",", "]")},"flagged_first_pass":$flaggedJson,"repass_canary_ratio":$repassJson,"repass_gate_scale":$repassGateScale,"repass_wait_sec":$repassWaitSec,"prewarm_failures":$prewarmJson,"errors":$errJson,"regressions":$regJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"total":$total,"n_queries":${results.size},"cpus":"$cpus","setup_sec":$setupSec,"setup_detail":$setupDetailJson,"wall_sec":$wallSec,"samples_per_query":2,"floor_sec":${num3(floorSec)},"contention_index":$ciJson,"canary_ratios":${canaryRatios.map(num3).mkString("[", ",", "]")},"flagged_first_pass":$flaggedJson,"repass_canary_ratio":$repassJson,"repass_gate_scale":$repassGateScale,"repass_wait_sec":$repassWaitSec,"spill_bytes":$spillJson,"prewarm_failures":$prewarmJson,"errors":$errJson,"regressions":$regJson,"queries":$qs,"sf":"$sfDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
