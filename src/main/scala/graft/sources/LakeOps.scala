@@ -44,7 +44,19 @@ object LakeOps {
     * stale file and resurrect the doomed rows — such partitions are
     * detected by their unchanged file set (a rewrite always lands
     * fresh task-UUID file names) and their directories dropped
-    * explicitly, completing the delete. */
+    * explicitly, completing the delete.
+    *
+    * Visibility contract: this is the DIRECTORY-table commit, and the
+    * empty-partition drop is a second filesystem step after the
+    * overwrite — a reader racing the window between them can observe
+    * the doomed rows of a fully-emptied partition once more, and a
+    * writer crash inside the window leaves them until the op re-runs.
+    * That is inherent to path-listing tables (Hive's insert-overwrite
+    * has the same window); the engine's atomic path is the VERSIONED
+    * table ([[appendCommit]]/[[tryCommit]]), where manifests make
+    * every commit all-or-nothing and LakeSpec's fault injection proves
+    * it. The keys on this path measure CoW rewrite choreography, not
+    * isolation. */
   private[graft] def rewritePartitions(spark: SparkSession, df: DataFrame,
       out: String, touched: Seq[Int]): Unit = {
     val fs = hfs(spark, out)
