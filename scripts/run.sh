@@ -11,7 +11,7 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS \
+exec java $ADD_OPENS $SPARK_GRAFT_JAVA_OPTS \
   -XX:ReservedCodeCacheSize=512m \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
