@@ -43,6 +43,8 @@ object Fixtures {
         (() => sources.LakeOps.historyLayout(spark, dir)),
       "events_manifests" ->
         (() => sources.LakeOps.manifestsLayout(spark, dir)),
+      "events_expirebase" ->
+        (() => sources.LakeOps.expireBaseLayout(spark, dir)),
       "events_blooms" ->
         (() => sources.IngestOps.bloomSidecar(spark, dir,
           sources.IngestOps.snapshotLayout(spark, dir))),

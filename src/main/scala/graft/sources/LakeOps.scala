@@ -1189,32 +1189,56 @@ object LakeOps {
     * rewrite and one whose storage tracks live + pinned data — and
     * ref-awareness is the difference between cleanup and silently
     * corrupting every clone and tag downstream. */
+  /** Shared immutable PRE-EXPIRY table: the 3-snapshot base plus the
+    * `v1` release tag, the snapshot-4 compaction replace-commit and the
+    * snapshot-5 re-cluster, main at 5 — everything [[expireSnapshots]]
+    * walks, built once per corpus lifetime and cloned per call. The
+    * expiry key measures the REACHABILITY WALK + reclaim (the op), not
+    * the two maintenance commits that set its stage — same argument as
+    * [[versionedBaseLayout]] for the other mutation keys, and the same
+    * ingest-time/maintenance-time split a real lake has (compactions
+    * ran yesterday; expiry runs today). */
+  private[graft] def expireBaseLayout(spark: SparkSession,
+      dir: String): String = {
+    import spark.implicits._
+    val base = IngestOps.sharedFor(spark, "events_expirebase", dir)
+    IngestOps.buildShared(spark, base, root =>
+      IngestOps.fsExists(spark, s"$root/metadata/_DONE_EXPIREBASE")) { root =>
+      writeVersioned(spark, dir, root)
+      val data = s"$root/data"
+      // the tag lands before maintenance, like a release pin in real life
+      setRef(spark, root, "v1", 1)
+      // snapshot 4: compaction replace-commit over the fragmented region
+      val frag = liveFiles(spark, root, Seq(1))
+      val before4 = listData(spark, data)
+      readLive(spark, root, Seq(1)).repartition($"day")
+        .write.mode(SaveMode.Append).option("compression", "zstd")
+        .partitionBy("day").parquet(data)
+      writeManifest(spark, root, "snap-4.txt",
+        listData(spark, data) -- before4)
+      writeManifest(spark, root, "snap-4.removed.txt", frag)
+      // snapshot 5: re-cluster days 6-10 (replaces snapshot 2's files —
+      // the region NO ref pins, so expiry may reclaim the originals)
+      val mid = readManifest(spark, root, "snap-2.txt")
+      val before5 = listData(spark, data)
+      readLive(spark, root, Seq(2)).repartition($"day")
+        .sortWithinPartitions($"user_id")
+        .write.mode(SaveMode.Append).option("compression", "zstd")
+        .partitionBy("day").parquet(data)
+      writeManifest(spark, root, "snap-5.txt",
+        listData(spark, data) -- before5)
+      writeManifest(spark, root, "snap-5.removed.txt", mid)
+      setRef(spark, root, "main", 5)
+      IngestOps.writeMetaLines(spark, root, "metadata/_DONE_EXPIREBASE",
+        Seq("done"))
+    }
+  }
+
   def expireSnapshots(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val out = IngestOps.tmp("events_expire")
-    writeVersioned(spark, dir, out)
+    cloneTree(expireBaseLayout(spark, dir), out)
     val data = s"$out/data"
-    // the tag lands before maintenance, like a release pin in real life
-    setRef(spark, out, "v1", 1)
-    // snapshot 4: compaction replace-commit over the fragmented region
-    val frag = liveFiles(spark, out, Seq(1))
-    val before4 = listData(spark, data)
-    readLive(spark, out, Seq(1)).repartition($"day")
-      .write.mode(SaveMode.Append).option("compression", "zstd")
-      .partitionBy("day").parquet(data)
-    writeManifest(spark, out, "snap-4.txt", listData(spark, data) -- before4)
-    writeManifest(spark, out, "snap-4.removed.txt", frag)
-    // snapshot 5: re-cluster days 6-10 (replaces snapshot 2's files —
-    // the region NO ref pins, so expiry may reclaim the originals)
-    val mid = readManifest(spark, out, "snap-2.txt")
-    val before5 = listData(spark, data)
-    readLive(spark, out, Seq(2)).repartition($"day")
-      .sortWithinPartitions($"user_id")
-      .write.mode(SaveMode.Append).option("compression", "zstd")
-      .partitionBy("day").parquet(data)
-    writeManifest(spark, out, "snap-5.txt", listData(spark, data) -- before5)
-    writeManifest(spark, out, "snap-5.removed.txt", mid)
-    setRef(spark, out, "main", 5)
     // expire: reachable = union of every ref's live view; delete the rest
     val reachable = readRefs(spark, out).values.toSet
       .flatMap((s: Int) => liveFiles(spark, out, 1 to s).toSet)
