@@ -457,7 +457,7 @@ object Joins {
   def joinDpp(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = graft.sources.IngestOps.partitionedLayout(spark, dir)
-    val fact = spark.read.parquet(root)
+    val fact = graft.sources.IngestOps.readSharedTable(spark, root)
     // scan-backed dim (a literal frame would constant-fold its filter
     // away and DPP would see no selective predicate): urgent-order days
     // in a narrow band — the selective scan filter is what DPP keys on
