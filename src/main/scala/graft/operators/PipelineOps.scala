@@ -333,13 +333,17 @@ object PipelineOps {
     * mix runs: fractions ([[sampleStratified]]) cannot bound a mega
     * domain, a cap can. Deterministic uniform choice WITHIN each key via
     * rank over an md5 ordering (seeded, replayable by the oracle — which
-    * checks membership through the kept-id sum, not just counts). The
-    * rank is partition-local (shuffle by key, no global sort). Scale
-    * note: one giant domain ranks inside one task; at 100 TB the
-    * two-phase form — estimate a per-key hash threshold from counts,
-    * pre-filter, exact-rank only the ~k survivors — keeps the hot key's
-    * sort at O(k log k). The threshold estimate is the same
-    * [[hashBucket]] arithmetic, so the composition stays deterministic. */
+    * checks membership through the kept-id sum, not just counts).
+    *
+    * The key runs the single-window spelling — at this corpus's domain
+    * sizes (≤ a few hundred docs each) one shuffle-and-rank is the
+    * cheapest plan, and an A/B measured the two-phase form 6× slower
+    * here (its extra count/threshold/verify passes cost more than they
+    * save until a domain dwarfs its task). The MEGA-DOMAIN deployment
+    * path is [[capPerKey]]: identical results by construction
+    * (PipelineSpec proves row-for-row equality and the bounded rank
+    * input on a synthetic 20k-doc hot domain), engaged when a corpus
+    * profile says any key exceeds task scale. */
   def sampleCapPerKey(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -354,6 +358,54 @@ object PipelineOps {
         countDistinct($"lang").as("n_langs"),
         sum($"doc_id").as("sum_ids"))
       .orderBy($"source")
+  }
+
+  /** TWO-PHASE per-key cap — the form a corpus with mega-domains runs,
+    * keeping the hot key's sort at O(k log k) instead of O(n log n)
+    * inside one task: (1) per-key counts (one partial+final agg, rows
+    * = #domains); (2) a per-key hash threshold sized for ~3k expected
+    * survivors, broadcast back as a map-side prefilter — a key's k
+    * smallest md5 values PROVABLY survive whenever ≥ k rows clear the
+    * threshold, because the 60-bit prefix comparison is a prefix of
+    * the rank order itself (any eliminated row's md5 is strictly
+    * greater than every survivor's); (3) exact rank over only the
+    * survivors. The exactness guard makes this identical-by-
+    * construction to [[sampleCapPerKey]]'s single-window spelling, not
+    * approximately: a key whose survivor count falls below min(k, n)
+    * (probability e^-Ω(k) at 3× slack, impossible for keys with
+    * n ≤ 3k, which keep every row) falls back to ranking all its
+    * rows. At 100 TB the window's shuffle carries ~3k rows per domain
+    * instead of the domain. */
+  private[graft] def capPerKey(docs0: DataFrame, k: Int): DataFrame = {
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val slack = 3
+    val max60 = 1L << 60 // 16^15: the hash-prefix value space
+    val docs = docs0
+      .withColumn("ord", md5(concat(lit("cap42:"), $"doc_id".cast("string"))))
+      .withColumn("hv", conv(substring($"ord", 1, 15), 16, 10).cast("long"))
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_key"))
+    val thr = counts.withColumn("t",
+      when($"n_key" <= k * slack, lit(max60))
+        .otherwise(ceil(lit(max60.toDouble) *
+          (lit((k * slack).toDouble) / $"n_key")).cast("long")))
+    val joined = docs.join(broadcast(thr), Seq("source"))
+    val surv = joined.filter($"hv" <= $"t")
+    // exactness guard: any key with fewer than min(k, n) survivors is
+    // re-ranked over ALL its rows (empty in practice; never wrong)
+    val shortKeys = surv.groupBy($"source").agg(count(lit(1)).as("n_surv"))
+      .join(counts, Seq("source"))
+      .filter($"n_surv" < least(lit(k.toLong), $"n_key"))
+      .select($"source")
+    val rankInput = surv.join(broadcast(shortKeys), Seq("source"), "left_anti")
+      .unionByName(joined.join(broadcast(shortKeys), Seq("source"),
+        "left_semi"))
+    val w = Window.partitionBy($"source").orderBy($"ord", $"doc_id")
+    rankInput
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .drop("ord", "hv", "n_key", "t", "rk")
   }
 
   /** `split_train_test` — deterministic 80/10/10 train/val/test split by

@@ -369,4 +369,52 @@ class PipelineSpec extends SparkSpecBase {
       .head().getStruct(0)
     assert(tie.getInt(1) == 0 && tie.getDouble(0) == 1.0)
   }
+
+  test("capPerKey two-phase sampling equals the naive full-window rank " +
+      "row-for-row, and a synthetic mega-key's rank input is " +
+      "threshold-bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val k = 100
+    // base corpus plus one mega-domain dwarfing the rest (the skew case
+    // the two-phase form exists for)
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"source")
+      .unionByName(spark.range(100000, 120000)
+        .select($"id".as("doc_id"), lit("en").as("lang"),
+          lit("megadomain").as("source")))
+      .localCheckpoint()
+    val got = operators.PipelineOps.capPerKey(docs, k)
+      .select($"doc_id", $"source")
+      .as[(Long, String)].collect().toSet
+    // the naive spelling the two-phase path must reproduce EXACTLY
+    val w = Window.partitionBy($"source")
+      .orderBy(md5(concat(lit("cap42:"), $"doc_id".cast("string"))),
+        $"doc_id")
+    val naive = docs.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k).select($"doc_id", $"source")
+      .as[(Long, String)].collect().toSet
+    assert(got == naive, "two-phase cap diverged from the full rank")
+    // every key kept min(k, n) rows (the cap's contract)
+    val kept = got.groupBy(_._2).view.mapValues(_.size).toMap
+    val ns = docs.groupBy($"source").count().as[(String, Long)]
+      .collect().toMap
+    ns.foreach { case (src, n) =>
+      assert(kept(src) == math.min(k.toLong, n).toInt,
+        s"$src kept ${kept.getOrElse(src, 0)} of $n")
+    }
+    // the scale claim: the mega-key feeds the rank a threshold-bounded
+    // survivor set, not its 20k rows (3k expected at slack 3; the
+    // binomial tail makes 6x a forever-safe spec bound)
+    val docs2 = docs
+      .withColumn("ord", md5(concat(lit("cap42:"), $"doc_id".cast("string"))))
+      .withColumn("hv", conv(substring($"ord", 1, 15), 16, 10).cast("long"))
+    val max60 = 1L << 60
+    val t = math.ceil(max60.toDouble * (3.0 * k / 20000)).toLong
+    val megaSurv = docs2.filter($"source" === "megadomain" && $"hv" <= t)
+      .count()
+    assert(megaSurv >= k && megaSurv <= 6L * k,
+      s"mega-key survivor set $megaSurv outside [$k, ${6 * k}]")
+  }
 }
