@@ -844,6 +844,46 @@ class LakeSpec extends SparkSpecBase {
       s"recovered table after $kp must hold the append exactly once")
   }
 
+  test("eight concurrent writers through the CAS retry loop: every " +
+      "append lands exactly once on a distinct slot, pointer at max") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val L = sources.LakeOps
+    val out = sources.IngestOps.tmp("events_many_writers")
+    L.cloneTree(L.versionedBaseLayout(spark, sf), out)
+    L.setRef(spark, out, "main", 3)
+    val baseline = fingerprint(L.readCurrent(spark, out))
+    // 8 disjoint slices of day 16 (one per writer), prepared up front
+    val day16 = sources.IngestOps.eventsWithParts(spark, sf)
+      .filter($"day" === 16)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+      .localCheckpoint()
+    val slices = (0 until 8).map(i =>
+      day16.filter(pmod($"event_id", lit(8L)) === i).localCheckpoint())
+    val total = slices.map(_.count()).sum
+    assert(total == day16.count())
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val wons = Await.result(
+      Future.sequence(slices.map(s => Future {
+        L.appendCommit(spark, out, s, maxAttempts = 32)
+      })), 300.seconds)
+    // every writer won some slot, all slots distinct, range exactly 4..11
+    assert(wons.forall(_ > 0), s"a writer exhausted its retries: $wons")
+    assert(wons.toSet.size == 8, s"two writers shared a slot: $wons")
+    assert(wons.sorted == (4 to 11), s"slots not contiguous: $wons")
+    assert(L.readRefs(spark, out)("main") == 11, "pointer must end at max")
+    // exactly once: the current view holds base + every slice, no doubles
+    val exp = fingerprint(L.readCurrent(spark, out))
+    val day16Sum = day16.agg(sum(pmod(xxhash64($"event_id"),
+      lit(1000000007L)))).collect().head.getLong(0)
+    assert(exp == (baseline._1 + total, baseline._2 + day16Sum),
+      "eight-writer run must land every row exactly once")
+    assert(L.orphanSweep(spark, out).isEmpty, "no orphans after clean run")
+  }
+
   // --- reader isolation during a compaction replace-commit -------------
   test("a time-travel reader pinned at snapshot 3 is bit-identical at " +
       "EVERY intermediate state of a compaction replace-commit, and the " +
