@@ -385,27 +385,34 @@ object PipelineOps {
     val docs = docs0
       .withColumn("ord", md5(concat(lit("cap42:"), $"doc_id".cast("string"))))
       .withColumn("hv", conv(substring($"ord", 1, 15), 16, 10).cast("long"))
-    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_key"))
+    // null-SAFE key comparisons throughout: a window treats NULL source
+    // as its own partition, so the threshold joins must too — an
+    // equi-join would silently drop null-source rows that the
+    // single-window spelling caps normally
+    val counts = docs.groupBy($"source".as("c_source"))
+      .agg(count(lit(1)).as("n_key"))
     val thr = counts.withColumn("t",
       when($"n_key" <= k * slack, lit(max60))
         .otherwise(ceil(lit(max60.toDouble) *
           (lit((k * slack).toDouble) / $"n_key")).cast("long")))
-    val joined = docs.join(broadcast(thr), Seq("source"))
+    val joined = docs.join(broadcast(thr), $"source" <=> $"c_source")
     val surv = joined.filter($"hv" <= $"t")
     // exactness guard: any key with fewer than min(k, n) survivors is
     // re-ranked over ALL its rows (empty in practice; never wrong)
-    val shortKeys = surv.groupBy($"source").agg(count(lit(1)).as("n_surv"))
-      .join(counts, Seq("source"))
+    val shortKeys = surv.groupBy($"source".as("s_source"))
+      .agg(count(lit(1)).as("n_surv"))
+      .join(thr, $"s_source" <=> $"c_source")
       .filter($"n_surv" < least(lit(k.toLong), $"n_key"))
-      .select($"source")
-    val rankInput = surv.join(broadcast(shortKeys), Seq("source"), "left_anti")
-      .unionByName(joined.join(broadcast(shortKeys), Seq("source"),
-        "left_semi"))
+      .select($"s_source")
+    val rankInput = surv.join(broadcast(shortKeys),
+        $"source" <=> $"s_source", "left_anti")
+      .unionByName(joined.join(broadcast(shortKeys),
+        $"source" <=> $"s_source", "left_semi"))
     val w = Window.partitionBy($"source").orderBy($"ord", $"doc_id")
     rankInput
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
-      .drop("ord", "hv", "n_key", "t", "rk")
+      .drop("ord", "hv", "c_source", "n_key", "t", "rk")
   }
 
   /** `split_train_test` — deterministic 80/10/10 train/val/test split by

@@ -1171,24 +1171,6 @@ object LakeOps {
     }.reduce(_ unionByName _)
   }
 
-  /** `expire_snapshots` — Iceberg's `expireSnapshots` + orphan cleanup,
-    * REF-AWARE: expiry deletes every file reachable from NO named ref,
-    * never a file some branch, tag, or clone base-pointer still needs
-    * (Iceberg retains ref-reachable snapshots for exactly this reason).
-    * The run: a `v1` tag pins snapshot 1 (the fragmented era) BEFORE
-    * maintenance; snapshot 4 compacts the day 1-5 fragments (replace
-    * commit), snapshot 5 re-clusters days 6-10 (replacing snapshot 2's
-    * files); expiry then walks `metadata/refs.txt` — reachable = the
-    * union of every ref's live view — and deletes only the rest:
-    * snapshot 2's superseded originals go (no ref reaches them), the
-    * pinned fragments STAY although the current view replaced them too
-    * (LakeSpec proves the tag still answers after expiry). The live
-    * answer is unchanged (the oracle is the plain table aggregate: that
-    * IS the contract — reclaim storage, not data). At 100 TB expiry is
-    * the difference between a lake that grows monotonically with every
-    * rewrite and one whose storage tracks live + pinned data — and
-    * ref-awareness is the difference between cleanup and silently
-    * corrupting every clone and tag downstream. */
   /** Shared immutable PRE-EXPIRY table: the 3-snapshot base plus the
     * `v1` release tag, the snapshot-4 compaction replace-commit and the
     * snapshot-5 re-cluster, main at 5 — everything [[expireSnapshots]]
@@ -1234,6 +1216,24 @@ object LakeOps {
     }
   }
 
+  /** `expire_snapshots` — Iceberg's `expireSnapshots` + orphan cleanup,
+    * REF-AWARE: expiry deletes every file reachable from NO named ref,
+    * never a file some branch, tag, or clone base-pointer still needs
+    * (Iceberg retains ref-reachable snapshots for exactly this reason).
+    * The run: a `v1` tag pins snapshot 1 (the fragmented era) BEFORE
+    * maintenance; snapshot 4 compacts the day 1-5 fragments (replace
+    * commit), snapshot 5 re-clusters days 6-10 (replacing snapshot 2's
+    * files); expiry then walks `metadata/refs.txt` — reachable = the
+    * union of every ref's live view — and deletes only the rest:
+    * snapshot 2's superseded originals go (no ref reaches them), the
+    * pinned fragments STAY although the current view replaced them too
+    * (LakeSpec proves the tag still answers after expiry). The live
+    * answer is unchanged (the oracle is the plain table aggregate: that
+    * IS the contract — reclaim storage, not data). At 100 TB expiry is
+    * the difference between a lake that grows monotonically with every
+    * rewrite and one whose storage tracks live + pinned data — and
+    * ref-awareness is the difference between cleanup and silently
+    * corrupting every clone and tag downstream. */
   def expireSnapshots(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val out = IngestOps.tmp("events_expire")

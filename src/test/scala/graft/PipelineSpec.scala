@@ -384,6 +384,12 @@ class PipelineSpec extends SparkSpecBase {
       .unionByName(spark.range(100000, 120000)
         .select($"id".as("doc_id"), lit("en").as("lang"),
           lit("megadomain").as("source")))
+      // a NULL-source stratum: the window ranks it as its own
+      // partition, so the two-phase path must cap it too (null-safe
+      // threshold joins), never drop it
+      .unionByName(spark.range(200000, 200500)
+        .select($"id".as("doc_id"), lit("en").as("lang"),
+          lit(null).cast("string").as("source")))
       .localCheckpoint()
     val got = operators.PipelineOps.capPerKey(docs, k)
       .select($"doc_id", $"source")
