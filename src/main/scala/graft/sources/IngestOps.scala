@@ -161,21 +161,22 @@ object IngestOps {
     val me = java.lang.ProcessHandle.current().pid().toString
     var held = false
     while (!held) {
-      // open (CREATE_NEW) and write as separate steps so a torn write
-      // is distinguishable from a lost race: `created` is true only
-      // once OUR exclusive create succeeded, and only then may the
-      // cleanup delete the file — another JVM's create-then-write
-      // passes through a momentarily-empty state, and deleting a lock
-      // on empty content alone would double-grant against it
-      var created = false
+      // acquisition is write-then-LINK (the [[graft.sources.LakeOps
+      // .tryCommit]] idiom): the pid lands in a private acquire file
+      // first, and the lock appears via an atomic hard link — so the
+      // lock file can NEVER be observed empty or torn. A bare
+      // CREATE_NEW-then-write passes through a momentarily-empty state
+      // that the dead-owner break (which must treat garbage as dead,
+      // or crashes wedge the lock forever) could mis-read as breakable
+      // and delete a LIVE owner's lock. A failed write dirties only
+      // the private file, reaped in the finally — the shared location
+      // never holds a partial acquisition.
+      val acq = lock.resolveSibling(lock.getFileName.toString +
+        s".acq-$me-${Thread.currentThread().getId}-${System.nanoTime()}")
       try {
-        val ch = java.nio.channels.FileChannel.open(lock,
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        created = true
-        try ch.write(java.nio.ByteBuffer.wrap(me.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8)))
-        finally ch.close()
+        java.nio.file.Files.write(acq, me.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.createLink(lock, acq)
         held = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -186,15 +187,9 @@ object IngestOps {
           } catch { case _: java.io.IOException => true } // racing: retry
           if (ownerAlive) Thread.sleep(100)
           else breakDeadLock(lock)
-        case e: java.io.IOException =>
-          // a torn write (disk full) left OUR provably-owned 0-byte
-          // lock behind; removing it spares the next entrant the break
-          // dance (the dead-pid rule remains the kill -9 backstop)
-          if (created) {
-            try java.nio.file.Files.deleteIfExists(lock)
-            catch { case _: java.io.IOException => () }
-          }
-          throw e
+      } finally {
+        try java.nio.file.Files.deleteIfExists(acq)
+        catch { case _: java.io.IOException => () }
       }
     }
     try body finally java.nio.file.Files.deleteIfExists(lock)
