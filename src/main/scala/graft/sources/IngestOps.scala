@@ -94,10 +94,16 @@ object IngestOps {
   private val relationCache = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), org.apache.spark.sql.DataFrame]()
   private[graft] def readSharedTable(spark: SparkSession,
-      root: String): org.apache.spark.sql.DataFrame =
+      root: String): org.apache.spark.sql.DataFrame = {
+    // misuse guard: per-JVM scratch (tmp(), "/jvm-<pid>/") is MUTABLE —
+    // serving a cached relation of a path a mutation key rewrites would
+    // return stale files. Only the write-once shared() namespace enters.
+    require(!root.contains("/jvm-"),
+      s"readSharedTable is for immutable shared layouts, got scratch: $root")
     relationCache.computeIfAbsent(
       (System.identityHashCode(spark), root),
       _ => spark.read.parquet(root))
+  }
 
   private[graft] def fsExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
