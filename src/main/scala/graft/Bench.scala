@@ -32,9 +32,24 @@ object Bench {
   private def num3(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
+  /** The per-key regression predicate, pure so BenchGateSpec can pin
+    * its arithmetic: the RATIO arm compares above-floor time (the
+    * scheduling floor is a constant both sides carry — folded in, a
+    * doubled 0.6 s kernel under a 0.12 s floor reads 1.8× and slips a
+    * 2× gate), clamped so a baseline at-or-below the floor can't
+    * divide by ~0; the ABSOLUTE arm (>0.5 s growth) keeps sub-second
+    * jitter from ever flagging; `gateScale` is the re-pass contention
+    * scale (≥1) so environment inflation that moves canaries and keys
+    * alike reads as environment. */
+  private[graft] def regressed(now: Double, base: Double, floor: Double,
+      gateScale: Double): Boolean = {
+    val adjBase = math.max(base - floor, 0.010)
+    (now - floor) > adjBase * 2.0 * gateScale && now - base > 0.5
+  }
+
   /** Median, NaN on empty — shared by the contention index and the
     * re-pass gate so the two can't diverge. */
-  private def median(xs: Seq[Double]): Double =
+  private[graft] def median(xs: Seq[Double]): Double =
     if (xs.isEmpty) Double.NaN
     else {
       val s = xs.sorted
@@ -205,14 +220,8 @@ object Bench {
     def flagged(m: collection.Map[String, Double],
         gateScale: Double = 1.0): Map[String, Double] =
       baselines.collect { case (name, base)
-        if m.get(name).exists { now =>
-          // ratio on above-floor time (floor-diluted ratios under-read
-          // real regressions on cheap keys); epsilon keeps a baseline
-          // at-or-below the floor from dividing by ~0
-          val adjBase = math.max(base - floorSec, 0.010)
-          (now - floorSec) > adjBase * 2.0 * gateScale &&
-            now - base > 0.5
-        } => name -> base }
+        if m.get(name).exists(regressed(_, base, floorSec, gateScale)) =>
+        name -> base }
     val firstPassFlags = flagged(timed).keys.toSeq.sorted
     // re-pass gating: re-timing a flagged key while the machine is
     // STILL contended just reproduces the inflated number (r13: the
