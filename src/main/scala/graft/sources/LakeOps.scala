@@ -565,13 +565,22 @@ object LakeOps {
     * `*.attempt-*` CAS leftovers. Conservative by construction: a file
     * any manifest names is never touched, so a commit that reached its
     * link (even if the writer died before the ref move) keeps all its
-    * files and stays recoverable by rolling the ref forward. Like
-    * Iceberg's procedure this must not run concurrently with IN-FLIGHT
-    * writers (production gates reclaim on file age for that reason —
-    * here the sweep is a post-mortem tool). Returns the reclaimed
-    * root-relative paths. */
-  private[graft] def orphanSweep(spark: SparkSession,
-      root: String): Seq[String] = {
+    * files and stays recoverable by rolling the ref forward.
+    *
+    * `graceMs` is Iceberg's `older_than` contract: debris younger than
+    * the grace window is an IN-FLIGHT writer's working set, not an
+    * orphan — a commit's files exist unreferenced between publish and
+    * link, and a bare sweep racing that window would reclaim a live
+    * commit's data. With a grace longer than any plausible
+    * stage-to-link latency the sweep is safe to run beside writers;
+    * grace 0 is the post-mortem form the crash specs use. Returns the
+    * reclaimed root-relative paths. */
+  private[graft] def orphanSweep(spark: SparkSession, root: String,
+      graceMs: Long = 0L): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - graceMs
+    def aged(p: java.nio.file.Path): Boolean =
+      try java.nio.file.Files.getLastModifiedTime(p).toMillis <= cutoff
+      catch { case _: java.io.IOException => false } // vanished: skip
     val meta = java.nio.file.Paths.get(root, "metadata")
     val snapRe = """snap-(\d+)\.txt""".r
     val st = java.nio.file.Files.list(meta)
@@ -581,18 +590,20 @@ object LakeOps {
     val referenced = snaps.collect { case snapRe(n) => n.toInt }
       .flatMap(n => readManifest(spark, root, s"snap-$n.txt")).toSet
     val dataOrphans = (listData(spark, s"$root/data") -- referenced).toSeq
+      .filter(rel => aged(java.nio.file.Paths.get(s"$root/data/$rel")))
     val fs = hfs(spark, root)
     dataOrphans.foreach { rel =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/data/$rel"), false)
     }
     val attemptOrphans = snaps.filter(_.contains(".attempt-"))
+      .filter(a => aged(meta.resolve(a)))
     attemptOrphans.foreach(a => java.nio.file.Files.deleteIfExists(
       meta.resolve(a)))
     // staging dirs a writer abandoned before publishing any byte
     val rootSt = java.nio.file.Files.list(java.nio.file.Paths.get(root))
     val stages = try rootSt.toArray.toSeq
       .map(_.asInstanceOf[java.nio.file.Path])
-      .filter(_.getFileName.toString.startsWith(".stage-"))
+      .filter(p => p.getFileName.toString.startsWith(".stage-") && aged(p))
     finally rootSt.close()
     stages.foreach(s => org.apache.spark.network.util.JavaUtils
       .deleteRecursively(s.toFile))

@@ -884,6 +884,40 @@ class LakeSpec extends SparkSpecBase {
     assert(L.orphanSweep(spark, out).isEmpty, "no orphans after clean run")
   }
 
+  test("age-gated orphan sweep: fresh debris (an in-flight writer's " +
+      "working set) survives the grace window; aged debris is reclaimed") {
+    import spark.implicits._
+    val L = sources.LakeOps
+    val out = sources.IngestOps.tmp("events_sweep_grace")
+    L.cloneTree(L.versionedBaseLayout(spark, sf), out)
+    L.setRef(spark, out, "main", 3)
+    // a writer dies right after publishing its data files (pre-link)
+    val slice = sources.IngestOps.eventsWithParts(spark, sf)
+      .filter($"day" === 16)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"day")
+    intercept[Kill] {
+      L.appendCommit(spark, out, slice,
+        onStep = s => if (s == "data-written") throw Kill(s))
+    }
+    // fresh debris is indistinguishable from a LIVE commit between
+    // publish and link — a 1-hour grace must leave it alone
+    assert(L.orphanSweep(spark, out, graceMs = 3600L * 1000).isEmpty,
+      "fresh debris must survive the grace window")
+    // age everything past the window; now it is provably abandoned
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 7200L * 1000)
+    val w = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+    try w.forEach(p => java.nio.file.Files.setLastModifiedTime(p, old))
+    finally w.close()
+    val swept = L.orphanSweep(spark, out, graceMs = 3600L * 1000)
+    assert(swept.exists(_.startsWith("data/")),
+      s"aged debris must be reclaimed: $swept")
+    // committed data files are referenced — age-gating never widens
+    // the sweep beyond unreferenced debris
+    assert(fingerprint(L.readCurrent(spark, out)) ==
+      fingerprint(L.readLive(spark, out, 1 to 3)))
+  }
+
   // --- reader isolation during a compaction replace-commit -------------
   test("a time-travel reader pinned at snapshot 3 is bit-identical at " +
       "EVERY intermediate state of a compaction replace-commit, and the " +
