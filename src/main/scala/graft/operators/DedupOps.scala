@@ -38,10 +38,22 @@ object DedupOps {
     * scale the scan has thousands of partitions and this is the no-op
     * branch — the repartition only fires when the input is narrower
     * than the executor, where shuffling a few hundred rows costs
-    * nothing and the hash stage parallelizes fully. */
+    * nothing and the hash stage parallelizes fully. The width estimate
+    * comes from file METADATA (relation bytes / maxPartitionBytes),
+    * never `df.rdd.getNumPartitions` — materializing the RDD lineage
+    * under AQE executes query stages just to read a partition count. */
   private def spreadSmall(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val bytes = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.sizeInBytes
+    }.sum
+    // non-file-backed inputs (checkpointed fixtures) estimate as narrow,
+    // which is what they are in every caller
+    val estParts = (bytes / BigInt(math.max(1L, maxBytes))).toLong + 1
+    if (estParts < cores) df.repartition(cores) else df
   }
 
   /** PORTABLE 60-bit hash: the top 15 hex chars of md5, read base-16.
