@@ -261,6 +261,10 @@ object Bench {
     val errJson = errors.map { case (k, m) => s"\"$k\":\"$m\"" }
       .mkString("{", ",", "}")
     val total = if (timed.nonEmpty) timed.values.sum else 0.0
+    // the suite's work beyond the per-query scheduling floor: at ~0.1 s
+    // floor × 222 keys the floor is tens of seconds of any total, so
+    // round-over-round comparisons of CODE should difference this
+    val totalAboveFloor = math.max(0.0, total - floorSec * timed.size)
     val regJson = regressions.map { case (k, (b, n)) =>
       s""""$k":{"baseline":$b,"now":$n}""" }.mkString("{", ",", "}")
     if (regressions.nonEmpty)
@@ -288,7 +292,7 @@ object Bench {
       .mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$repoRoot/BENCH_SUMMARY.json"),
-      s"""{"total":$total,"n_queries":${results.size},"cpus":"$cpus","setup_sec":$setupSec,"setup_detail":$setupDetailJson,"wall_sec":$wallSec,"samples_per_query":2,"floor_sec":${num3(floorSec)},"contention_index":$ciJson,"canary_ratios":${canaryRatios.map(num3).mkString("[", ",", "]")},"flagged_first_pass":$flaggedJson,"repass_canary_ratio":$repassJson,"repass_gate_scale":$repassGateScale,"repass_wait_sec":$repassWaitSec,"spill_bytes":$spillJson,"prewarm_failures":$prewarmJson,"errors":$errJson,"regressions":$regJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"total":$total,"n_queries":${results.size},"cpus":"$cpus","setup_sec":$setupSec,"setup_detail":$setupDetailJson,"wall_sec":$wallSec,"samples_per_query":2,"floor_sec":${num3(floorSec)},"total_above_floor":${num3(totalAboveFloor)},"contention_index":$ciJson,"canary_ratios":${canaryRatios.map(num3).mkString("[", ",", "]")},"flagged_first_pass":$flaggedJson,"repass_canary_ratio":$repassJson,"repass_gate_scale":$repassGateScale,"repass_wait_sec":$repassWaitSec,"spill_bytes":$spillJson,"prewarm_failures":$prewarmJson,"errors":$errJson,"regressions":$regJson,"queries":$qs,"sf":"$sfDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
