@@ -18,8 +18,20 @@ hash(), no RNG):
              hot span for dedup_substring); ~80% collapse onto
              source='megadomain' (sample_cap_per_key's giant key);
              n_chars recomputed to stay consistent with text.
-  embeddings + TPC-H tables: uniform replication (vector and decimal
-             kernels are row-count-driven, not key-skew-driven).
+  lineitem:  ~20% of replicated rows collapse onto ONE l_orderkey and
+             (independently) ~20% onto ONE l_partkey — a mega-order and
+             a mega-part. The hot keys are replica-5's copies of key 1
+             (1 + 5*OFF), which EXIST in the replicated dims (so
+             orders⋈lineitem and part⋈lineitem see a genuinely hot
+             shuffle key with matching dim rows) but sit OUTSIDE every
+             replica-0 bounded anchor (l_orderkey < 300 etc.) — the
+             probe isolates shuffle skew, not anchor collision (a
+             mega-group inside a pack-per-group anchor measures
+             collect_list on a million-element array, a real but
+             different hazard whose deployment guard is a group-size
+             cap).
+  embeddings + other TPC-H tables: uniform replication (vector and
+             decimal kernels are row-count-driven, not key-skew-driven).
 
 Usage: python3 scripts/gen_skew.py [src_sf_dir] [out_dir] [factor]
 """
@@ -67,6 +79,14 @@ SKEW = {
         "n_chars": (f"CAST(length(CASE WHEN i > 0 AND hash(doc_id) % 10 < 3 "
                     f"THEN text || '{BOILER}' ELSE text END) AS BIGINT)"),
     },
+    "lineitem": {
+        "l_orderkey": (f"CASE WHEN i > 0 AND hash(l_orderkey * 13 + i) "
+                       f"% 5 < 1 THEN 1 + 5 * CAST({OFF} AS BIGINT) "
+                       f"ELSE l_orderkey + i * {OFF} END"),
+        "l_partkey": (f"CASE WHEN i > 0 AND hash(l_partkey * 29 + i) "
+                      f"% 5 < 1 THEN 1 + 5 * CAST({OFF} AS BIGINT) "
+                      f"ELSE l_partkey + i * {OFF} END"),
+    },
 }
 
 
@@ -109,6 +129,10 @@ def main():
          f"'{OUT}/documents.parquet'", "megadomain docs"),
         (f"SELECT count(*) FILTER (text LIKE '%boilerplate footer%') "
          f"FROM '{OUT}/documents.parquet'", "boilerplated docs"),
+        (f"SELECT count(*) FILTER (l_orderkey = 1 + 5 * CAST({OFF} AS BIGINT)) FROM "
+         f"'{OUT}/lineitem.parquet'", "mega-order lineitems"),
+        (f"SELECT count(*) FILTER (l_partkey = 1 + 5 * CAST({OFF} AS BIGINT)) FROM "
+         f"'{OUT}/lineitem.parquet'", "mega-part lineitems"),
     ]:
         print(f"{label}: {con.execute(q).fetchone()[0]}")
 
