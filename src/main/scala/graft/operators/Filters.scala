@@ -104,7 +104,17 @@ object Filters {
     * `Nested:262-277`): pack lineitems into a per-order array<struct>,
     * reshape every element with transform() (drop fields, derive revenue),
     * then explode back out. sort_array makes the packed order canonical
-    * (struct sort = field order, l_linenumber leads). */
+    * (struct sort = field order, l_linenumber leads).
+    *
+    * Scale note (measured, not hypothetical): pack-per-group semantics
+    * buffer one group's rows in one task, so a mega-group is a real
+    * hazard — the skew probe's first cut put a million-line order
+    * inside this key's anchor and the `collect_list`+`sort_array` cost
+    * 1.7 s single-threaded (SCALING.md, skew section). A deployment
+    * packing unbounded groups caps or chunks the group first (the
+    * [[graft.operators.PipelineOps.capPerKey]] discipline); the anchor
+    * here bounds groups by construction. Same applies to
+    * [[reshapeMap]]'s map-per-group form. */
   def reshapeListStruct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val packed = Tables.lineitem(spark, dir)
