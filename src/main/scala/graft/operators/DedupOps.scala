@@ -41,7 +41,15 @@ object DedupOps {
     * nothing and the hash stage parallelizes fully. The width estimate
     * comes from file METADATA (relation bytes / maxPartitionBytes),
     * never `df.rdd.getNumPartitions` — materializing the RDD lineage
-    * under AQE executes query stages just to read a partition count. */
+    * under AQE executes query stages just to read a partition count.
+    *
+    * Scale caveat (deliberate): the estimate reads WHOLE-relation bytes
+    * before filter/partition pruning, so a selective bounded anchor
+    * over a large corpus estimates wide and skips the spread — correct
+    * for throughput (the pruned scan still has enough partitions at
+    * that size), wrong only if a future caller pairs a huge relation
+    * with a prune down to a handful of rows AND a hash-heavy map stage;
+    * such a caller should repartition explicitly after the filter. */
   private def spreadSmall(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism

@@ -398,12 +398,17 @@ object PipelineOps {
     val joined = docs.join(broadcast(thr), $"source" <=> $"c_source")
     val surv = joined.filter($"hv" <= $"t")
     // exactness guard: any key with fewer than min(k, n) survivors is
-    // re-ranked over ALL its rows (empty in practice; never wrong)
-    val shortKeys = surv.groupBy($"source".as("s_source"))
+    // re-ranked over ALL its rows (empty in practice; never wrong).
+    // Derived from thr (which carries EVERY key) left-joined with the
+    // survivor counts: deriving it from surv alone would silently drop
+    // a key whose rows ALL exceed the threshold (zero survivors — it
+    // never appears in surv's groups), turning the e^-Ω(k)-rare case
+    // the guard exists for into the one case it misses
+    val survCounts = surv.groupBy($"source".as("s_source"))
       .agg(count(lit(1)).as("n_surv"))
-      .join(thr, $"s_source" <=> $"c_source")
-      .filter($"n_surv" < least(lit(k.toLong), $"n_key"))
-      .select($"s_source")
+    val shortKeys = thr.join(survCounts, $"c_source" <=> $"s_source", "left")
+      .filter(coalesce($"n_surv", lit(0L)) < least(lit(k.toLong), $"n_key"))
+      .select($"c_source".as("s_source"))
     val rankInput = surv.join(broadcast(shortKeys),
         $"source" <=> $"s_source", "left_anti")
       .unionByName(joined.join(broadcast(shortKeys),

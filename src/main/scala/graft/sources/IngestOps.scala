@@ -89,10 +89,14 @@ object IngestOps {
     * cache resolve once per table lifetime; this map is that behavior
     * for the fingerprint-keyed write-once layouts (safe exactly
     * because they are immutable once published — mutated scratch
-    * tables must never go through here). Keyed by session identity:
-    * specs spin up their own sessions. */
+    * tables must never go through here). Keyed by sessionUUID — unique
+    * per session by construction, where identityHashCode could collide
+    * two sessions and serve a relation bound to the wrong (possibly
+    * stopped) one. Entries are dropped lazily: any insert first evicts
+    * keys of stopped sessions, so a spec churn of short-lived sessions
+    * can't pin their relations for the JVM lifetime. */
   private val relationCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), org.apache.spark.sql.DataFrame]()
+    (String, String), org.apache.spark.sql.DataFrame]()
   private[graft] def readSharedTable(spark: SparkSession,
       root: String): org.apache.spark.sql.DataFrame = {
     // misuse guard: per-JVM scratch (tmp(), "/jvm-<pid>/") is MUTABLE —
@@ -101,8 +105,18 @@ object IngestOps {
     require(!root.contains("/jvm-"),
       s"readSharedTable is for immutable shared layouts, got scratch: $root")
     relationCache.computeIfAbsent(
-      (System.identityHashCode(spark), root),
-      _ => spark.read.parquet(root))
+      (org.apache.spark.sql.GraftBridge.sessionId(spark), root), _ => {
+        // piggybacked eviction: a stopped session's entries are dead
+        // weight (its DataFrames are unusable) — sweep them on the
+        // slow path only, so the hot cached-read path stays lock-free
+        val it = relationCache.keySet().iterator()
+        while (it.hasNext) {
+          val k = it.next()
+          val df = relationCache.get(k)
+          if (df != null && df.sparkSession.sparkContext.isStopped) it.remove()
+        }
+        spark.read.parquet(root)
+      })
   }
 
   private[graft] def fsExists(spark: SparkSession, path: String): Boolean = {

@@ -478,6 +478,11 @@ object LakeOps {
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
+      // a sweep (orphanSweep with grace 0, or any external cleanup)
+      // deleting the attempt file mid-CAS must read as a LOST attempt,
+      // not a crash — the caller re-stages and retries, and the age
+      // gate makes this unreachable under the documented grace contract
+      case _: java.nio.file.NoSuchFileException => false
     } finally java.nio.file.Files.deleteIfExists(attempt)
   }
 

@@ -24,4 +24,9 @@ object GraftBridge {
   /** The (pre-analysis) logical plan backing a Dataset. */
   def plan(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
+  /** The session's unique id (`sessionUUID` is private[sql]) — a
+    * collision-free cache key where identityHashCode is not. */
+  def sessionId(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
 }

@@ -28,7 +28,10 @@ class CrossProcessSpec extends SparkSpecBase {
     Seq(s"${System.getProperty("java.home")}/bin/java") ++ opens ++ Seq(
       "-Xmx2g", "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
-      "-cp", "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*",
+      // the SPEC's own classpath, not a hardcoded machine layout — the
+      // worker must run exactly the classes under test wherever the
+      // build happens to live
+      "-cp", System.getProperty("java.class.path"),
       "graft.sources.CommitWorker") ++ args
   }
 
