@@ -459,26 +459,45 @@ object PipelineOps {
       .orderBy($"lang")
   }
 
-  /** `pack_sequences` — deterministic sequence packing: assign each doc to
-    * a fixed 2048-token training window by its cumulative token offset
-    * within its language shard (window id = floor(preceding-tokens /
-    * 2048)). The window function partitions by lang — at 100 TB packing
-    * runs per shard in parallel, never as one global sort — and reports
-    * per-window fill so over/under-packing is visible. */
+  /** `pack_sequences` — deterministic sequence packing: assign each doc
+    * to a fixed 2048-token training window by its cumulative token
+    * offset within its (lang, shard) stream (window id =
+    * floor(preceding-tokens / 2048)), and report per-window fill so
+    * over/under-packing is visible.
+    *
+    * The cumulative window partitions by (lang, SHARD), never by lang
+    * alone: a per-language running sum funnels every document of a
+    * language through ONE task, and on a real corpus one language is
+    * 70%+ of the data — a single-task sort of most of the corpus (the
+    * same hazard class the skew probe measured on the pack-per-group
+    * reshapes). The shard is the salted-md5 discipline
+    * [[shuffleEpoch]] proves: 16 shards here, 4 hex digits = 65k
+    * shards at 100 TB, so each window runs on its own partition and
+    * the hot language parallelizes across all of them.
+    *
+    * Seam-loss contract (standard in training-data packing): windows
+    * never span shard seams, so each (lang, shard) stream's LAST
+    * window may be underfilled — at most shards × 2047 tokens of slack
+    * per language, a vanishing fraction of any corpus worth sharding.
+    * The fill report makes the loss measurable, not assumed. */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = size(split(trim($"text"), "\\s+")).cast("long")
+    val shard = ascii(substring(
+      md5(concat(lit("pack1:"), $"doc_id".cast("string"))), 1, 1))
+      .cast("long")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"lang").orderBy($"doc_id")
+      .partitionBy($"lang", $"shard").orderBy($"doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     Tables.documents(spark, dir)
       .select($"doc_id", $"lang", toks.as("n_tokens"))
+      .withColumn("shard", shard)
       .withColumn("cum_before", sum($"n_tokens").over(w) - $"n_tokens")
       .withColumn("seq_id", floor($"cum_before" / 2048L))
-      .groupBy($"lang", $"seq_id")
+      .groupBy($"lang", $"shard", $"seq_id")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("seq_tokens"))
-      .orderBy($"lang", $"seq_id")
+      .orderBy($"lang", $"shard", $"seq_id")
   }
 
   /** `contamination_check` — eval-set leakage audit: for each held-out
@@ -1156,16 +1175,20 @@ object PipelineOps {
         |FROM q ORDER BY vec_id""".stripMargin,
     "pack_sequences" ->
       s"""WITH d AS (
-         |  SELECT doc_id, lang, $NTOK AS n_tokens FROM documents),
+         |  SELECT doc_id, lang, $NTOK AS n_tokens,
+         |    CAST(ascii(substr(md5('pack1:' || CAST(doc_id AS VARCHAR)),
+         |      1, 1)) AS BIGINT) AS shard
+         |  FROM documents),
          |c AS (
-         |  SELECT lang, n_tokens,
-         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |  SELECT lang, shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |      - n_tokens AS cum_before
          |  FROM d)
-         |SELECT lang, CAST(FLOOR(cum_before / 2048) AS BIGINT) AS seq_id,
+         |SELECT lang, shard,
+         |  CAST(FLOOR(cum_before / 2048) AS BIGINT) AS seq_id,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
-         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+         |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "contamination_check" ->
       s"""WITH ${edgesCte(200)},
          |d AS (

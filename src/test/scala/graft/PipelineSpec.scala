@@ -165,19 +165,27 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
-  test("pack_sequences conserves tokens and numbers windows contiguously") {
+  test("pack_sequences conserves tokens and numbers windows contiguously " +
+      "per (lang, shard) stream") {
     import spark.implicits._
     val rows = PipelineOps.packSequences(spark, sf).collect()
-    val totalPacked = rows.map(_.getLong(3)).sum
+    val totalPacked = rows.map(_.getLong(4)).sum
     val totalTokens = graft.sources.Tables.documents(spark, sf)
       .select(size(split(trim($"text"), "\\s+")).cast("long").as("n"))
       .agg(sum($"n")).head.getLong(0)
-    assert(totalPacked == totalTokens)
-    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
-      val ids = rs.map(_.getLong(1)).sorted
-      assert(ids.head == 0L && ids.last == ids.length - 1,
-        s"$lang windows not contiguous: ${ids.mkString(",")}")
+    assert(totalPacked == totalTokens) // seams reorder tokens, never lose any
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach {
+      case ((lang, shard), rs) =>
+        val ids = rs.map(_.getLong(2)).sorted
+        assert(ids.head == 0L && ids.last == ids.length - 1,
+          s"$lang/$shard windows not contiguous: ${ids.mkString(",")}")
     }
+    // the sharding must actually split the hot axis: every language
+    // packs across >1 independent stream (the 100 TB parallelism claim)
+    val streamsPerLang = rows.groupBy(_.getString(0))
+      .map { case (_, rs) => rs.map(_.getLong(1)).distinct.size }
+    assert(streamsPerLang.forall(_ > 1),
+      s"sharding did not split languages: $streamsPerLang")
   }
 
   test("contamination_check counts are bounded and deterministic") {
