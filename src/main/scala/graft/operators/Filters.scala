@@ -111,10 +111,12 @@ object Filters {
     * hazard — the skew probe's first cut put a million-line order
     * inside this key's anchor and the `collect_list`+`sort_array` cost
     * 1.7 s single-threaded (SCALING.md, skew section). A deployment
-    * packing unbounded groups caps or chunks the group first (the
-    * [[graft.operators.PipelineOps.capPerKey]] discipline); the anchor
-    * here bounds groups by construction. Same applies to
-    * [[reshapeMap]]'s map-per-group form. */
+    * packing unbounded groups runs [[packGroupsChunked]] — the
+    * implemented guard, spec-proven on a 100k-row group — which bounds
+    * any task's buffer at the chunk, not the group; the anchor here
+    * bounds groups by construction, so the single-array spelling stays
+    * the judged key. Same applies to [[reshapeMap]]'s map-per-group
+    * form. */
   def reshapeListStruct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val packed = Tables.lineitem(spark, dir)
@@ -134,6 +136,55 @@ object Filters {
       .select($"l_orderkey", explode($"lines").as("l"))
       .select($"l_orderkey", $"l.line".as("line"), $"l.revenue".as("revenue"))
       .orderBy($"l_orderkey", $"line")
+  }
+
+  /** CHUNKED pack-per-group — the mega-group guard for
+    * [[reshapeListStruct]]-shaped packing (one `collect_list` per key
+    * buffers the whole group in one task; a million-row group measured
+    * 1.7 s single-threaded, and at 100 TB a hot key is a stall, not a
+    * stat). Two phases, the [[PipelineOps.capPerKey]] discipline
+    * applied to packing instead of capping:
+    *
+    *   1. per-key counts (one partial+final agg; rows = #keys);
+    *   2. only keys ABOVE `chunkTarget` broadcast back (the mega-key
+    *      set is bounded by total/chunkTarget by definition — each
+    *      member exceeds the target); everything else defaults to one
+    *      chunk, so the broadcast never carries the keyspace;
+    *   3. rows hash into ceil(n/chunkTarget) chunks per key
+    *      (xxhash64 of the payload — deterministic, no RNG state) and
+    *      `collect_list` packs per (key, chunk): the buffer any task
+    *      holds is one CHUNK (~chunkTarget elements, ±hash balance),
+    *      never one group, and a mega-key's chunks spread across the
+    *      cluster.
+    *
+    * Exactness contract: re-exploding every chunk of a key and
+    * re-sorting yields exactly the single-array packing's content —
+    * chunking redistributes elements, never loses or duplicates them
+    * (PipelineSpec proves on a 100k-row group, plus the bounded-chunk
+    * claim). Identical payloads co-hash to one chunk; a key that is
+    * mostly ONE duplicated payload keeps a hot chunk — the residual
+    * (documented) limit, irrelevant after any dedup pass. */
+  private[graft] def packGroupsChunked(rows: DataFrame, keyCol: String,
+      payload: org.apache.spark.sql.Column, chunkTarget: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    require(chunkTarget > 0, s"chunkTarget must be positive: $chunkTarget")
+    val keyed = rows.select(col(keyCol).as("k"), payload.as("p"))
+    val megaKeys = keyed.groupBy($"k".as("c_k"))
+      .agg(count(lit(1)).as("n_key"))
+      .filter($"n_key" > chunkTarget)
+      .withColumn("n_chunks",
+        ceil($"n_key" / lit(chunkTarget.toDouble)).cast("long"))
+      .select($"c_k", $"n_chunks")
+    keyed
+      // null-safe: a NULL key is its own group, exactly as groupBy
+      // treats it — an equi-join would silently route it to 1 chunk
+      // even when it is the mega-key
+      .join(broadcast(megaKeys), $"k" <=> $"c_k", "left")
+      .withColumn("chunk",
+        pmod(xxhash64($"p"), coalesce($"n_chunks", lit(1L))))
+      .groupBy($"k", $"chunk")
+      .agg(sort_array(collect_list($"p")).as("items"))
   }
 
   /** MapType reshape (`Nested:262-277`, the MAP branch of the recursive

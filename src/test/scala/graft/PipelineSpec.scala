@@ -431,4 +431,55 @@ class PipelineSpec extends SparkSpecBase {
     assert(megaSurv >= k && megaSurv <= 6L * k,
       s"mega-key survivor set $megaSurv outside [$k, ${6 * k}]")
   }
+
+  test("packGroupsChunked bounds every task's buffer at the chunk and " +
+      "re-explodes to exactly the single-array packing on a 100k-row " +
+      "mega-group") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val chunkTarget = 4096
+    // one 100k-row mega-group (the skew corpus's mega-order hazard),
+    // two task-scale groups, and a NULL key that must chunk like any
+    // other group
+    val rows = spark.range(0, 100000)
+      .select(lit("mega").as("grp"), $"id")
+      .unionByName(spark.range(100000, 100300)
+        .select(lit("small_a").as("grp"), $"id"))
+      .unionByName(spark.range(200000, 200007)
+        .select(lit("small_b").as("grp"), $"id"))
+      .unionByName(spark.range(300000, 300200)
+        .select(lit(null).cast("string").as("grp"), $"id"))
+      .select($"grp", struct($"id", ($"id" % 97).as("v")).as("pay"))
+      .localCheckpoint()
+    val packed = operators.Filters
+      .packGroupsChunked(rows, "grp", $"pay", chunkTarget)
+      .select($"k", $"chunk", $"items")
+      .collect()
+    // bounded task memory: no chunk buffers more than ~2x the target
+    // (hash balance over 25 chunks of 4k expected each; 2x is a
+    // forever-safe binomial-tail bound), and the mega-group actually
+    // SPLIT into its ceil(n/target) chunks
+    val byKey = packed.groupBy(r => Option(r.getString(0)))
+    val megaChunks = byKey(Some("mega"))
+    assert(megaChunks.length == math.ceil(100000.0 / chunkTarget).toInt,
+      s"mega split into ${megaChunks.length} chunks")
+    packed.foreach { r =>
+      assert(r.getSeq[Any](2).size <= 2 * chunkTarget,
+        s"chunk ${r.get(0)}/${r.getLong(1)} buffered ${r.getSeq[Any](2).size}")
+    }
+    // task-scale groups pay zero chunking overhead: exactly one chunk
+    assert(byKey(Some("small_a")).length == 1 &&
+      byKey(Some("small_b")).length == 1 && byKey(None).length == 1)
+    // exactness: re-exploded chunks == the single-array packing, per key
+    val naive = rows.groupBy($"grp")
+      .agg(sort_array(collect_list($"pay")).as("items"))
+      .collect()
+      .map(r => Option(r.getString(0)) -> r.getSeq[Any](1)).toMap
+    byKey.foreach { case (key, chunks) =>
+      val reExploded = chunks.flatMap(_.getSeq[Any](2))
+        .sortBy(_.toString)
+      assert(reExploded.toSeq == naive(key).sortBy(_.toString).toSeq,
+        s"chunked content diverged for $key")
+    }
+  }
 }
