@@ -626,7 +626,7 @@ object IngestOps {
     // (atomically, by buildShared)
     buildShared(spark, out, root =>
       fsExists(spark, s"$root/metadata/_DONE") &&
-        fsExists(spark, s"$root/metadata/snap-3.stats.txt") &&
+        fsExists(spark, s"$root/metadata/snap-3.stats.parquet/_SUCCESS") &&
         fsExists(spark, s"$root/metadata/commits.txt")) { tmpRoot =>
       val fs = new org.apache.hadoop.fs.Path(tmpRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -645,7 +645,7 @@ object IngestOps {
           // per-file stats sidecar (the DataFile metrics Iceberg records
           // at write time) — priced as one scan of the commit's delta
           writeStatsManifest(spark, tmpRoot,
-            s"snap-${idx + 1}.stats.txt", delta)
+            s"snap-${idx + 1}.stats", delta)
           seen = now
       }
       // commit log: snapshot -> committed-at millis (the reference stamps
@@ -726,54 +726,92 @@ object IngestOps {
     b.result()
   }
 
-  /** Compute per-file stats for `rels` under `$root/data` with ONE scan of
-    * only those files (the write-side cost Iceberg pays in its writers)
-    * and persist them as `metadata/$name`, pipe-separated one line per
-    * file. Only the per-FILE summary rows reach the driver — metadata
-    * cardinality, like the manifests themselves. */
+  /** Stats-sidecar dataset schema: one row per data file. Bounds are
+    * NATIVE NULLS when a file has none (all-NULL column) — min/max
+    * aggregation and range predicates then handle them soundly for
+    * free, where the old text encoding needed NaN/Int sentinels. */
+  private[graft] val statsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("rel",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_rows",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("min_day",
+      org.apache.spark.sql.types.IntegerType, nullable = true),
+    org.apache.spark.sql.types.StructField("max_day",
+      org.apache.spark.sql.types.IntegerType, nullable = true),
+    org.apache.spark.sql.types.StructField("min_value",
+      org.apache.spark.sql.types.DoubleType, nullable = true),
+    org.apache.spark.sql.types.StructField("max_value",
+      org.apache.spark.sql.types.DoubleType, nullable = true),
+    org.apache.spark.sql.types.StructField("n_null_value",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Compute per-file stats for `rels` under `$root/data` with ONE scan
+    * of only those files (the write-side cost Iceberg pays in its
+    * writers) and persist them as the PARQUET DATASET
+    * `metadata/$name.parquet`, one row per file, written DISTRIBUTED —
+    * nothing reaches the driver. At 100 TB ÷ 128 MB ≈ 800k files the
+    * old one-text-artifact form held every summary row on the driver
+    * before writing; a sidecar dataset prices the build as a normal
+    * aggregate+write and lets planners read it as a table. Page
+    * checksums are written (and verified on every sidecar read) so a
+    * bit-flipped bound fails the plan loudly instead of silently
+    * mis-pruning — the posture the old format carried via its CRC. */
   private[graft] def writeStatsManifest(spark: SparkSession, root: String,
       name: String, rels: Iterable[String]): Unit = {
     import spark.implicits._
-    val lines =
-      if (rels.isEmpty) Seq.empty[String]
+    val out = s"$root/metadata/$name.parquet"
+    val df =
+      if (rels.isEmpty) spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), statsSchema)
       else spark.read.option("basePath", s"$root/data")
         .parquet(rels.map(r => s"$root/data/$r").toSeq: _*)
         .groupBy(regexp_extract(input_file_name(), "/data/(.*)$", 1)
           .as("rel"))
-        .agg(count(lit(1)).as("n"), min($"day").as("mind"),
-          max($"day").as("maxd"), min($"value").as("minv"),
-          max($"value").as("maxv"), count($"value").as("nval"))
-        .collect()
-        .map { r =>
-          val n = r.getLong(1)
-          // an all-NULL file has no value bounds: record NaN (parses back)
-          val minv = if (r.isNullAt(4)) Double.NaN else r.getDouble(4)
-          val maxv = if (r.isNullAt(5)) Double.NaN else r.getDouble(5)
-          // an all-null-day file (hostile null-ts rows landing alone in
-          // a range partition) has no day bounds either: record the
-          // full-range sentinel — day pruning then always keeps the
-          // file, which is sound (its rows match no day predicate
-          // row-level) and never NPEs the driver unbox
-          val mind = if (r.isNullAt(2)) Int.MinValue else r.getInt(2)
-          val maxd = if (r.isNullAt(3)) Int.MaxValue else r.getInt(3)
-          s"${r.getString(0)}|$n|$mind|$maxd|" +
-            s"$minv|$maxv|${n - r.getLong(6)}"
-        }
-        .toSeq.sorted
-    writeMetaLines(spark, root, s"metadata/$name", lines)
+        .agg(count(lit(1)).as("n_rows"),
+          min($"day").cast("int").as("min_day"),
+          max($"day").cast("int").as("max_day"),
+          min($"value").as("min_value"), max($"value").as("max_value"),
+          (count(lit(1)) - count($"value")).as("n_null_value"))
+    df.write.mode(SaveMode.Overwrite)
+      .option("parquet.page.write-checksum.enabled", "true")
+      .parquet(out)
   }
 
-  /** Parse a stats manifest written by [[writeStatsManifest]]. */
+  /** The stats sidecar as a DataFrame — the planning surface.
+    * Qualifying-file planners filter/join THIS instead of parsing
+    * driver-side text; absent sidecar reads as empty. Page-checksum
+    * verification is forced on: pruning metadata must fail loudly when
+    * damaged, never silently shrink a file list. */
+  private[graft] def statsManifest(spark: SparkSession, root: String,
+      name: String): org.apache.spark.sql.DataFrame = {
+    val path = s"$root/metadata/$name.parquet"
+    if (!fsExists(spark, path))
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), statsSchema)
+    else spark.read.schema(statsSchema)
+      .option("parquet.page.verify-checksum.enabled", "true")
+      .parquet(path)
+  }
+
+  /** Driver-side [[FileStats]] view of a stats sidecar — ONLY for
+    * metadata-cardinality consumers (the DSv2 metadata tables, the
+    * snapshot log), never for scan planning: planners go through
+    * [[statsManifest]]. Null bounds map to the legacy sentinels the
+    * row consumers expect (NaN / full day range). */
   private[graft] def readStatsManifest(spark: SparkSession, root: String,
       name: String): Seq[FileStats] = {
-    readMetaLines(spark, root, s"metadata/$name").map { line =>
-      val f = line.split('|')
-      // 6-field lines predate null-count stats (manifests persist across
-      // engine versions — a reader must accept both eras)
-      FileStats(f(0), f(1).toLong, f(2).toInt, f(3).toInt,
-        f(4).toDouble, f(5).toDouble,
-        if (f.length > 6) f(6).toLong else 0L)
-    }
+    statsManifest(spark, root, name)
+      .select("rel", "n_rows", "min_day", "max_day", "min_value",
+        "max_value", "n_null_value")
+      .collect().map { r =>
+        FileStats(r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) Int.MinValue else r.getInt(2),
+          if (r.isNullAt(3)) Int.MaxValue else r.getInt(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5),
+          r.getLong(6))
+      }.toSeq.sortBy(_.rel)
   }
 
   /** Data-file relative paths recorded by snapshot N's manifest. */
@@ -803,7 +841,7 @@ object IngestOps {
     val commits = commitLog(spark, root).toMap
     var cum = 0L
     (1 to 3).map { n =>
-      val stats = readStatsManifest(spark, root, s"snap-$n.stats.txt")
+      val stats = readStatsManifest(spark, root, s"snap-$n.stats")
       val nRows = stats.map(_.nRows).sum
       val nFiles = stats.map(f =>
         "day=(\\d+)/".r.findFirstMatchIn(f.rel).map(_.group(1))
@@ -1375,23 +1413,24 @@ object IngestOps {
     * metrics `Local:126-132`) with zero data IO — where [[datafileStats]]
     * proves the physical layout by scanning, this serves the same truths
     * from metadata, which is what makes stats maintenance worth its
-    * write-time cost at 100 TB. Only per-file summary lines are parsed
-    * driver-side (metadata cardinality), then aggregated per snapshot. */
+    * write-time cost at 100 TB. The aggregation runs DISTRIBUTED over
+    * the sidecar datasets — per-file rows never visit the driver, so
+    * the same walk prices identically over an 800k-file table. Null
+    * bounds (all-NULL files) drop out of min/max natively. */
   def manifestStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = snapshotLayout(spark, dir)
-    (1 to 3).flatMap { n =>
-      readStatsManifest(spark, root, s"snap-$n.stats.txt")
-        .map(s => (n.toLong, s.nRows, s.minDay.toLong, s.maxDay.toLong,
-          s.minValue, s.maxValue))
-    }.toDF("snapshot_id", "rows", "mind", "maxd", "minv", "maxv")
+    (1 to 3).map { n =>
+      statsManifest(spark, root, s"snap-$n.stats")
+        .select(lit(n.toLong).as("snapshot_id"), $"n_rows",
+          $"min_day", $"max_day", $"min_value", $"max_value")
+    }.reduce(_ unionByName _)
       .groupBy($"snapshot_id")
-      .agg(count(lit(1)).as("n_files"), sum($"rows").as("n_rows"),
-        min($"mind").as("min_day"), max($"maxd").as("max_day"),
-        // a NaN bound means "file has no values" (all-NULL column) —
-        // it must not win the max (Spark orders NaN above every double)
-        min(when(!isnan($"minv"), $"minv")).as("min_value"),
-        max(when(!isnan($"maxv"), $"maxv")).as("max_value"))
+      .agg(count(lit(1)).as("n_files"), sum($"n_rows").as("n_rows"),
+        min($"min_day").cast("long").as("min_day"),
+        max($"max_day").cast("long").as("max_day"),
+        min($"min_value").as("min_value"),
+        max($"max_value").as("max_value"))
       .orderBy($"snapshot_id")
   }
 
@@ -1405,14 +1444,16 @@ object IngestOps {
     import spark.implicits._
     val out = sharedFor(spark, "events_valstats", dir)
     buildShared(spark, out,
-      root => fsExists(spark, s"$root/metadata/_DONE")) { tmpRoot =>
+      root => fsExists(spark, s"$root/metadata/_DONE") &&
+        fsExists(spark, s"$root/metadata/files.stats.parquet/_SUCCESS")) {
+      tmpRoot =>
       eventsWithParts(spark, dir)
         .select($"event_id", $"user_id", $"event_type", $"value", $"day")
         .repartitionByRange(16, $"value")
         .sortWithinPartitions($"value")
         .write.mode(SaveMode.Overwrite)
         .option("compression", "zstd").parquet(s"$tmpRoot/data")
-      writeStatsManifest(spark, tmpRoot, "files.stats.txt",
+      writeStatsManifest(spark, tmpRoot, "files.stats",
         listDataFiles(spark, s"$tmpRoot/data"))
       val done = new org.apache.hadoop.fs.Path(tmpRoot, "metadata/_DONE")
       done.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1424,13 +1465,19 @@ object IngestOps {
     * stats layout — planned from the stats manifest ALONE (no directory
     * listing, no footer reads): exactly Iceberg's metrics-based planFiles
     * (`aig/TimeBasedPartitioningExamples.java:180-195` one level below
-    * directory pruning). Shared with IngestSpec's never-opened proof. */
+    * directory pruning). The overlap predicate runs as a SCAN of the
+    * sidecar dataset; only the qualifying rel paths reach the driver
+    * (the list a scan needs anyway), never the stats rows — a null
+    * bound (all-NULL file) fails the range predicate and is excluded,
+    * exactly the old NaN semantics. Shared with IngestSpec's
+    * never-opened proof. */
   private[graft] def statsQualifyingFiles(spark: SparkSession, root: String,
       lo: Double, hi: Double): (Seq[String], Int) = {
-    val stats = readStatsManifest(spark, root, "files.stats.txt")
-    val hits = stats.filter(s => s.maxValue >= lo && s.minValue <= hi)
-      .map(s => s"$root/data/${s.rel}")
-    (hits, stats.size)
+    val m = statsManifest(spark, root, "files.stats")
+    val hits = m.filter(col("max_value") >= lo && col("min_value") <= hi)
+      .select("rel").collect()
+      .map(r => s"$root/data/${r.getString(0)}").toSeq.sorted
+    (hits, m.count().toInt)
   }
 
   /** `ingest_quarantine` — VALIDATING ingest with a reject table: rows
@@ -1480,7 +1527,9 @@ object IngestOps {
     import spark.implicits._
     val out = sharedFor(spark, "events_nullstats", dir)
     buildShared(spark, out,
-      root => fsExists(spark, s"$root/metadata/_DONE")) { tmpRoot =>
+      root => fsExists(spark, s"$root/metadata/_DONE") &&
+        fsExists(spark, s"$root/metadata/files.stats.parquet/_SUCCESS")) {
+      tmpRoot =>
       eventsWithParts(spark, dir)
         .select($"event_id", $"user_id", $"event_type",
           when($"event_type" === "click" && $"day".between(3, 7),
@@ -1490,7 +1539,7 @@ object IngestOps {
         .sortWithinPartitions($"day")
         .write.mode(SaveMode.Overwrite)
         .option("compression", "zstd").parquet(s"$tmpRoot/data")
-      writeStatsManifest(spark, tmpRoot, "files.stats.txt",
+      writeStatsManifest(spark, tmpRoot, "files.stats",
         listDataFiles(spark, s"$tmpRoot/data"))
       val done = new org.apache.hadoop.fs.Path(tmpRoot, "metadata/_DONE")
       done.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1509,8 +1558,9 @@ object IngestOps {
   def manifestNullPrune(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = nullStatsLayout(spark, dir)
-    val hits = readStatsManifest(spark, root, "files.stats.txt")
-      .filter(_.nNullValue > 0).map(s => s"$root/data/${s.rel}")
+    val hits = statsManifest(spark, root, "files.stats")
+      .filter($"n_null_value" > 0).select($"rel")
+      .collect().map(r => s"$root/data/${r.getString(0)}").toSeq
     val src = if (hits.nonEmpty)
       spark.read.option("basePath", s"$root/data").parquet(hits: _*)
     else spark.read.parquet(s"$root/data").filter(lit(false))
@@ -1527,77 +1577,77 @@ object IngestOps {
     * are never mutated): one ~64 KiB sketch per data file keyed on
     * xxhash64(event_id), the Iceberg-Puffin-blob / parquet-bloom shape
     * lifted to the manifest level. Built with ONE distributed scan (a
-    * per-file BloomFilterAggregate); only the finished sketches reach
-    * the driver — metadata cardinality, like the stats manifests. At
+    * per-file BloomFilterAggregate) and persisted as the PARQUET
+    * DATASET `blooms.parquet` (rel, bf, crc32) by a DISTRIBUTED write —
+    * no sketch ever visits the driver. The old text form collected
+    * every bitmap first: at 800k files that is ~50 GiB of driver heap;
+    * the dataset form prices the build as agg+write and the probe as a
+    * metadata-table scan. Each row carries a CRC32 of its sketch
+    * (computed executor-side by the crc32 expression): a bit-flipped
+    * bloom deserializes fine and then answers FALSE NEGATIVES —
+    * silently pruning files that hold the probed keys — so the probe
+    * re-verifies before trusting any sketch. v3 bumps pre-dataset
+    * sidecars to rebuild rather than read the retired text format. At
     * real scale the bits are sized ~16× the per-file row count; here
     * 64 KiB covers the largest SF's ~3.4k rows/file with fpp ≈ 1e-4. */
   private[graft] def bloomSidecar(spark: SparkSession, dir: String,
       root: String): String = {
     import spark.implicits._
-    // v2: entries carry a CRC32 of the sketch bytes. A corrupt stats
-    // LINE fails its numeric parse loudly, but a bit-flipped bloom
-    // payload deserializes fine and then returns FALSE NEGATIVES —
-    // silently pruning files that hold the probed keys. The checksum
-    // converts that wrong-results mode into a loud failure (the
-    // parquet-page-CRC / Puffin-blob posture); the version bump forces
-    // pre-checksum sidecars to rebuild rather than read unchecked.
-    val out = sharedFor(spark, "events_blooms_v2", dir)
-    buildShared(spark, out, r => fsExists(spark, s"$r/_DONE")) { tmpRoot =>
+    val out = sharedFor(spark, "events_blooms_v3", dir)
+    buildShared(spark, out,
+      r => fsExists(spark, s"$r/blooms.parquet/_SUCCESS")) { tmpRoot =>
       import org.apache.spark.sql.GraftBridge
       import org.apache.spark.sql.catalyst.expressions.Literal
       import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
       val agg = new BloomFilterAggregate(
         GraftBridge.eagerExpression(xxhash64($"event_id")),
         Literal(10000L), Literal(64L * 1024 * 8))
-      val perFile = spark.read.parquet(s"$root/data")
+      spark.read.parquet(s"$root/data")
         .select(regexp_extract(input_file_name(), "/data/(.*)$", 1)
           .as("rel"), $"event_id")
         .groupBy($"rel")
         .agg(GraftBridge.column(agg.toAggregateExpression()).as("bf"))
-        .collect()
-      writeMetaLines(spark, tmpRoot, "blooms.txt", perFile.map { r =>
-        val bits = r.getAs[Array[Byte]](1)
-        val crc = new java.util.zip.CRC32
-        crc.update(bits)
-        r.getString(0) + "|" + java.util.Base64.getEncoder
-          .encodeToString(bits) + "|" +
-          java.lang.Long.toHexString(crc.getValue)
-      })
-      val fs = new org.apache.hadoop.fs.Path(tmpRoot)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.create(new org.apache.hadoop.fs.Path(tmpRoot, "_DONE"), true)
-        .close()
+        .withColumn("crc", crc32($"bf"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$tmpRoot/blooms.parquet")
     }
   }
 
   /** Files whose bloom MIGHT contain any of `keys` (+ the total count).
-    * The probe hashes with the SAME xxhash64 the build used, and the
-    * sketch bytes deserialize through the same sketch library Spark's
-    * BloomFilterMightContain reads — build and probe cannot drift. Each
-    * entry's CRC32 is verified BEFORE the sketch is trusted: a damaged
-    * bloom answers "definitely absent" for present keys, so corruption
-    * here must fail the plan loudly, never silently shrink the file
-    * list (IngestSpec pins this). */
+    * The probe SCANS the sidecar dataset: each executor verifies its
+    * rows' CRC32s, deserializes, and probes — only the qualifying rel
+    * paths (the list the scan needs anyway) ever reach the driver,
+    * never a bitmap. The probe hashes with the SAME xxhash64 the build
+    * used, and the sketch bytes deserialize through the same sketch
+    * library Spark's BloomFilterMightContain reads — build and probe
+    * cannot drift. A CRC mismatch fails the task (and the plan) loudly:
+    * a damaged bloom answers "definitely absent" for present keys, so
+    * corruption must never silently shrink the file list (IngestSpec
+    * pins both the failure and the no-payloads-on-driver claim). */
   private[graft] def bloomQualifyingFiles(spark: SparkSession,
       sidecar: String, keys: Seq[Long]): (Seq[String], Int) = {
+    import spark.implicits._
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val hashes = keys.map(k =>
       new XxHash64(Seq(Literal(k))).eval(null).asInstanceOf[Long])
-    val entries = readMetaLines(spark, sidecar, "blooms.txt").map { l =>
-      val Array(rel, b64, crcHex) = l.split("\\|", 3)
-      val bits = java.util.Base64.getDecoder.decode(b64)
-      val crc = new java.util.zip.CRC32
-      crc.update(bits)
-      if (java.lang.Long.toHexString(crc.getValue) != crcHex)
-        throw new IllegalStateException(
-          s"bloom sidecar corrupt for $rel: CRC mismatch " +
-            s"(${java.lang.Long.toHexString(crc.getValue)} != $crcHex) — " +
-            "refusing to plan from a damaged sketch")
-      rel -> org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bits))
-    }
-    (entries.filter { case (_, bf) => hashes.exists(bf.mightContainLong) }
-      .map(_._1), entries.size)
+    val m = spark.read.parquet(s"$sidecar/blooms.parquet")
+    val qualifying = m.select($"rel", $"bf", $"crc")
+      .as[(String, Array[Byte], Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (rel, bits, crcStored) =>
+          val crc = new java.util.zip.CRC32
+          crc.update(bits)
+          if (crc.getValue != crcStored)
+            throw new IllegalStateException(
+              s"bloom sidecar corrupt for $rel: CRC mismatch " +
+                s"(${crc.getValue} != $crcStored) — refusing to plan " +
+                "from a damaged sketch")
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bits))
+          if (hashes.exists(bf.mightContainLong)) Some(rel) else None
+        }
+      }.collect().toSeq.sorted
+    (qualifying, m.count().toInt)
   }
 
   /** `manifest_bloom_prune` — POINT-LOOKUP file skipping from per-file

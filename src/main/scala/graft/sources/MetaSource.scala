@@ -83,7 +83,7 @@ object GraftMetaSource {
     * writers in LakeOps/IngestOps spell the same names. */
   private[sources] val AddsManifest = "snap-(\\d+)\\.txt".r
   private[sources] val RemovesManifest = "snap-(\\d+)\\.removed\\.txt".r
-  private[sources] val StatsManifest = "snap-(\\d+)\\.stats\\.txt".r
+  private[sources] val StatsManifest = "snap-(\\d+)\\.stats\\.parquet".r
 
   /** One row per data file per committing snapshot — the Iceberg
     * `files` metadata-table shape: identity, size, and the per-file
@@ -239,7 +239,7 @@ object GraftMetaSource {
   /** One [[ManifestRow]] per physical manifest under `metadata/` —
     * adds (`snap-N.txt`, kind `full` when the `snap-N.FULL` rewrite
     * marker is present), removes (`snap-N.removed.txt`) and stats
-    * sidecars (`snap-N.stats.txt`), with non-empty line counts and
+    * sidecar datasets (`snap-N.stats.parquet`), with entry counts and
     * byte sizes. */
   private[sources] def manifestRows(root: String): Seq[ManifestRow] = {
     val spark = SparkSession.active
@@ -262,9 +262,17 @@ object GraftMetaSource {
         case _ => None
       }
       kind.map { case (n, k) =>
-        val lines = IngestOps
-          .readMetaLines(spark, root, s"metadata/$name").size
-        ManifestRow(n, s"metadata/$name", k, lines.toLong, st.getLen)
+        // stats sidecars are parquet DATASETS (a directory): entries =
+        // row count, bytes = the directory's content length; text
+        // manifests keep their line count + file length
+        val (lines, bytes) =
+          if (k == "stats")
+            (IngestOps.readStatsManifest(spark, root,
+              s"snap-$n.stats").size.toLong,
+              fs.getContentSummary(st.getPath).getLength)
+          else (IngestOps.readMetaLines(spark, root,
+            s"metadata/$name").size.toLong, st.getLen)
+        ManifestRow(n, s"metadata/$name", k, lines, bytes)
       }
     }.sortBy(r => (r.snap, r.kind))
   }
@@ -327,7 +335,8 @@ object GraftMetaSource {
     val fs = rootPath.getFileSystem(conf)
     val metaDir = new org.apache.hadoop.fs.Path(root, "metadata")
     // match ONLY plain add-manifests (snap-<n>.txt) — sidecars like
-    // snap-<n>.stats.txt and snap-<n>.removed.txt are different surfaces
+    // snap-<n>.stats.parquet and snap-<n>.removed.txt are different
+    // surfaces
     val snaps = fs.listStatus(metaDir).map(_.getPath.getName)
       .collect { case AddsManifest(n) => n.toInt }.sorted
     snaps.flatMap { n =>
@@ -337,8 +346,8 @@ object GraftMetaSource {
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
       val stats: Map[String, IngestOps.FileStats] =
         if (!fs.exists(new org.apache.hadoop.fs.Path(metaDir,
-          s"snap-$n.stats.txt"))) Map.empty
-        else IngestOps.readStatsManifest(spark, root, s"snap-$n.stats.txt")
+          s"snap-$n.stats.parquet"))) Map.empty
+        else IngestOps.readStatsManifest(spark, root, s"snap-$n.stats")
           .map(s => s.rel -> s).toMap
       txt.split("\n").filter(_.nonEmpty).map { rel =>
         val day = "day=(\\d+)/".r.findFirstMatchIn(rel)

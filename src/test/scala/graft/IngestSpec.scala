@@ -177,7 +177,7 @@ class IngestSpec extends SparkSpecBase {
     val scanRels = scan.relation.location.inputFiles
       .map(f => f.substring(f.lastIndexOf("/data/") + 6)).toSet
     val excluded = graft.sources.IngestOps
-      .readStatsManifest(spark, root, "files.stats.txt")
+      .readStatsManifest(spark, root, "files.stats")
       .filter(s => s.maxValue < 180.0 || s.minValue > 220.0)
       .map(_.rel).toSet
     assert(excluded.nonEmpty && scanRels.nonEmpty)
@@ -219,7 +219,7 @@ class IngestSpec extends SparkSpecBase {
     import spark.implicits._
     val root = graft.sources.IngestOps.nullStatsLayout(spark, sf)
     val stats = graft.sources.IngestOps
-      .readStatsManifest(spark, root, "files.stats.txt")
+      .readStatsManifest(spark, root, "files.stats")
     val (withNulls, nullFree) = stats.partition(_.nNullValue > 0)
     // the nulls are day-clustered: most of the 16 files are null-free
     assert(stats.size == 16 && withNulls.nonEmpty && nullFree.nonEmpty)
@@ -287,46 +287,117 @@ class IngestSpec extends SparkSpecBase {
 
   test("corrupt pruning metadata fails the plan loudly — a damaged " +
       "bloom or stats sidecar must never silently shrink the file list") {
+    import spark.implicits._
     import graft.sources.IngestOps
     // a bit-flipped bloom DESERIALIZES fine but answers 'definitely
     // absent' for present keys — the one corruption mode that yields
-    // wrong results instead of an error, hence the CRC in the sidecar.
-    // Corrupt a COPY (shared layouts are never mutated).
+    // wrong results instead of an error, hence the CRC column the probe
+    // re-verifies executor-side. Corrupt a COPY (shared layouts are
+    // never mutated): flip one sketch byte, keep the stored CRC.
     val root = IngestOps.snapshotLayout(spark, sf)
     val sidecar = IngestOps.bloomSidecar(spark, sf, root)
     val tmp = java.nio.file.Files
       .createTempDirectory("bloom_corrupt").toString
-    val lines = IngestOps.readMetaLines(spark, sidecar, "blooms.txt")
-    assert(lines.nonEmpty && lines.head.split("\\|", 3).length == 3,
-      "sidecar entries must carry rel|b64|crc")
-    val Array(rel, b64, crc) = lines.head.split("\\|", 3)
-    val bits = java.util.Base64.getDecoder.decode(b64)
-    bits(bits.length / 2) = (bits(bits.length / 2) ^ 0x10).toByte
-    val flipped = rel + "|" +
-      java.util.Base64.getEncoder.encodeToString(bits) + "|" + crc
-    IngestOps.writeMetaLines(spark, tmp, "blooms.txt",
-      flipped +: lines.tail)
-    val e = intercept[IllegalStateException] {
+    val rows = spark.read.parquet(s"$sidecar/blooms.parquet")
+      .select($"rel", $"bf", $"crc")
+      .as[(String, Array[Byte], Long)].collect()
+    assert(rows.nonEmpty)
+    val (rel0, bits0, crc0) = rows.head
+    val flipped = bits0.clone()
+    flipped(flipped.length / 2) = (flipped(flipped.length / 2) ^ 0x10).toByte
+    val corrupted = (rel0, flipped, crc0) +: rows.tail.toSeq
+    spark.createDataset(corrupted).toDF("rel", "bf", "crc")
+      .write.mode("overwrite").parquet(s"$tmp/blooms.parquet")
+    val e = intercept[Exception] {
       IngestOps.bloomQualifyingFiles(spark, tmp, Seq(1L))
     }
-    assert(e.getMessage.contains("CRC mismatch"), e.getMessage)
-    // stats manifests fail their numeric parse on garbage — pin that a
-    // truncated/corrupt line throws rather than dropping the file
-    IngestOps.writeMetaLines(spark, tmp, "metadata/files.stats.txt",
-      Seq("day=1/part-0.parquet|not_a_number|x"))
+    // the executor's IllegalStateException arrives wrapped in Spark's
+    // task-failure chain — the CRC message must survive the wrapping
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("CRC mismatch"), msgs)
+    // stats sidecars are parquet with page checksums written and
+    // verified — pin that physical damage (a truncated part-file)
+    // throws rather than planning from a damaged manifest
+    val statsRoot = IngestOps.statsLayout(spark, sf)
+    val statsTmp = java.nio.file.Files
+      .createTempDirectory("stats_corrupt").toString
+    val srcDir = java.nio.file.Paths
+      .get(s"$statsRoot/metadata/files.stats.parquet")
+    val dstDir = java.nio.file.Paths
+      .get(s"$statsTmp/metadata/files.stats.parquet")
+    java.nio.file.Files.createDirectories(dstDir)
+    val parts = java.nio.file.Files.list(srcDir).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+    parts.foreach(p => java.nio.file.Files.copy(p,
+      dstDir.resolve(p.getFileName.toString)))
+    val victim = java.nio.file.Files.list(dstDir).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .maxBy(java.nio.file.Files.size(_))
+    val ch = java.nio.channels.FileChannel.open(victim,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(math.max(4, java.nio.file.Files.size(victim) - 16))
+    finally ch.close()
     assertThrows[Exception] {
-      IngestOps.readStatsManifest(spark, tmp, "files.stats.txt")
+      IngestOps.statsManifest(spark, statsTmp, "files.stats").collect()
     }
+  }
+
+  test("sidecar planning never materializes payloads on the driver: " +
+      "the bloom probe's task results carry rel paths, not bitmaps") {
+    import spark.implicits._
+    import graft.sources.IngestOps
+    val root = IngestOps.snapshotLayout(spark, sf)
+    val sidecar = IngestOps.bloomSidecar(spark, sf, root)
+    val payloadBytes = spark.read.parquet(s"$sidecar/blooms.parquet")
+      .agg(sum(length($"bf"))).head.getLong(0)
+    assert(payloadBytes > 500000,
+      s"fixture too small to prove anything: $payloadBytes payload bytes")
+    val keys = IngestOps.eventsWithParts(spark, sf)
+      .filter($"day".isin(3, 9, 14))
+      .groupBy($"day").agg(min($"event_id").as("k"))
+      .collect().map(_.getLong(1)).toSeq.sorted
+    val resultBytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) resultBytes.addAndGet(m.resultSize)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (hits, total) = IngestOps.bloomQualifyingFiles(spark, sidecar, keys)
+      assert(hits.nonEmpty && total > 0)
+      org.apache.spark.GraftListenerBridge
+        .waitUntilEmpty(spark.sparkContext)
+      // everything the driver received across the probe's jobs (rels +
+      // per-task accumulator overhead) must stay far below the payload
+      // volume — the old text-sidecar probe pulled every bitmap in
+      assert(resultBytes.get() < payloadBytes / 2,
+        s"driver received ${resultBytes.get()} bytes against " +
+          s"$payloadBytes payload bytes — sidecar payloads are " +
+          "reaching the driver")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("manifest_stats answers from metadata only — its plan reads no " +
       "data files") {
-    // layout is built (a write-time cost); the QUERY plan itself must be
-    // a local-relation aggregate — zero parquet scans
+    // layout is built (a write-time cost); the QUERY plan itself must
+    // aggregate the sidecar DATASETS — every scanned file lives under
+    // metadata/, never under data/ (the distributed form of the old
+    // "zero parquet scans" local-relation claim)
     graft.sources.IngestOps.snapshotLayout(spark, sf)
     val q = graft.sources.IngestOps.manifestStats(spark, sf)
-    assert(fileScans(q.queryExecution.executedPlan).isEmpty,
-      "manifest_stats read data files")
+    q.collect()
+    val scannedFiles = fileScans(q.queryExecution.executedPlan)
+      .flatMap(_.relation.location.inputFiles)
+    assert(scannedFiles.nonEmpty, "expected sidecar-dataset scans")
+    assert(scannedFiles.forall(f =>
+      f.contains("/metadata/") && !f.contains("/data/")),
+      s"manifest_stats read data files: ${scannedFiles.mkString(",")}")
     val rows = q.collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
     // stats agree with a direct scan of the table
