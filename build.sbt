@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver captures a bounded stdout TAIL of `sbt runMain
+// graft.Bench` and tries to parse the final JSON line. Two pieces of
+// sbt chrome have broken that parse every round so far: the logger's
+// "[info] " prefix on forked output (json.loads rejects the line) and
+// the trailing "[success] Total time: ..." banner (a non-JSON final
+// line). Pass forked stdout through verbatim and drop the banner so
+// the process's LAST line is Bench's machine-readable summary.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++=
+  Set(run / outputStrategy, showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -277,7 +277,7 @@ object Bench {
     // short machine-readable summary LAST: the driver captures a bounded
     // stdout tail, and the 100+-entry line above overflows it (r1 had
     // parsed:null). A failed query is an error entry, never a fake timing.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"wall_sec":$wallSec,"contention_index":$ciJson,"floor_sec":${num3(floorSec)},"n_flagged_first_pass":${firstPassFlags.size},"n_regressions":${regressions.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"wall_sec":$wallSec,"contention_index":$ciJson,"floor_sec":${num3(floorSec)},"n_flagged_first_pass":${firstPassFlags.size},"n_regressions":${regressions.size},"queries_file":"BENCH_SUMMARY.json","sf":"$sfDir"}""")
     // full per-query detail ALSO goes to a file: the driver's stdout tail
     // truncates the 100+-entry line, which left 48/108 timings
     // unrecoverable in r3 — BENCH_SUMMARY.json is the durable record
