@@ -20,16 +20,33 @@ object DebugRun {
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Tables.warmup(spark)
     val queries = SparkEntry.queries
+    // DEBUG_SKEW_AQE=1: execute inside the scaled-down skew-detector
+    // scope EngineSpec uses, so the final adaptive plan shows the
+    // skew-split SMJ at test scale (for plan capture into PLANS.md)
+    def scoped[T](body: => T): T =
+      if (sys.env.contains("DEBUG_SKEW_AQE"))
+        graft.operators.Joins.withSkewAqeConf(spark)(body)
+      else body
     names.foreach { n =>
       val t0 = System.nanoTime()
       // build ONCE: some keys run eager construction-time work (model
       // collects, lazy-checkpoint planting) that explain/show would
       // otherwise repeat per flag
-      val df = queries(n)(spark, sfDir)
-      val cnt = df.count()
+      val df = scoped { queries(n)(spark, sfDir) }
+      // count() executes a DERIVED QueryExecution — in executed-plan
+      // mode run df's own collect so df.queryExecution is the one that
+      // ran (and carries the final adaptive plan)
+      val cnt = scoped {
+        if (sys.env.contains("DEBUG_EXECUTED")) df.collect().length.toLong
+        else df.count()
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[debug] $n%-28s $sec%8.2f s  rows=$cnt")
       if (sys.env.contains("DEBUG_EXPLAIN")) df.explain("formatted")
+      // the FINAL adaptive plan (post-execution), where AQE's runtime
+      // rewrites — skew splits, coalesced readers — are visible
+      if (sys.env.contains("DEBUG_EXECUTED"))
+        println(df.queryExecution.executedPlan.toString)
       // DEBUG_SHOW=true (flag-style) means the default depth, not a crash
       sys.env.get("DEBUG_SHOW").foreach { v =>
         df.show(v.toIntOption.getOrElse(20), false)
