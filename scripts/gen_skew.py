@@ -11,13 +11,19 @@ Replica 0 stays BYTE-IDENTICAL to sf0.1 (bounded anchors see the
 original rows); replicas 1..9 are warped deterministically (duckdb
 hash(), no RNG):
   events:    ~90% of replicated rows collapse onto event_type='click'
-             (the hot tenant every skew join must survive) and ~30%
-             onto ONE user_id (hot window/top-k partition).
+             (the hot tenant every skew join must survive) and ~94%
+             onto ONE user_id (~85% of ALL events — the hot
+             window/top-k partition axis the round-15 verdict asked
+             the window tier to be probed on).
   documents: ~30% of replicated docs get a shared 12-token boilerplate
              footer appended (hot shingles for the prefix filter, one
              hot span for dedup_substring); ~80% collapse onto
              source='megadomain' (sample_cap_per_key's giant key);
              n_chars recomputed to stay consistent with text.
+  orders:    ~20% of replicated rows collapse onto ONE o_custkey (the
+             mega-customer: per-key top-k's hot key, with its matching
+             dim row in the replicated customer table), outside every
+             replica-0 bounded anchor (o_custkey < 300).
   lineitem:  ~20% of replicated rows collapse onto ONE l_orderkey and
              (independently) ~20% onto ONE l_partkey — a mega-order and
              a mega-part. The hot keys are replica-5's copies of key 1
@@ -68,8 +74,13 @@ SKEW = {
     "events": {
         "event_type": ("CASE WHEN i > 0 AND hash(event_id) % 10 < 9 "
                        "THEN 'click' ELSE event_type END"),
-        "user_id": (f"CASE WHEN i > 0 AND hash(event_id * 7 + 1) % 10 < 3 "
+        "user_id": (f"CASE WHEN i > 0 AND hash(event_id * 7 + 1) % 100 < 94 "
                     f"THEN {HOT_USER} ELSE user_id + i * {OFF} END"),
+    },
+    "orders": {
+        "o_custkey": (f"CASE WHEN i > 0 AND hash(o_orderkey * 17 + i) "
+                      f"% 5 < 1 THEN 1 + 5 * CAST({OFF} AS BIGINT) "
+                      f"ELSE o_custkey + i * {OFF} END"),
     },
     "documents": {
         "text": (f"CASE WHEN i > 0 AND hash(doc_id) % 10 < 3 "
@@ -123,8 +134,11 @@ def main():
     for q, label in [
         ("SELECT count(*) FILTER (event_type = 'click') * 1.0 / count(*) "
          f"FROM '{OUT}/events.parquet'", "events click share"),
-        (f"SELECT count(*) FILTER (user_id = {HOT_USER}) FROM "
-         f"'{OUT}/events.parquet'", "hot-user rows"),
+        (f"SELECT count(*) FILTER (user_id = {HOT_USER}) * 1.0 / count(*) "
+         f"FROM '{OUT}/events.parquet'", "hot-user share"),
+        (f"SELECT count(*) FILTER (o_custkey = 1 + 5 * CAST({OFF} AS BIGINT)) "
+         f"* 1.0 / count(*) FROM '{OUT}/orders.parquet'",
+         "mega-customer order share"),
         (f"SELECT count(*) FILTER (source = 'megadomain') FROM "
          f"'{OUT}/documents.parquet'", "megadomain docs"),
         (f"SELECT count(*) FILTER (text LIKE '%boilerplate footer%') "
