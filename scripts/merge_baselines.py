@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Fold a warm full-suite BENCH_SUMMARY into BASELINE_QUERIES.json by
+per-key MIN (the record only ever tightens): the baseline file is the
+regression gate's reference, so it must hold the best time each key
+has demonstrated under the warm-suite protocol — solo runs are +-50%
+noisy and must never be merged (see the A/B protocol note in the
+repo memory/VERDICT history).
+
+Keys present only in the summary are added; keys that vanished from
+the suite are dropped (the gate would otherwise flag forever against
+a retired spelling); keys whose IMPLEMENTATION changed this round
+must be passed via --reset so their baseline is REPLACED, not
+min-merged — the protocol's rule is that every recorded min is
+attainable by the code it gates, and a retired implementation's min
+is not. Usage:
+  python3 scripts/merge_baselines.py <BENCH_SUMMARY.json> \
+      [--reset k1,k2,...] [note]
+"""
+import json
+import sys
+
+args = sys.argv[1:]
+RESET = set()
+if "--reset" in args:
+    i = args.index("--reset")
+    RESET = set(args[i + 1].split(","))
+    args = args[:i] + args[i + 2:]
+SUMMARY = args[0]
+NOTE = args[1] if len(args) > 1 else None
+BASE = "/root/repo/BASELINE_QUERIES.json"
+
+
+def main():
+    s = json.load(open(SUMMARY))
+    b = json.load(open(BASE))
+    if s.get("sf") != b.get("sf"):
+        sys.exit(f"sf mismatch: summary {s.get('sf')} vs base {b.get('sf')}")
+    old = b["queries"]
+    new = s["queries"]
+    merged = {k: (new[k] if k in RESET or k not in old
+                  else min(old[k], new[k]))
+              for k in sorted(new)}
+    dropped = sorted(set(old) - set(new))
+    tightened = sorted(k for k in merged
+                       if k in old and merged[k] < old[k] - 1e-9)
+    b["queries"] = merged
+    b["total"] = round(sum(merged.values()), 3)
+    if NOTE:
+        b["note"] = NOTE
+    json.dump(b, open(BASE, "w"), indent=1)
+    print(f"merged {len(new)} keys: {len(tightened)} tightened, "
+          f"{len(dropped)} dropped ({dropped}), total={b['total']}")
+
+
+if __name__ == "__main__":
+    main()
