@@ -383,6 +383,47 @@ class IngestSpec extends SparkSpecBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("stats planning holds at metadata scale: a 100k-file sidecar " +
+      "plans in ONE job and the driver receives only qualifying rels") {
+    import spark.implicits._
+    import graft.sources.IngestOps
+    val tmp = IngestOps.tmp("mega_sidecar")
+    // synthetic per-file stats at the 100 TB file count's order of
+    // magnitude: file i covers the value band [i, i+1)
+    spark.range(100000).select(
+      concat(lit("part-"), lpad($"id".cast("string"), 6, "0"),
+        lit(".parquet")).as("rel"),
+      lit(1000L).as("n_rows"),
+      lit(1).cast("int").as("min_day"), lit(30).cast("int").as("max_day"),
+      $"id".cast("double").as("min_value"),
+      ($"id" + 1).cast("double").as("max_value"),
+      lit(0L).as("n_null_value"))
+      .write.mode("overwrite")
+      .parquet(s"$tmp/metadata/files.stats.parquet")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (hits, total) =
+        IngestOps.statsQualifyingFiles(spark, tmp, 500.5, 503.5)
+      org.apache.spark.GraftListenerBridge
+        .waitUntilEmpty(spark.sparkContext)
+      assert(total == 100000)
+      // bands overlapping [500.5, 503.5]: i in 500..503 — exact
+      assert(hits.map(_.split("/").last) ==
+        (500 to 503).map(i => f"part-$i%06d.parquet"),
+        s"got ${hits.size} hits: ${hits.take(5)}")
+      // one scan job plans the whole 100k-file manifest — the explicit
+      // sidecar schema means no inference job, and the total count
+      // rides the qualify pass instead of a second action
+      assert(jobs.get() == 1, s"planning cost ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("manifest_stats answers from metadata only — its plan reads no " +
       "data files") {
     // layout is built (a write-time cost); the QUERY plan itself must
