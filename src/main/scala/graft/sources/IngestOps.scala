@@ -1622,25 +1622,34 @@ object IngestOps {
     * 64 KiB covers the largest SF's ~3.4k rows/file with fpp ≈ 1e-4. */
   private[graft] def bloomSidecar(spark: SparkSession, dir: String,
       root: String): String = {
-    import spark.implicits._
     val out = sharedFor(spark, "events_blooms_v3", dir)
     buildShared(spark, out,
       r => fsExists(spark, s"$r/blooms.parquet/_SUCCESS")) { tmpRoot =>
-      import org.apache.spark.sql.GraftBridge
-      import org.apache.spark.sql.catalyst.expressions.Literal
-      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-      val agg = new BloomFilterAggregate(
-        GraftBridge.eagerExpression(xxhash64($"event_id")),
-        Literal(10000L), Literal(64L * 1024 * 8))
-      spark.read.parquet(s"$root/data")
-        .select(regexp_extract(input_file_name(), "/data/(.*)$", 1)
-          .as("rel"), $"event_id")
-        .groupBy($"rel")
-        .agg(GraftBridge.column(agg.toAggregateExpression()).as("bf"))
-        .withColumn("crc", crc32($"bf"))
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$tmpRoot/blooms.parquet")
+      buildBloomSidecar(spark, s"$root/data", tmpRoot)
     }
+  }
+
+  /** The bloom sidecar BUILD: one distributed scan → per-file
+    * BloomFilterAggregate → (rel, bf, crc32) parquet write. Exposed so
+    * IngestSpec can drive a build against scratch data and pin that no
+    * sketch ever rides a task result to the driver. */
+  private[graft] def buildBloomSidecar(spark: SparkSession,
+      dataRoot: String, outRoot: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = new BloomFilterAggregate(
+      GraftBridge.eagerExpression(xxhash64($"event_id")),
+      Literal(10000L), Literal(64L * 1024 * 8))
+    spark.read.parquet(dataRoot)
+      .select(regexp_extract(input_file_name(), "/data/(.*)$", 1)
+        .as("rel"), $"event_id")
+      .groupBy($"rel")
+      .agg(GraftBridge.column(agg.toAggregateExpression()).as("bf"))
+      .withColumn("crc", crc32($"bf"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$outRoot/blooms.parquet")
   }
 
   /** Files whose bloom MIGHT contain any of `keys` (+ the total count).

@@ -380,6 +380,21 @@ class IngestSpec extends SparkSpecBase {
         s"driver received ${resultBytes.get()} bytes against " +
           s"$payloadBytes payload bytes — sidecar payloads are " +
           "reaching the driver")
+      // the BUILD must hold the same contract (the old form collected
+      // every bitmap before writing — ~50 GiB of driver heap at 800k
+      // files): rebuild against scratch data and re-read the window
+      val buildOut = IngestOps.tmp("bloom_build_probe")
+      resultBytes.set(0)
+      IngestOps.buildBloomSidecar(spark, s"$root/data", buildOut)
+      org.apache.spark.GraftListenerBridge
+        .waitUntilEmpty(spark.sparkContext)
+      val builtBytes = spark.read.parquet(s"$buildOut/blooms.parquet")
+        .agg(sum(length($"bf"))).head.getLong(0)
+      assert(builtBytes > 500000, s"build produced $builtBytes bytes")
+      assert(resultBytes.get() < builtBytes / 2,
+        s"driver received ${resultBytes.get()} bytes during a build " +
+          s"of $builtBytes payload bytes — the build is collecting " +
+          "sketches")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
