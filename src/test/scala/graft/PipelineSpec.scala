@@ -432,6 +432,45 @@ class PipelineSpec extends SparkSpecBase {
       s"mega-key survivor set $megaSurv outside [$k, ${6 * k}]")
   }
 
+  test("packGroupsChunked law (randomized): for arbitrary group-size " +
+      "profiles and chunk targets, re-exploded chunks equal the " +
+      "single-array packing and every chunk stays bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(42)
+    (1 to 3).foreach { round =>
+      val chunkTarget = Seq(64, 256, 1024)(round - 1)
+      // 8 keys with sizes spanning sub-target to many-chunk
+      val sizes = (0 until 8).map(_ => 1 + rng.nextInt(5000))
+      val rows = sizes.zipWithIndex.map { case (n, i) =>
+        spark.range(i * 100000, i * 100000 + n)
+          .select(lit(s"k$i").as("grp"),
+            struct($"id", ($"id" % 31).as("v")).as("pay"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val packed = operators.Filters
+        .packGroupsChunked(rows, "grp", $"pay", chunkTarget).collect()
+      val byKey = packed.groupBy(_.getString(0))
+      sizes.zipWithIndex.foreach { case (n, i) =>
+        val chunks = byKey(s"k$i")
+        val expectMax = math.max(1, math.ceil(n.toDouble / chunkTarget).toInt)
+        assert(chunks.length >= 1 && chunks.length <= expectMax,
+          s"k$i (n=$n, target=$chunkTarget): ${chunks.length} chunks")
+        chunks.foreach(c => assert(c.getSeq[Any](2).size <= 3 * chunkTarget,
+          s"k$i chunk ${c.getLong(1)} holds ${c.getSeq[Any](2).size}"))
+        assert(chunks.map(_.getSeq[Any](2).size).sum == n,
+          s"k$i lost rows across chunks")
+      }
+      val naive = rows.groupBy($"grp")
+        .agg(sort_array(collect_list($"pay")).as("items")).collect()
+        .map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+      byKey.foreach { case (key, chunks) =>
+        assert(chunks.flatMap(_.getSeq[Any](2)).sortBy(_.toString).toSeq ==
+          naive(key).sortBy(_.toString).toSeq,
+          s"round $round: chunked content diverged for $key")
+      }
+    }
+  }
+
   test("packGroupsChunked bounds every task's buffer at the chunk and " +
       "re-explodes to exactly the single-array packing on a 100k-row " +
       "mega-group") {
