@@ -104,19 +104,21 @@ object IngestOps {
     // return stale files. Only the write-once shared() namespace enters.
     require(!root.contains("/jvm-"),
       s"readSharedTable is for immutable shared layouts, got scratch: $root")
-    relationCache.computeIfAbsent(
-      (org.apache.spark.sql.GraftBridge.sessionId(spark), root), _ => {
-        // piggybacked eviction: a stopped session's entries are dead
-        // weight (its DataFrames are unusable) — sweep them on the
-        // slow path only, so the hot cached-read path stays lock-free
-        val it = relationCache.keySet().iterator()
-        while (it.hasNext) {
-          val k = it.next()
-          val df = relationCache.get(k)
-          if (df != null && df.sparkSession.sparkContext.isStopped) it.remove()
-        }
-        spark.read.parquet(root)
-      })
+    val key = (org.apache.spark.sql.GraftBridge.sessionId(spark), root)
+    // piggybacked eviction on the MISS path only (the hot cached-read
+    // path stays lock-free): a stopped session's entries are dead
+    // weight (its DataFrames are unusable). The sweep runs BEFORE
+    // computeIfAbsent — ConcurrentHashMap forbids mutating other
+    // mappings from inside a mapping function (same-bin deadlock).
+    if (!relationCache.containsKey(key)) {
+      val it = relationCache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        val df = relationCache.get(k)
+        if (df != null && df.sparkSession.sparkContext.isStopped) it.remove()
+      }
+    }
+    relationCache.computeIfAbsent(key, _ => spark.read.parquet(root))
   }
 
   private[graft] def fsExists(spark: SparkSession, path: String): Boolean = {
