@@ -37,6 +37,12 @@ def main():
         sys.exit(f"sf mismatch: summary {s.get('sf')} vs base {b.get('sf')}")
     old = b["queries"]
     new = s["queries"]
+    # a typo'd --reset key would silently min-merge the key it was
+    # meant to replace, pinning a retired implementation's unattainable
+    # minimum — refuse instead
+    unknown = sorted(RESET - set(new))
+    if unknown:
+        sys.exit(f"--reset keys not in the summary: {unknown}")
     merged = {k: (new[k] if k in RESET or k not in old
                   else min(old[k], new[k]))
               for k in sorted(new)}

@@ -12,12 +12,18 @@
 #
 # Hand-written sections (protocol ladder, provenance) are appended by
 # the operator afterwards. Usage: scripts/round_proofs.sh
-set -e
+set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
 SF01="${SF01:-/root/testdata/sf0.1}"
 SF1="$REPO/target/sf1"
 SKEW="$REPO/target/sfskew"
+
+# the proofs MUST run the revision being proven: run.sh execs java
+# straight off target/scala-2.13/classes, so compile first (and never
+# compile again while the ladder's JVMs are live — zinc deletes class
+# files mid-run)
+sbt -batch compile
 
 [ -f "$SF1/events.parquet" ] || python3 scripts/gen_sf1.py "$SF01" "$SF1" 10
 [ -f "$SKEW/events.parquet" ] || \
@@ -29,13 +35,18 @@ SKEW="$REPO/target/sfskew"
 # gate (it only engages when the sf matches).
 bench() {
   local out="$REPO/$1" sfd="$2" cpus="$3" opts="${4:-}"
-  mkdir -p "$out"
+  # fresh output dir per leg: with pipefail a crashed bench stops the
+  # ladder, and a clean dir guarantees no stale BENCH_SUMMARY.json
+  # from a previous proof run can masquerade as this revision's
+  rm -rf "$out" && mkdir -p "$out"
   cp "$REPO/BASELINE_QUERIES.json" "$out/" 2>/dev/null || true
   echo "=== bench $1 (sf=$sfd cpus=$cpus mem=${SPARK_DRIVER_MEM:-8g}" \
        "opts=$opts) ==="
   SPARK_GRAFT_REPO="$out" SPARK_GRAFT_SF_DIR="$sfd" \
     SPARK_GRAFT_CPUS="$cpus" SPARK_GRAFT_JAVA_OPTS="$opts" \
     scripts/run.sh graft.Bench | tail -1
+  [ -f "$out/BENCH_SUMMARY.json" ] || {
+    echo "bench $1 produced no BENCH_SUMMARY.json" >&2; exit 1; }
 }
 
 bench target/proof_sf01 "$SF01" 32

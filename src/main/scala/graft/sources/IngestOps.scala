@@ -782,16 +782,26 @@ object IngestOps {
 
   /** The stats sidecar as a DataFrame — the planning surface.
     * Qualifying-file planners filter/join THIS instead of parsing
-    * driver-side text; absent sidecar reads as empty. Page-checksum
-    * verification is forced on: pruning metadata must fail loudly when
-    * damaged, never silently shrink a file list. */
+    * driver-side text. An ABSENT sidecar throws: every stats-bearing
+    * layout's completeness gate includes the sidecar's _SUCCESS
+    * marker, so a missing dataset at plan time is damage (a partial
+    * cleanup, a botched copy) — treating it as empty would plan ZERO
+    * files and silently return empty results, the exact wrong-results
+    * mode the CRC/page-checksum posture exists to prevent. (The
+    * tolerant reader for possibly-pre-stats tables is
+    * [[readStatsManifest]], whose DSv2 consumers surface absence as
+    * NULL stats columns, not as an empty file list.) Page-checksum
+    * verification is forced on: pruning metadata must fail loudly
+    * when damaged, never silently shrink a file list. */
   private[graft] def statsManifest(spark: SparkSession, root: String,
       name: String): org.apache.spark.sql.DataFrame = {
     val path = s"$root/metadata/$name.parquet"
     if (!fsExists(spark, path))
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), statsSchema)
-    else spark.read.schema(statsSchema)
+      throw new IllegalStateException(
+        s"stats sidecar missing at $path — the layout gate requires " +
+          "it, so planning from 'no stats' would silently prune " +
+          "every file; rebuild the layout")
+    spark.read.schema(statsSchema)
       .option("parquet.page.verify-checksum.enabled", "true")
       .parquet(path)
   }
@@ -1493,8 +1503,9 @@ object IngestOps {
     * listing, no footer reads): exactly Iceberg's metrics-based planFiles
     * (`aig/TimeBasedPartitioningExamples.java:180-195` one level below
     * directory pruning). The overlap predicate runs as a SCAN of the
-    * sidecar dataset; only the qualifying rel paths reach the driver
-    * (the list a scan needs anyway), never the stats rows — a null
+    * sidecar dataset; the driver receives one (rel, verdict) row per
+    * file — the file LIST a planner materializes anyway (Iceberg's
+    * planFiles does the same) — but never a stats payload. A null
     * bound (all-NULL file) fails the range predicate and is excluded,
     * exactly the old NaN semantics. Shared with IngestSpec's
     * never-opened proof. */

@@ -343,6 +343,15 @@ class IngestSpec extends SparkSpecBase {
     assertThrows[Exception] {
       IngestOps.statsManifest(spark, statsTmp, "files.stats").collect()
     }
+    // an ABSENT sidecar must also fail the plan (gates guarantee its
+    // presence, so absence is damage) — an empty default would plan
+    // zero files and return silently-empty results
+    val e2 = intercept[IllegalStateException] {
+      IngestOps.statsManifest(spark,
+        java.nio.file.Files.createTempDirectory("no_sidecar").toString,
+        "files.stats")
+    }
+    assert(e2.getMessage.contains("sidecar missing"), e2.getMessage)
   }
 
   test("sidecar planning never materializes payloads on the driver: " +
