@@ -441,16 +441,21 @@ object PipelineOps {
 
   /** `domain_mix` — per-language sampling weights to hit a target mixture
     * (uniform 20 % per language here): weight = target_share /
-    * actual_share. One aggregation + a window total; the weights feed a
-    * weighted sampler (`sample_stratified`'s hash with per-stratum rates)
-    * in a real pipeline. */
+    * actual_share. One aggregation, then the corpus total rides a
+    * 1-row broadcast crossJoin (the [[RetrievalOps]] stats-row pattern)
+    * instead of an unpartitioned window — same |langs|-row input either
+    * way, but the broadcast form neither triggers Spark's
+    * single-partition WindowExec warning nor serializes the group rows
+    * through one task; the weights feed a weighted sampler
+    * (`sample_stratified`'s hash with per-stratum rates) in a real
+    * pipeline. */
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    Tables.documents(spark, dir)
+    val counts = Tables.documents(spark, dir)
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("total", sum($"n_docs").over(all))
+    val total = counts.agg(sum($"n_docs").as("total"))
+    counts.crossJoin(broadcast(total))
       .select($"lang", $"n_docs",
         round($"n_docs".cast("double") / $"total".cast("double"), 6)
           .as("share"),
