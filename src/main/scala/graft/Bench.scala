@@ -26,6 +26,18 @@ object Bench {
     }
   } catch { case _: Throwable => Map.empty }
 
+  /** The baseline record's free-text adjudication note (e.g. which
+    * keys were reset and why, which flags were adjudicated noise),
+    * surfaced into BENCH_SUMMARY.json so the round artifact carries
+    * the protocol decision alongside the numbers it explains. */
+  private def readBaselineNote(repoRoot: String): Option[String] = try {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$repoRoot/BASELINE_QUERIES.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    """"note"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(
+      _.group(1).replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(600))
+  } catch { case _: Throwable => None }
+
   /** Locale-pinned %.3f: the f-interpolator formats with the JVM
     * default locale, and a comma decimal ("1,003") corrupts both the
     * stdout summary and BENCH_SUMMARY.json into unparseable JSON. */
@@ -290,9 +302,11 @@ object Bench {
     val repassJson = if (repassRatio.isNaN) "null" else num3(repassRatio)
     val spillJson = spills.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
+    val noteJson = readBaselineNote(repoRoot)
+      .map(n => s""""$n"""").getOrElse("null")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$repoRoot/BENCH_SUMMARY.json"),
-      s"""{"total":$total,"n_queries":${results.size},"cpus":"$cpus","setup_sec":$setupSec,"setup_detail":$setupDetailJson,"wall_sec":$wallSec,"samples_per_query":2,"floor_sec":${num3(floorSec)},"total_above_floor":${num3(totalAboveFloor)},"contention_index":$ciJson,"canary_ratios":${canaryRatios.map(num3).mkString("[", ",", "]")},"flagged_first_pass":$flaggedJson,"repass_canary_ratio":$repassJson,"repass_gate_scale":$repassGateScale,"repass_wait_sec":$repassWaitSec,"spill_bytes":$spillJson,"prewarm_failures":$prewarmJson,"errors":$errJson,"regressions":$regJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"total":$total,"n_queries":${results.size},"cpus":"$cpus","setup_sec":$setupSec,"setup_detail":$setupDetailJson,"wall_sec":$wallSec,"samples_per_query":2,"floor_sec":${num3(floorSec)},"total_above_floor":${num3(totalAboveFloor)},"contention_index":$ciJson,"canary_ratios":${canaryRatios.map(num3).mkString("[", ",", "]")},"flagged_first_pass":$flaggedJson,"repass_canary_ratio":$repassJson,"repass_gate_scale":$repassGateScale,"repass_wait_sec":$repassWaitSec,"spill_bytes":$spillJson,"prewarm_failures":$prewarmJson,"errors":$errJson,"regressions":$regJson,"baseline_note":$noteJson,"queries":$qs,"sf":"$sfDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
