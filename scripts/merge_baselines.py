@@ -53,6 +53,10 @@ def main():
     b["total"] = round(sum(merged.values()), 3)
     if NOTE:
         b["note"] = NOTE
+    elif b.pop("note", None) is not None:
+        # a carried-forward note would describe a STALE round's
+        # adjudication next to freshly merged numbers — drop it and say so
+        print("note: previous round's note dropped (none supplied)")
     json.dump(b, open(BASE, "w"), indent=1)
     print(f"merged {len(new)} keys: {len(tightened)} tightened, "
           f"{len(dropped)} dropped ({dropped}), total={b['total']}")

@@ -30,12 +30,22 @@ object Bench {
     * keys were reset and why, which flags were adjudicated noise),
     * surfaced into BENCH_SUMMARY.json so the round artifact carries
     * the protocol decision alongside the numbers it explains. */
-  private def readBaselineNote(repoRoot: String): Option[String] = try {
-    val txt = new String(java.nio.file.Files.readAllBytes(
+  private def readBaselineNote(repoRoot: String): Option[String] =
+    readBaselineNoteFrom(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$repoRoot/BASELINE_QUERIES.json")),
-      java.nio.charset.StandardCharsets.UTF_8)
-    """"note"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(
-      _.group(1).replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(600))
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Extract the TOP-LEVEL "note" field: the nested "queries" object
+    * (the only sub-object, and the only place an arbitrary key — e.g.
+    * a query literally named note — could live) is stripped before
+    * matching, and the value pattern steps over escaped characters so
+    * an embedded \" doesn't truncate the note mid-sentence. Pure so
+    * BenchGateSpec can pin both hazards. */
+  private[graft] def readBaselineNoteFrom(txt: String): Option[String] = try {
+    val topLevel = """"queries"\s*:\s*\{[^}]*\}""".r.replaceAllIn(txt, "")
+    """"note"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(topLevel).map(
+      _.group(1).replaceAll("""\\(["\\/])""", "$1")
+        .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(600))
   } catch { case _: Throwable => None }
 
   /** Locale-pinned %.3f: the f-interpolator formats with the JVM
@@ -274,7 +284,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (timed.nonEmpty) timed.values.sum else 0.0
     // the suite's work beyond the per-query scheduling floor: at ~0.1 s
-    // floor × 222 keys the floor is tens of seconds of any total, so
+    // floor × ~220 keys the floor is tens of seconds of any total, so
     // round-over-round comparisons of CODE should difference this
     val totalAboveFloor = math.max(0.0, total - floorSec * timed.size)
     val regJson = regressions.map { case (k, (b, n)) =>

@@ -1665,6 +1665,20 @@ object IngestOps {
       .parquet(s"$outRoot/blooms.parquet")
   }
 
+  /** Bloom-sidecar dataset schema, pinned like [[statsSchema]]: a
+    * schema'd read skips the inference footer pass (one fewer job on
+    * the ~0.15 s/job scheduling floor the planner path budgets), and a
+    * writer-side type drift (e.g. crc written as int) fails as a clear
+    * parquet/schema error instead of an opaque encoder cast inside
+    * `.as[(String, Array[Byte], Long)]`. */
+  private[graft] val bloomSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("rel",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("bf",
+      org.apache.spark.sql.types.BinaryType, nullable = false),
+    org.apache.spark.sql.types.StructField("crc",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
   /** Files whose bloom MIGHT contain any of `keys` (+ the total count).
     * The probe SCANS the sidecar dataset: each executor verifies its
     * rows' CRC32s, deserializes, and probes — only the qualifying rel
@@ -1682,7 +1696,7 @@ object IngestOps {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val hashes = keys.map(k =>
       new XxHash64(Seq(Literal(k))).eval(null).asInstanceOf[Long])
-    val m = spark.read.parquet(s"$sidecar/blooms.parquet")
+    val m = spark.read.schema(bloomSchema).parquet(s"$sidecar/blooms.parquet")
     // ONE pass emitting (rel, qualifies) per file — strings and
     // booleans to the driver, never a bitmap; total = rows returned
     val verdicts = m.select($"rel", $"bf", $"crc")

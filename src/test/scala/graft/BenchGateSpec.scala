@@ -51,4 +51,18 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.median(Seq(4, 1, 2, 3).map(_.toDouble)) == 2.5)
     assert(Bench.median(Nil).isNaN)
   }
+
+  test("baseline note: a query literally named note cannot shadow the " +
+      "top-level field") {
+    val txt = """{"total":1.0,"queries":{"note":0.123,"q1":0.5},""" +
+      """"note":"the real adjudication","sf":"/x"}"""
+    assert(Bench.readBaselineNoteFrom(txt).contains("the real adjudication"))
+  }
+
+  test("baseline note: an escaped quote does not truncate the note " +
+      "mid-sentence") {
+    val txt = """{"queries":{"q1":0.5},"note":"reset \"q1\" after rewrite","sf":"/x"}"""
+    val n = Bench.readBaselineNoteFrom(txt).get
+    assert(n.contains("after rewrite"), s"truncated: '$n'")
+  }
 }
