@@ -8,7 +8,7 @@
 #   1. corpora: target/sf1 (uniform 10x), target/sfskew (zipfian 10x)
 #   2. benches: sf0.1, sf1, sfskew, sf1@2g heap, sf1@2g starved 8thr
 #   3. reports: scaling (OVERWRITES SCALING.md), skew, memory
-#   4. oracle:  scripts/sf1_oracle.sh — ALL 222 keys vs DuckDB at sf1
+#   4. oracle:  scripts/sf1_oracle.sh — ALL registered keys vs DuckDB at sf1
 #
 # Hand-written sections (protocol ladder, provenance) are appended by
 # the operator afterwards. Usage: scripts/round_proofs.sh

@@ -464,6 +464,45 @@ object PipelineOps {
       .orderBy($"lang")
   }
 
+  /** `sample_temperature` — temperature-scaled domain rebalancing, the
+    * multilingual-mix standard (sample language l ∝ n_l^α): keep-rates
+    * flatten the head toward uniform, anchored at the largest language
+    * so nothing upsamples — rate(l) = sqrt(n_l / n_max), i.e. α = 0.5.
+    * sqrt (unlike pow(x, 0.3) — libm and the JVM disagree in ULPs) is
+    * IEEE-correctly-rounded in both engines, and the rate snaps to
+    * integer ppm so the per-row keep decision is exact integer
+    * arithmetic: kept = (doc_id·K) mod 1e6 < rate_ppm, the same
+    * deterministic hash sampler as [[sampleStratified]] — re-runs and
+    * cluster resizes cannot move a row in or out. Scale: one
+    * |langs|-row aggregate, a 1-row broadcast max, a broadcast join of
+    * the |langs|-row rate table back onto the scan, and a narrow
+    * codegen'd filter — nothing row-scale shuffles except the audit
+    * count. */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // lazy lineage cut: the |langs|-row counts feed BOTH the max and the
+    // rate join — without it Catalyst re-inlines the corpus aggregation
+    // under each consumer and the lang column scans twice (set-sized
+    // duplication, the cut-worthy kind)
+    val counts = Tables.documents(spark, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(false)
+    val head = counts.agg(max($"n_docs").as("n_max"))
+    val rates = counts.crossJoin(broadcast(head))
+      .select($"lang", $"n_docs",
+        round(lit(1e6) * sqrt($"n_docs".cast("double") /
+          $"n_max".cast("double"))).cast("long").as("rate_ppm"))
+    Tables.documents(spark, dir).select($"lang", $"doc_id")
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("kept",
+        (hashBucket($"doc_id", 2654435761L, 1000000L) < $"rate_ppm")
+          .cast("long"))
+      .groupBy($"lang")
+      .agg(first($"n_docs").as("n_docs"), first($"rate_ppm").as("rate_ppm"),
+        sum($"kept").as("n_kept"))
+      .orderBy($"lang")
+  }
+
   /** `pack_sequences` — deterministic sequence packing: assign each doc
     * to a fixed 2048-token training window by its cumulative token
     * offset within its (lang, shard) stream (window id =
@@ -1019,6 +1058,7 @@ object PipelineOps {
     "dedup_resolve" -> (dedupResolve _),
     "shuffle_epoch" -> (shuffleEpoch _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_temperature" -> (sampleTemperature _),
     "sample_cap_per_key" -> (sampleCapPerKey _),
     "split_train_test" -> (splitTrainTest _),
     "domain_mix" -> (domainMix _),
@@ -1280,6 +1320,21 @@ object PipelineOps {
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM ranked WHERE rk <= 100
         |GROUP BY source ORDER BY source""".stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |m AS (SELECT MAX(n_docs) AS n_max FROM c),
+        |r AS (
+        |  SELECT lang, n_docs,
+        |    CAST(round(1000000 * sqrt(CAST(n_docs AS DOUBLE) /
+        |      CAST(n_max AS DOUBLE))) AS BIGINT) AS rate_ppm
+        |  FROM c, m)
+        |SELECT d.lang, r.n_docs, r.rate_ppm,
+        |  CAST(SUM(CASE WHEN (d.doc_id * 2654435761) % 1000000 <
+        |    r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |GROUP BY d.lang, r.n_docs, r.rate_ppm
+        |ORDER BY d.lang""".stripMargin,
     "sample_stratified" ->
       """SELECT lang, COUNT(*) AS n_total,
         |  CAST(SUM(CASE WHEN (doc_id * 2654435761) % 1000 <

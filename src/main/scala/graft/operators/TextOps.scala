@@ -280,7 +280,36 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** `bpe_top_pairs` — the BPE-training kernel, distributed: the corpus
+    * first compresses to a (word, count) table (the classic
+    * tokenizer-training trick — pair statistics over DISTINCT words
+    * weighted by frequency, never over raw text, so a 100 TB corpus
+    * becomes a |vocab|-row problem after one shuffle), then each word
+    * emits its adjacent character pairs as a per-row expression and a
+    * second shuffle sums pair counts; the top-20 ride a TakeOrdered,
+    * never a full sort. This is one iteration of the merge loop — a
+    * production vocab build re-applies the winning merge to the (tiny,
+    * broadcast) word table and repeats, each round touching |vocab|
+    * rows, not the corpus. Counting is exact integer arithmetic end to
+    * end, so the DuckDB twin hash-matches with no float contract. */
+  def bpeTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      // sequence(1, len-1) on a 1-char word would be sequence(1, 0) —
+      // a BACKWARDS range in Spark, not an empty one
+      .filter(length($"w") >= 2)
+    words
+      .select(explode(transform(
+        sequence(lit(1), length($"w") - 1),
+        i => $"w".substr(i, lit(2)))).as("pair"), $"n")
+      .groupBy($"pair").agg(sum($"n").as("n_occurrences"))
+      .orderBy($"n_occurrences".desc, $"pair").limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_top_pairs" -> (bpeTopPairs _),
     "text_html_strip" -> (textHtmlStrip _),
     "text_rarity" -> (textRarity _),
     "text_stats" -> (textStats _),
@@ -302,6 +331,17 @@ object TextOps {
   private val TOKS = toksSql("text")
 
   val oracles: Map[String, String] = Map(
+    "bpe_top_pairs" ->
+      s"""WITH toks AS (SELECT unnest($TOKS) AS w FROM documents),
+         |w AS (
+         |  SELECT w, COUNT(*) AS n FROM toks
+         |  WHERE len(w) >= 2 GROUP BY w),
+         |p AS (
+         |  SELECT substr(w, i::INT, 2) AS pair, n
+         |  FROM w, UNNEST(range(1, len(w))) AS r(i))
+         |SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+         |FROM p GROUP BY pair
+         |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin,
     "text_chunk" ->
       s"""WITH d AS (
          |  SELECT doc_id, $TOKS AS t FROM documents),

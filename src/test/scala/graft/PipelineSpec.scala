@@ -521,4 +521,33 @@ class PipelineSpec extends SparkSpecBase {
         s"chunked content diverged for $key")
     }
   }
+
+  test("sample_temperature: the head language keeps everything, rates " +
+      "are monotone in corpus size, and the per-row hash decision " +
+      "replays exactly") {
+    val rows = PipelineOps.sampleTemperature(spark, sf).collect()
+    val byN = rows.sortBy(_.getLong(1))
+    assert(byN.last.getLong(2) == 1000000L,
+      "largest language must keep rate 1.0 — temperature flattening " +
+        "never upsamples")
+    val rates = byN.map(_.getLong(2))
+    assert(rates.zip(rates.tail).forall { case (a, b) => a <= b },
+      s"rates not monotone in n_docs: ${byN.mkString(", ")}")
+    // exact driver replay of the rate derivation and the hash sampler
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = docs.groupBy(_._1).map { case (l, xs) => l -> xs.length.toLong }
+    val nMax = n.values.max
+    val ppm = n.map { case (l, c) =>
+      l -> math.round(1e6 * math.sqrt(c.toDouble / nMax)) }
+    val kept = docs.groupBy(_._1).map { case (l, xs) =>
+      l -> xs.count { case (_, id) =>
+        java.lang.Math.floorMod(id * 2654435761L, 1000000L) < ppm(l) }.toLong }
+    rows.foreach { r =>
+      val l = r.getString(0)
+      assert(r.getLong(1) == n(l) && r.getLong(2) == ppm(l) &&
+        r.getLong(3) == kept(l), s"$l: $r vs (${n(l)}, ${ppm(l)}, ${kept(l)})")
+    }
+  }
 }

@@ -69,4 +69,20 @@ class TextSpec extends SparkSpecBase {
       assert(ok == (nToks >= 5 && nToks <= 1000 && punct < 0.2))
     }
   }
+
+  test("bpe_top_pairs: matches a driver-side brute-force recount, " +
+      "ordered by count desc then pair") {
+    val got = TextOps.bpeTopPairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- texts; w <- t.split(" ") if w.length >= 2;
+         i <- 0 until w.length - 1) {
+      val p = w.substring(i, i + 2)
+      counts(p) = counts.getOrElse(p, 0L) + 1L
+    }
+    val want = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    assert(got == want, s"got $got\nwant $want")
+  }
 }
