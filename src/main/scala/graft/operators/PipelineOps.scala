@@ -593,6 +593,51 @@ object PipelineOps {
       .orderBy($"bucket")
   }
 
+  /** `length_band_filter` — data-derived length filtering (the C4/Gopher
+    * curation stage, but with EXACT order statistics instead of fixed
+    * constants): keep documents whose whitespace-token count lies in the
+    * corpus's [p5, p95] band, where the percentiles are true discrete
+    * order statistics — the smallest length whose cumulative doc count
+    * reaches ceil(q·N) — so both engines compute them with integer
+    * arithmetic only (interpolating percentile_cont would put a
+    * libm-shaped float contract between the engines). The cumulative
+    * walk runs over the LENGTH HISTOGRAM, not the corpus: distinct
+    * token counts are bounded by the longest document, not by corpus
+    * size, so the global window here is histogram-sized by construction
+    * (the bounded-global-window class PLANS.md audits). Scale: one
+    * corpus pass for the histogram, a histogram-sized window, a 1-row
+    * bounds broadcast back onto the scan, and a per-lang audit
+    * aggregate. */
+  def lengthBandFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nToks = size(TextOps.tokens($"text")).cast("long")
+    val d = Tables.documents(spark, dir)
+      .select($"lang", nToks.as("n_tokens"))
+    val hist = d.groupBy($"n_tokens").agg(count(lit(1)).as("c"))
+    val byLen = Window.orderBy($"n_tokens")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.orderBy($"n_tokens")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cw = hist.select($"n_tokens",
+      sum($"c").over(byLen).as("cum"), sum($"c").over(whole).as("total"))
+    // ceil(N/20) and ceil(19N/20) in pure integer math (div truncates
+    // toward zero — positive here, so it IS floor)
+    val bounds = cw.agg(
+      min(when($"cum" >= expr("(total + 19) div 20"), $"n_tokens"))
+        .as("lo_tokens"),
+      min(when($"cum" >= expr("(19 * total + 19) div 20"), $"n_tokens"))
+        .as("hi_tokens"))
+    d.crossJoin(broadcast(bounds))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(($"n_tokens" >= $"lo_tokens" && $"n_tokens" <= $"hi_tokens")
+          .cast("long")).as("n_kept"),
+        first($"lo_tokens").as("lo_tokens"),
+        first($"hi_tokens").as("hi_tokens"))
+      .orderBy($"lang")
+  }
+
   /** `embedding_normalize` — L2-normalize the embedding column (the step
     * before any cosine ANN so dot product = cosine). Pure per-row
     * expression math in float64 with sequential accumulation — the same
@@ -1059,6 +1104,7 @@ object PipelineOps {
     "shuffle_epoch" -> (shuffleEpoch _),
     "sample_stratified" -> (sampleStratified _),
     "sample_temperature" -> (sampleTemperature _),
+    "length_band_filter" -> (lengthBandFilter _),
     "sample_cap_per_key" -> (sampleCapPerKey _),
     "split_train_test" -> (splitTrainTest _),
     "domain_mix" -> (domainMix _),
@@ -1320,6 +1366,31 @@ object PipelineOps {
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM ranked WHERE rk <= 100
         |GROUP BY source ORDER BY source""".stripMargin,
+    "length_band_filter" ->
+      s"""WITH d AS (
+        |  SELECT lang, CAST(len(${TextOps.toksSql("text")}) AS BIGINT)
+        |    AS n_tokens FROM documents),
+        |h AS (SELECT n_tokens, COUNT(*) AS c FROM d GROUP BY n_tokens),
+        |cw AS (
+        |  SELECT n_tokens,
+        |    SUM(c) OVER (ORDER BY n_tokens
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER () AS total
+        |  FROM h),
+        |b AS (
+        |  SELECT
+        |    MIN(CASE WHEN cum >= (total + 19) // 20
+        |      THEN n_tokens END) AS lo_tokens,
+        |    MIN(CASE WHEN cum >= (19 * total + 19) // 20
+        |      THEN n_tokens END) AS hi_tokens
+        |  FROM cw)
+        |SELECT d.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN d.n_tokens BETWEEN b.lo_tokens AND
+        |    b.hi_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  b.lo_tokens, b.hi_tokens
+        |FROM d, b
+        |GROUP BY d.lang, b.lo_tokens, b.hi_tokens
+        |ORDER BY d.lang""".stripMargin,
     "sample_temperature" ->
       """WITH c AS (
         |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),

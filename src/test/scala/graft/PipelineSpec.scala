@@ -550,4 +550,31 @@ class PipelineSpec extends SparkSpecBase {
         r.getLong(3) == kept(l), s"$l: $r vs (${n(l)}, ${ppm(l)}, ${kept(l)})")
     }
   }
+
+  test("length_band_filter: the [p5, p95] bounds are the exact discrete " +
+      "order statistics and the per-lang audit replays exactly") {
+    val rows = PipelineOps.lengthBandFilter(spark, sf).collect()
+    val lens = graft.sources.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split(" ").count(_.nonEmpty).toLong))
+    val sorted = lens.map(_._2).sorted
+    val n = sorted.length.toLong
+    def kth(k: Long) = sorted((k - 1).toInt) // k-th smallest, 1-based
+    val lo = kth((n + 19) / 20)
+    val hi = kth((19 * n + 19) / 20)
+    rows.foreach { r =>
+      val l = r.getString(0)
+      val mine = lens.filter(_._1 == l)
+      assert(r.getLong(3) == lo && r.getLong(4) == hi,
+        s"bounds ${r.getLong(3)}..${r.getLong(4)} vs $lo..$hi")
+      assert(r.getLong(1) == mine.length.toLong)
+      assert(r.getLong(2) ==
+        mine.count(x => x._2 >= lo && x._2 <= hi).toLong)
+    }
+    // the band drops roughly a tenth of the corpus (5% each tail; ties
+    // can shift it, but the head can never be empty)
+    val kept = rows.map(_.getLong(2)).sum
+    assert(kept > 0 && kept <= n)
+  }
 }
