@@ -34,7 +34,7 @@ class RobustnessSpec extends SparkSpecBase {
   private val families = Seq("text_", "dedup_", "sim_", "embed_",
     "embedding_", "multimodal_", "token_", "pack_", "sample_", "split_",
     "shuffle_", "domain_", "contamination_", "curation_", "tf_",
-    "robust_")
+    "robust_", "bpe_", "length_")
 
   private def tierKeys: Seq[String] = SparkEntry.queries.keys.toSeq
     .filter(k => families.exists(k.startsWith)).sorted
