@@ -577,4 +577,17 @@ class PipelineSpec extends SparkSpecBase {
     val kept = rows.map(_.getLong(2)).sum
     assert(kept > 0 && kept <= n)
   }
+
+  test("sample_temperature plan: exactly one corpus scan — the counts " +
+      "subtree is checkpointed, never re-inlined under both consumers") {
+    val df = PipelineOps.sampleTemperature(spark, sf)
+    df.collect()
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.size == 1,
+      s"expected 1 parquet scan, found ${scans.size}: " +
+        scans.map(_.tableIdentifier).mkString(", "))
+    val names = planNodeNames(df.queryExecution.executedPlan)
+    assert(names.exists(_.contains("BroadcastHashJoin")),
+      s"rate table not broadcast: $names")
+  }
 }

@@ -21,6 +21,22 @@ trait SparkSpecBase extends AnyFunSuite {
     case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
     case other => other.children.flatMap(fileScans)
   }
+
+  /** Every physical node's simple class name, through the same AQE
+    * wrappers — the plan-shape pin the Retrieval/Similarity specs use,
+    * shared so new pins can't drift on the traversal. */
+  def planNodeNames(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[String] = {
+    def walk(q: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = q match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        s +: walk(s.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    walk(p).map(_.getClass.getSimpleName)
+  }
 }
 
 object SparkSpecBase {

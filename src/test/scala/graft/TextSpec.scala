@@ -85,4 +85,18 @@ class TextSpec extends SparkSpecBase {
     val want = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
     assert(got == want, s"got $got\nwant $want")
   }
+
+  test("bpe_top_pairs plan: word-table compression, then TakeOrdered " +
+      "— the top-20 never trigger a global sort") {
+    val df = TextOps.bpeTopPairs(spark, sf)
+    df.collect()
+    val names = planNodeNames(df.queryExecution.executedPlan)
+    assert(names.exists(_.contains("TakeOrderedAndProject")),
+      s"top-k not TakeOrdered: $names")
+    assert(!names.exists(_ == "SortExec"),
+      s"global sort in bpe plan: $names")
+    // exactly two shuffles: word counts, then pair counts
+    assert(names.count(_.contains("ShuffleExchange")) == 2,
+      s"shuffle count drifted: $names")
+  }
 }
