@@ -147,6 +147,44 @@ object StreamingOps {
       .orderBy($"hour_start", $"event_type"))
   }
 
+  /** `stream_session_agg` — SESSION windows in Structured Streaming: the
+    * stateful MERGING-window operator (fixed windows only append state;
+    * a session must merge two open sessions when a bridging event
+    * arrives, which is why it gets its own state-store format). Runs
+    * Spark's session_window over the file-source stream in complete
+    * mode, so the drained finite stream equals batch sessionization
+    * exactly. Probed over a different user slice (residue class, non-empty
+    * at every sf — sf0.001 only carries users 0-14) and a different gap
+    * than [[aggSessionWindow]], so the two keys' answers can't mask each
+    * other. At scale the state is bounded by open sessions per key, and
+    * the production form adds a watermark to age them out. */
+  def streamSessionAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val queryName = s"session_agg_${System.nanoTime()}"
+    val stream = Tables.normalizeTs(spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir))
+      .filter($"user_id" % 3 === 1)
+    val agg = stream
+      .groupBy(session_window($"ts", "20 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+    withoutNoDataBatches(spark) { withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      drain(q)
+    } }
+    releaseSink(spark, queryName)(spark.table(queryName)
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"n", $"sum_value")
+      .orderBy($"user_id", $"session_start"))
+  }
+
   /** `stream_join_dim` — STREAM-STATIC enrichment join, the production
     * shape every streaming pipeline runs (fact stream × slowly-changing
     * dimension): each micro-batch of the file-source stream joins the
@@ -803,6 +841,7 @@ object StreamingOps {
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_custom_state" -> (streamCustomState _),
     "stream_hourly_rollup" -> (streamHourlyRollup _),
+    "stream_session_agg" -> (streamSessionAgg _),
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "agg_session_window" -> (aggSessionWindow _))
@@ -903,6 +942,23 @@ object StreamingOps {
         |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |    THEN 1 ELSE 0 END AS new_session
         |  FROM events WHERE user_id < 50),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "stream_session_agg" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           > INTERVAL 20 MINUTE OR
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id % 3 = 1),
         |sessions AS (
         |  SELECT user_id, ts, value,
         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts

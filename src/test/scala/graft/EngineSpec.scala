@@ -228,6 +228,26 @@ class EngineSpec extends SparkSpecBase {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("streaming session windows equal the batch session_window " +
+      "aggregation exactly (merging state, complete-mode drain)") {
+    import spark.implicits._
+    val streamed = streaming.StreamingOps.streamSessionAgg(spark, sf)
+      .collect()
+    val batch = graft.sources.Tables.events(spark, sf)
+      .filter($"user_id" % 3 === 1)
+      .groupBy(session_window($"ts", "20 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"), operators.dsum($"value").as("sum_value"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"n", $"sum_value")
+      .orderBy($"user_id", $"session_start")
+      .collect()
+    assert(streamed.length == batch.length,
+      s"${streamed.length} streamed vs ${batch.length} batch sessions")
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+    // real sessionization happened: more than one session for some user
+    assert(streamed.map(_.getLong(0)).distinct.length < streamed.length)
+  }
+
   test("multimodal decode: schema, determinism, real byte parse") {
     import spark.implicits._
     val out = operators.MultimodalOps.multimodalDecode(spark, sf)
@@ -365,6 +385,6 @@ class EngineSpec extends SparkSpecBase {
       s"no-oracle: ${(qs -- os).toSeq.sorted}; " +
         s"oracle-only: ${(os -- qs).toSeq.sorted}")
     // the declared count in the section header can't drift either
-    assert(inventory.size == 225, s"inventory holds ${inventory.size}")
+    assert(inventory.size == 226, s"inventory holds ${inventory.size}")
   }
 }
