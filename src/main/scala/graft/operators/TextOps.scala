@@ -292,9 +292,17 @@ object TextOps {
     * broadcast) word table and repeats, each round touching |vocab|
     * rows, not the corpus. Counting is exact integer arithmetic end to
     * end, so the DuckDB twin hash-matches with no float contract. */
-  def bpeTopPairs(spark: SparkSession, dir: String): DataFrame = {
+  def bpeTopPairs(spark: SparkSession, dir: String): DataFrame =
+    bpePairCounts(Tables.documents(spark, dir))
+      .orderBy(col("n_occurrences").desc, col("pair")).limit(20)
+
+  /** The pair-count core over an arbitrary frame with a `text` column —
+    * split out so TextSpec can drive RANDOMIZED corpora through the
+    * exact distributed pipeline the key runs (full counts, no top-k). */
+  private[graft] def bpePairCounts(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val words = Tables.documents(spark, dir)
+    val words = docs
       .select(explode(tokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("n"))
       // sequence(1, len-1) on a 1-char word would be sequence(1, 0) —
@@ -305,7 +313,6 @@ object TextOps {
         sequence(lit(1), length($"w") - 1),
         i => $"w".substr(i, lit(2)))).as("pair"), $"n")
       .groupBy($"pair").agg(sum($"n").as("n_occurrences"))
-      .orderBy($"n_occurrences".desc, $"pair").limit(20)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -86,6 +86,31 @@ class TextSpec extends SparkSpecBase {
     assert(got == want, s"got $got\nwant $want")
   }
 
+  test("bpe pair counts: randomized law — the distributed pipeline " +
+      "equals brute force on arbitrary corpora (empties, 1-char words, " +
+      "repeated spaces, multibyte)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val alphabet = "abcß日"
+    def word() = (0 until rng.nextInt(7))
+      .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    (1 to 5).foreach { _ =>
+      val texts = (0 until 30).map { _ =>
+        val sep = if (rng.nextBoolean()) " " else "  "
+        (0 until rng.nextInt(12)).map(_ => word()).mkString(sep)
+      }
+      val got = TextOps.bpePairCounts(texts.toDF("text")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = scala.collection.mutable.Map.empty[String, Long]
+      for (t <- texts; w <- t.split(" ") if w.length >= 2;
+           i <- 0 until w.length - 1) {
+        val p = w.substring(i, i + 2)
+        want(p) = want.getOrElse(p, 0L) + 1L
+      }
+      assert(got == want.toMap, s"corpus ${texts.take(3)}...")
+    }
+  }
+
   test("bpe_top_pairs plan: word-table compression, then TakeOrdered " +
       "— the top-20 never trigger a global sort") {
     val df = TextOps.bpeTopPairs(spark, sf)
