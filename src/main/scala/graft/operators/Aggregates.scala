@@ -64,6 +64,29 @@ object Aggregates {
       .orderBy($"user_id")
   }
 
+  /** `agg_mode` — deterministic per-key MODE (most frequent event_type
+    * per user, ties to the lexicographically smallest type): Spark 4's
+    * built-in `mode()` leaves ties undefined, which can never hash-match
+    * a second engine, so the key spells mode as top-1-per-key over the
+    * (user, type) count table — counts first (one shuffle, map-side
+    * combined), then rank-1 per user. The rank-1 window is exactly the
+    * RankLimitToTopK shape, so the engine plans the bounded-heap
+    * TopKPerKey operator: the exchange after the counts carries ≤ 1 row
+    * per (user, upstream partition), never the per-user type lists. */
+  def aggMode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"n".desc, $"event_type".asc)
+    counts
+      .withColumn("rn", row_number().over(byUser))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("mode_type"), $"n".as("n_mode"))
+      .orderBy($"user_id")
+  }
+
   /** Record counts per table — the `recordCount++` loops of
     * `Local:112-121` / `Bulk:179-183` as metadata-only counts (Spark answers
     * these from parquet footers via an aggregate pushdown-friendly plan). */
@@ -454,11 +477,23 @@ object Aggregates {
     "agg_funnel_steps" -> (aggFunnelSteps _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_rollup" -> (aggRollup _),
-    "agg_cube" -> (aggCube _))
+    "agg_cube" -> (aggCube _),
+    "agg_mode" -> (aggMode _))
 
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY user_id, event_type),
+        |r AS (
+        |  SELECT user_id, event_type, n,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, event_type ASC) AS rn
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_type, n AS n_mode
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "agg_pivot" ->
       """SELECT day(ts) AS day,
         |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,

@@ -75,4 +75,24 @@ class RankLimitSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getTimestamp(1))).toMap
     assert(got == exp && got.nonEmpty)
   }
+
+  test("agg_mode plans the bounded-heap top-1 and equals a driver-side " +
+      "mode with the declared tie-break") {
+    import spark.implicits._
+    val df = graft.operators.Aggregates.aggMode(spark, sf)
+    assert(finalPlan(df).contains("TopKPerKeyFinal"),
+      s"mode not rewritten to TopKPerKey:\n${finalPlan(df)}")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val events = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exp = events.groupBy(_._1).map { case (u, xs) =>
+      val counts = xs.groupBy(_._2).map { case (t, g) =>
+        (t, g.length.toLong) }
+      val (t, n) = counts.toSeq.minBy { case (ty, c) => (-c, ty) }
+      (u, t, n)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == exp, s"mode mismatch")
+  }
 }
