@@ -31,9 +31,13 @@ object Bench {
     * surfaced into BENCH_SUMMARY.json so the round artifact carries
     * the protocol decision alongside the numbers it explains. */
   private def readBaselineNote(repoRoot: String): Option[String] =
-    readBaselineNoteFrom(new String(java.nio.file.Files.readAllBytes(
+    // a missing/unreadable record is an anticipated state (first run on
+    // a fresh checkout) — degrade to None like readBaselines does, not
+    // a NoSuchFileException after the whole suite has already run
+    scala.util.Try(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$repoRoot/BASELINE_QUERIES.json")),
       java.nio.charset.StandardCharsets.UTF_8))
+      .toOption.flatMap(readBaselineNoteFrom)
 
   /** Extract the TOP-LEVEL "note" field: the nested "queries" object
     * (the only sub-object, and the only place an arbitrary key — e.g.

@@ -1670,14 +1670,17 @@ object IngestOps {
     * the ~0.15 s/job scheduling floor the planner path budgets), and a
     * writer-side type drift (e.g. crc written as int) fails as a clear
     * parquet/schema error instead of an opaque encoder cast inside
-    * `.as[(String, Array[Byte], Long)]`. */
+    * `.as[(String, Array[Byte], Long)]`. Fields are declared nullable
+    * because that is all the parquet file source actually guarantees
+    * on read (user-schema nullability is not enforced); the non-null
+    * INVARIANT is enforced explicitly by the probe's fence below. */
   private[graft] val bloomSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("rel",
-      org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StringType, nullable = true),
     org.apache.spark.sql.types.StructField("bf",
-      org.apache.spark.sql.types.BinaryType, nullable = false),
+      org.apache.spark.sql.types.BinaryType, nullable = true),
     org.apache.spark.sql.types.StructField("crc",
-      org.apache.spark.sql.types.LongType, nullable = false)))
+      org.apache.spark.sql.types.LongType, nullable = true)))
 
   /** Files whose bloom MIGHT contain any of `keys` (+ the total count).
     * The probe SCANS the sidecar dataset: each executor verifies its
@@ -1700,9 +1703,18 @@ object IngestOps {
     // ONE pass emitting (rel, qualifies) per file — strings and
     // booleans to the driver, never a bitmap; total = rows returned
     val verdicts = m.select($"rel", $"bf", $"crc")
-      .as[(String, Array[Byte], Long)]
       .mapPartitions { it =>
-        it.map { case (rel, bits, crcStored) =>
+        it.map { row =>
+          // loud non-null fence: nullability is an invariant the file
+          // source does not enforce on read, and a silently dropped
+          // null row would SHRINK the file list (= wrong prune)
+          if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2))
+            throw new IllegalStateException(
+              "bloom sidecar corrupt: null rel/bf/crc row — refusing " +
+                "to plan from a damaged sidecar")
+          val rel = row.getString(0)
+          val bits = row.getAs[Array[Byte]](1)
+          val crcStored = row.getLong(2)
           val crc = new java.util.zip.CRC32
           crc.update(bits)
           if (crc.getValue != crcStored)
