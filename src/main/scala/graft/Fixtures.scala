@@ -60,6 +60,8 @@ object Fixtures {
         (() => operators.PipelineOps.dedupLabelsLayout(spark, dir, 40)),
       "dedup_labels_200" ->
         (() => operators.PipelineOps.dedupLabelsLayout(spark, dir, 200)),
+      "bpe_merges" ->
+        (() => operators.TextOps.bpeMergesLayout(spark, dir)),
       "ivf_index" ->
         (() => operators.SimilarityOps.ivfIndexLayout(spark, dir)),
       "ivfpq_index" ->

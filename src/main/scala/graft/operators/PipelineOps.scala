@@ -544,6 +544,65 @@ object PipelineOps {
       .orderBy($"lang", $"shard", $"seq_id")
   }
 
+  /** `pack_sequences_ffd` — capacity-AWARE packing: first-fit-decreasing
+    * bin packing per (lang, shard), the form real trainers run. The
+    * offset assignment [[packSequences]] uses lets a document straddle a
+    * window boundary (windows over- AND under-fill); FFD sorts each
+    * shard's docs by (tokens desc, doc_id) and places each into the
+    * FIRST bin it fits (capacity 2048), opening a new bin otherwise —
+    * so no bin exceeds capacity (unless a single doc does: an oversized
+    * doc opens its own over-full bin rather than being silently
+    * dropped) and waste is provably ≤ the offset scheme's
+    * (PipelineSpec measures both). Scale shape: the imperative bin
+    * state lives in `flatMapGroups` over (lang, shard) groups — the
+    * SAME salted-shard bound packSequences carries (16 here, 65k at
+    * 100 TB), so a group is always task-sized and the hot language
+    * parallelizes across shards; this is the one justified
+    * non-expression kernel in the file (bin fills are inherently
+    * sequential state). Docs with NULL doc_id or token count carry no
+    * packable evidence and are fenced to quarantine at ingest
+    * (ingest_quarantine discipline — the fence is in the oracle too,
+    * so the driver corpus answer is unchanged). Output: one row per
+    * bin with its doc count and fill. */
+  def packSequencesFfd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = size(split(trim($"text"), "\\s+")).cast("long")
+    val shard = ascii(substring(
+      md5(concat(lit("pack1:"), $"doc_id".cast("string"))), 1, 1))
+      .cast("long")
+    packFfdFrame(Tables.documents(spark, dir)
+      .select($"lang", shard.as("shard"), $"doc_id", toks.as("n_tokens")))
+  }
+
+  /** The FFD core over an arbitrary (lang, shard, doc_id, n_tokens)
+    * frame — split out so PipelineSpec can drive crafted corpora
+    * (where the capacity pressure that separates FFD from the offset
+    * scheme actually materializes) through the exact kernel. */
+  private[graft] def packFfdFrame(items0: DataFrame): DataFrame = {
+    val spark = items0.sparkSession
+    import spark.implicits._
+    val items = items0
+      .filter($"doc_id".isNotNull && $"n_tokens".isNotNull)
+      .as[(String, Long, Long, Long)]
+    items.groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (String, Long),
+          it: Iterator[(String, Long, Long, Long)]) =>
+        val (lang, sh) = key
+        val docs = it.toArray.sortBy { case (_, _, id, n) => (-n, id) }
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docs.foreach { case (_, _, _, n) =>
+          val j = fills.indexWhere(_ + n <= 2048L)
+          if (j < 0) { fills += n; counts += 1L }
+          else { fills(j) += n; counts(j) += 1L }
+        }
+        fills.indices.iterator.map(i =>
+          (lang, sh, (i + 1).toLong, counts(i), fills(i)))
+      }
+      .toDF("lang", "shard", "bin", "n_docs", "fill_tokens")
+      .orderBy($"lang", $"shard", $"bin")
+  }
+
   /** `contamination_check` — eval-set leakage audit: for each held-out
     * split, how many docs have a character-3-gram Jaccard ≥ 0.5 near-dup
     * in train (the n-gram-overlap decontamination check run before
@@ -1109,6 +1168,7 @@ object PipelineOps {
     "split_train_test" -> (splitTrainTest _),
     "domain_mix" -> (domainMix _),
     "pack_sequences" -> (packSequences _),
+    "pack_sequences_ffd" -> (packSequencesFfd _),
     "contamination_check" -> (contaminationCheck _),
     "token_histogram" -> (tokenHistogram _),
     "embedding_normalize" -> (embeddingNormalize _))
@@ -1280,6 +1340,52 @@ object PipelineOps {
          |  CAST(FLOOR(cum_before / 2048) AS BIGINT) AS seq_id,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
          |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "pack_sequences_ffd" ->
+      // the sequential FFD walk as a recursive CTE: one step per item
+      // per (lang, shard), carrying the bin-fill and bin-count lists;
+      // j = first bin the item fits (0 = open a new bin)
+      s"""WITH RECURSIVE d AS (
+         |  SELECT lang,
+         |    CAST(ascii(substr(md5('pack1:' || CAST(doc_id AS VARCHAR)),
+         |      1, 1)) AS BIGINT) AS shard,
+         |    doc_id, $NTOK AS n
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND $NTOK IS NOT NULL),
+         |items AS (
+         |  SELECT lang, shard, n,
+         |    row_number() OVER (PARTITION BY lang, shard
+         |      ORDER BY n DESC, doc_id) AS rn
+         |  FROM d),
+         |sizes AS (SELECT lang, shard, COUNT(*) AS m FROM items
+         |  GROUP BY 1, 2),
+         |fit AS (
+         |  SELECT lang, shard, CAST(0 AS BIGINT) AS rn,
+         |    CAST([] AS BIGINT[]) AS fills, CAST([] AS BIGINT[]) AS cnts, m
+         |  FROM sizes
+         |  UNION ALL
+         |  SELECT f.lang, f.shard, f.rn + 1,
+         |    CASE WHEN j.j = 0 THEN list_append(f.fills, i.n)
+         |         ELSE list_transform(range(1, len(f.fills) + 1),
+         |           x -> CASE WHEN x = j.j THEN f.fills[x::INT] + i.n
+         |                     ELSE f.fills[x::INT] END) END,
+         |    CASE WHEN j.j = 0 THEN list_append(f.cnts, CAST(1 AS BIGINT))
+         |         ELSE list_transform(range(1, len(f.cnts) + 1),
+         |           x -> CASE WHEN x = j.j THEN f.cnts[x::INT] + 1
+         |                     ELSE f.cnts[x::INT] END) END,
+         |    f.m
+         |  FROM fit f
+         |  JOIN items i ON i.lang = f.lang AND i.shard = f.shard
+         |    AND i.rn = f.rn + 1,
+         |  LATERAL (SELECT COALESCE(list_min(list_filter(
+         |    range(1, len(f.fills) + 1),
+         |    x -> f.fills[x::INT] + i.n <= 2048)), 0) AS j) j
+         |  WHERE f.rn < f.m)
+         |SELECT f.lang, f.shard, CAST(u.b AS BIGINT) AS bin,
+         |  CAST(f.cnts[u.b::INT] AS BIGINT) AS n_docs,
+         |  CAST(f.fills[u.b::INT] AS BIGINT) AS fill_tokens
+         |FROM fit f, UNNEST(range(1, len(f.fills) + 1)) AS u(b)
+         |WHERE f.rn = f.m
+         |ORDER BY lang, shard, bin""".stripMargin,
     "contamination_check" ->
       s"""WITH ${edgesCte(200)},
          |d AS (

@@ -315,8 +315,194 @@ object TextOps {
       .groupBy($"pair").agg(sum($"n").as("n_occurrences"))
   }
 
+  /** Symbol separator for the BPE word representation. Each symbol is
+    * wrapped as `SEP sym SEP` and the wrapped symbols concatenated, so
+    * applying the merge (l, r) is ONE non-overlapping left-to-right
+    * string replace of `SEP l SEP SEP r SEP` with `SEP l r SEP` — the
+    * exact greedy leftmost-match semantics BPE specifies. The doubled
+    * separator matters: adjacent matches share no characters, so a run
+    * like [a,a,a,a] merges to [aa,aa] (a single-separator spelling
+    * consumes the boundary and drops every second merge), and a match
+    * can never end inside a multi-character symbol ([a,bc] does not
+    * match pair (a,b)). Both engines' `replace` scan left-to-right
+    * over non-overlapping occurrences, verified by TextSpec. Words
+    * containing the separator are fenced out of the vocabulary (same
+    * fence in the oracle), so the representation is unambiguous. */
+  private[graft] val BpeSep = "\u001F"
+
+  /** Merge rounds `bpe_learn_merges` runs and the encode fixture stores. */
+  private[graft] val BpeSteps = 8
+
+  /** The distinct-word table in wrapped-symbol representation: (w, repr,
+    * n). This is the ONLY corpus-wide pass of the whole BPE train loop —
+    * after this one shuffle every merge round touches |vocab| rows. */
+  private def bpeWordTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(tokens($"text")).as("w"))
+      .filter(length($"w") >= 2 && !$"w".contains(BpeSep))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .withColumn("repr", concat(lit(BpeSep),
+        array_join(array_remove(split($"w", ""), ""), BpeSep + BpeSep),
+        lit(BpeSep)))
+  }
+
+  /** Frequency-weighted adjacent-pair statistics of the CURRENT
+    * symbolization — input and output are both vocab-sized. */
+  private def bpePairStats(words: DataFrame): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val syms = split($"repr".substr(lit(2), length($"repr") - 2),
+      BpeSep + BpeSep)
+    words.select(syms.as("syms"), $"n")
+      // sequence(1, 0) on a single-symbol word would step BACKWARDS
+      .filter(size($"syms") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"syms") - 1),
+        i => struct(element_at($"syms", i).as("l"),
+          element_at($"syms", i + 1).as("r")))).as("p"), $"n")
+      .groupBy($"p.l".as("l"), $"p.r".as("r"))
+      .agg(sum($"n").as("cnt"))
+  }
+
+  /** Run `steps` BPE merge rounds over `docs` and return (merge table,
+    * final word symbolization). Round i: argmax pair by (count desc,
+    * left, right — the deterministic tie-break that makes the table
+    * oracle-able), then ONE string replace over the vocab table. The
+    * word table is localCheckpoint-cut each round, so iteration i's
+    * argmax job scans the checkpointed |vocab| rows — NEVER the corpus
+    * (PLANS.md carries the executed-plan excerpt); this is the
+    * Lloyd-iteration shape embed_kmeans uses, with per-round driver
+    * traffic of exactly one (l, r, count) row. Stops early if the
+    * corpus runs out of pairs (the oracle's empty-CTE cascade emits
+    * the same truncated table). */
+  private[graft] def bpeLearn(docs: DataFrame, steps: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = bpeWordTable(docs).localCheckpoint(false)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var exhausted = false
+    for (step <- 1 to steps if !exhausted) {
+      val top = bpePairStats(words)
+        .orderBy($"cnt".desc, $"l", $"r").limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((step, l, r, c))
+        words = words.withColumn("repr", replace($"repr",
+          lit(BpeSep + l + BpeSep + BpeSep + r + BpeSep),
+          lit(BpeSep + l + r + BpeSep))).localCheckpoint(false)
+      }
+    }
+    (merges.result(), words)
+  }
+
+  /** `bpe_learn_merges` — the BPE TRAINING loop `bpe_top_pairs` is one
+    * round of, closed: 8 merge rounds over the distinct-word table,
+    * emitting the learned merge table (step, left, right, merged,
+    * n_occurrences). The corpus is scanned ONCE (the word-table
+    * build); every round after that is vocab-scale (see [[bpeLearn]]).
+    * Oracle: the same 8 rounds unrolled as DuckDB CTEs. */
+  def bpeLearnMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, _) = bpeLearn(Tables.documents(spark, dir), BpeSteps)
+    merges.map { case (s, l, r, c) => (s.toLong, l, r, l + r, c) }
+      .toDF("step", "left", "right", "merged", "n_occurrences")
+      .orderBy($"step")
+  }
+
+  /** Learned-merge fixture for `text_bpe_encode`: the 8-round merge
+    * table persisted once per corpus fingerprint (training is an
+    * ingest-time artifact exactly like the ANN indexes — a tokenizer
+    * is trained once and applied everywhere). */
+  private[graft] def bpeMergesLayout(spark: SparkSession,
+      dir: String): String = {
+    val out = graft.sources.IngestOps.sharedFor(spark, "bpe_merges", dir)
+    graft.sources.IngestOps.buildShared(spark, out, root =>
+      graft.sources.IngestOps.fsExists(spark, s"$root/_DONE")) { tmpRoot =>
+      import spark.implicits._
+      val (merges, _) = bpeLearn(Tables.documents(spark, dir), BpeSteps)
+      merges.map { case (s, l, r, c) => (s.toLong, l, r, c) }
+        .toDF("step", "left", "right", "n_occurrences")
+        .coalesce(1).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$tmpRoot/merges.parquet")
+      val done = new org.apache.hadoop.fs.Path(tmpRoot, "_DONE")
+      done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(done, true).close()
+    }
+  }
+
+  /** Driver-side read of a persisted merge table, ordered by step.
+    * parquet-mr in the planning JVM: the table is 8 rows of KB-scale
+    * metadata the ENCODE plan is built from — a Spark job here would
+    * put a scheduling wave in front of every encode (the r16 metadata
+    * lesson). */
+  private[graft] def readBpeMerges(spark: SparkSession,
+      root: String): Seq[(Long, String, String)] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/merges.parquet")
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.setBoolean("parquet.page.verify-checksum.enabled", true)
+    val fs = dir.getFileSystem(conf)
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val out = Seq.newBuilder[(Long, String, String)]
+    parts.foreach { p =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out += ((g.getLong("step", 0), g.getString("left", 0),
+            g.getString("right", 0)))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.result().sortBy(_._1)
+  }
+
+  /** `text_bpe_encode` — tokenizer APPLY at corpus width: encode every
+    * document with the learned merge table and report per-doc word and
+    * BPE-symbol counts. The merges come from the persisted fixture
+    * ([[bpeMergesLayout]], read driver-side) and are applied IN LEARNED
+    * ORDER as a chain of 8 constant-folded `replace`s over the
+    * distinct-WORD table (vocab-sized — the classic apply trick: encode
+    * the vocabulary, not the corpus), which then broadcast-joins back
+    * to the exploded corpus tokens; the only corpus-scale work is one
+    * explode + broadcast hash join + per-doc sum. Words outside the
+    * vocabulary fence (single chars, separator carriers) count their
+    * raw character length — the same defined fallback in the oracle. */
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = readBpeMerges(spark, bpeMergesLayout(spark, dir))
+    val docs = Tables.documents(spark, dir)
+    val encoded = merges.foldLeft(bpeWordTable(docs)) {
+      case (df, (_, l, r)) =>
+        df.withColumn("repr", replace($"repr",
+          lit(BpeSep + l + BpeSep + BpeSep + r + BpeSep),
+          lit(BpeSep + l + r + BpeSep)))
+    }.select($"w", size(split($"repr".substr(lit(2),
+      length($"repr") - 2), BpeSep + BpeSep)).as("n_sym"))
+    val perDoc = docs
+      .select($"doc_id", explode(tokens($"text")).as("w"))
+      .join(broadcast(encoded), Seq("w"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce($"n_sym", length($"w")).cast("long")).as("n_bpe"))
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n_words", lit(0L)).as("n_words"),
+        coalesce($"n_bpe", lit(0L)).as("n_bpe"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_top_pairs" -> (bpeTopPairs _),
+    "bpe_learn_merges" -> (bpeLearnMerges _),
+    "text_bpe_encode" -> (textBpeEncode _),
     "text_html_strip" -> (textHtmlStrip _),
     "text_rarity" -> (textRarity _),
     "text_stats" -> (textStats _),
@@ -337,7 +523,68 @@ object TextOps {
 
   private val TOKS = toksSql("text")
 
+  /** DuckDB spelling of [[BpeSep]] — chr(31), kept out of the SQL text
+    * so the oracle JSON carries no raw control characters. */
+  private val SEP = "chr(31)"
+
+  /** The learn loop's DuckDB twin, unrolled: CTEs w0..w`steps` where
+    * w0 is the wrapped-symbol word table and each round extracts pair
+    * stats (s/p/c), picks the argmax under the shared tie-break (m),
+    * and applies the merge with the same `replace` (w{i+1}). Returns
+    * (cte chain text, last word-table CTE name). If a tiny corpus
+    * exhausts its pairs, m{i} is empty and the w{i+1} cross join
+    * cascades empty — matching the Scala loop's early stop. */
+  private def bpeCtes(steps: Int): (String, String) = {
+    val rounds = (0 until steps).map { i =>
+      s"""s$i AS (SELECT string_split(repr[2:len(repr)-1], $SEP||$SEP)
+         |  AS syms, n FROM w$i),
+         |p$i AS (SELECT syms[k::INT] AS l, syms[(k+1)::INT] AS r, n
+         |  FROM s$i, UNNEST(range(1, len(syms))) AS u(k)),
+         |c$i AS (SELECT l, r, CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM p$i GROUP BY l, r),
+         |m$i AS (SELECT l, r, cnt FROM c$i
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |w${i + 1} AS (SELECT w,
+         |  replace(repr, $SEP||m.l||$SEP||$SEP||m.r||$SEP,
+         |          $SEP||m.l||m.r||$SEP) AS repr, n
+         |  FROM w$i, m$i m)""".stripMargin
+    }.mkString(",\n")
+    val chain =
+      s"""toks AS (SELECT unnest($TOKS) AS w FROM documents),
+         |w0 AS (
+         |  SELECT w, $SEP || array_to_string(string_split(w, ''),
+         |    $SEP||$SEP) || $SEP AS repr, COUNT(*) AS n
+         |  FROM toks WHERE len(w) >= 2 AND strpos(w, $SEP) = 0
+         |  GROUP BY w),
+         |$rounds""".stripMargin
+    (chain, s"w$steps")
+  }
+
   val oracles: Map[String, String] = Map(
+    "bpe_learn_merges" -> {
+      val (chain, _) = bpeCtes(BpeSteps)
+      val union = (0 until BpeSteps).map(i =>
+        s"""SELECT CAST(${i + 1} AS BIGINT) AS step, l AS "left",
+           |  r AS "right", l || r AS merged, cnt AS n_occurrences
+           |  FROM m$i""".stripMargin).mkString("\nUNION ALL\n")
+      s"WITH $chain\nSELECT * FROM (\n$union\n) ORDER BY step"
+    },
+    "text_bpe_encode" -> {
+      val (chain, last) = bpeCtes(BpeSteps)
+      s"""WITH $chain,
+         |enc AS (SELECT w, len(string_split(repr[2:len(repr)-1],
+         |  $SEP||$SEP)) AS n_sym FROM $last),
+         |tok AS (SELECT doc_id, unnest($TOKS) AS w FROM documents),
+         |per AS (
+         |  SELECT t.doc_id, COUNT(*) AS n_words,
+         |    SUM(COALESCE(e.n_sym, len(t.w))) AS n_bpe
+         |  FROM tok t LEFT JOIN enc e USING (w) GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+         |  CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_bpe
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     "bpe_top_pairs" ->
       s"""WITH toks AS (SELECT unnest($TOKS) AS w FROM documents),
          |w AS (

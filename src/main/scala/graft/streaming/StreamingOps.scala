@@ -301,6 +301,53 @@ object StreamingOps {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** `stream_session_watermark` — the PRODUCTION form of
+    * [[streamSessionAgg]]: session windows in APPEND mode under a real
+    * watermark, so a session is emitted exactly once — when the
+    * watermark passes its end — and its state is evicted. This is the
+    * bounded-state sessionization a 100 TB pipeline runs: state holds
+    * only sessions still inside the watermark horizon (open or
+    * recently closed), never the stream's history; complete-mode
+    * session_agg by contrast retains every session forever. Drained on
+    * the finite file stream, the emitted set is the batch
+    * sessionization CUT at the final watermark — sessions whose end
+    * (last event + 25 min gap) the watermark (max event time, ms
+    * precision, − 3 h) never passed stay in state and appear NOWHERE
+    * (the stream_late_drop oracle discipline; StreamingSpec asserts
+    * the held sessions are non-empty and that state rows were actually
+    * removed). Probes user slice `user_id % 3 = 2` — disjoint answers
+    * from session_agg's `% 3 = 1` — and needs the no-data batch: the
+    * data batch computes under watermark 0, and emission-by-eviction
+    * happens in the follow-up batch the advanced watermark triggers,
+    * so this key must NOT run under [[withoutNoDataBatches]]. */
+  def streamSessionWatermark(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val queryName = s"session_wm_${System.nanoTime()}"
+    val stream = Tables.normalizeTs(spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir))
+      .filter($"user_id" % 3 === 2)
+      .withWatermark("ts", "3 hours")
+    val agg = stream
+      .groupBy(session_window($"ts", "25 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      drain(q, tag = "session_wm")
+    }
+    releaseSink(spark, queryName)(spark.table(queryName)
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"n", $"sum_value")
+      .orderBy($"user_id", $"session_start"))
+  }
+
   /** `stream_custom_state` — arbitrary keyed state via
     * `KeyValueGroupedDataset.mapGroupsWithState` (the brief's custom-state
     * streaming surface): per-user event count, running max value, and
@@ -842,6 +889,7 @@ object StreamingOps {
     "stream_custom_state" -> (streamCustomState _),
     "stream_hourly_rollup" -> (streamHourlyRollup _),
     "stream_session_agg" -> (streamSessionAgg _),
+    "stream_session_watermark" -> (streamSessionWatermark _),
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "agg_session_window" -> (aggSessionWindow _))
@@ -967,6 +1015,35 @@ object StreamingOps {
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "stream_session_watermark" ->
+      // batch sessionization (25-min gap) CUT at the final watermark:
+      // only sessions whose end (last event + gap) the watermark
+      // (max filtered ts, ms precision, - 3h) passed were emitted
+      """WITH e AS (
+        |  SELECT user_id, ts, value FROM events WHERE user_id % 3 = 2),
+        |wm AS (
+        |  SELECT CAST(date_trunc('millisecond', MAX(ts)) AS TIMESTAMP)
+        |    - INTERVAL 3 HOUR AS w
+        |  FROM e),
+        |flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           > INTERVAL 25 MINUTE OR
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, session_start, n, sum_value FROM (
+        |  SELECT user_id, MIN(ts) AS session_start,
+        |    MAX(ts) + INTERVAL 25 MINUTE AS session_end, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM sessions GROUP BY user_id, sid) s, wm
+        |WHERE s.session_end <= wm.w
         |ORDER BY user_id, session_start""".stripMargin,
     "stream_hourly_rollup" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,

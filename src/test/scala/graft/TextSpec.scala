@@ -111,6 +111,88 @@ class TextSpec extends SparkSpecBase {
     }
   }
 
+  test("bpe_learn_merges: reproduces the hand-computed merge table on " +
+      "the classic low/lower/newest/widest corpus, ties broken by pair") {
+    import spark.implicits._
+    // word frequencies: low 5, lower 2, newest 6, widest 3. Round 1:
+    // (e,s) and (s,t) tie at 9 — 'e' < 's' picks (e,s); round 2 merges
+    // (es,t) at 9; round 3: (l,o)/(o,w) tie at 7 — 'l' < 'o'; round 4
+    // merges the new (lo,w) pair at 7.
+    val texts = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val (merges, words) =
+      TextOps.bpeLearn(texts.toDF("text"), steps = 4)
+    assert(merges == Seq((1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)), s"got $merges")
+    // and the final symbolization is the hand-derived one
+    val S = TextOps.BpeSep
+    def wrap(syms: String*) = syms.map(s => S + s + S).mkString
+    val got = words.collect().map(r => r.getString(0) -> r.getString(2))
+      .toMap
+    assert(got == Map(
+      "low" -> wrap("low"), "lower" -> wrap("low", "e", "r"),
+      "newest" -> wrap("n", "e", "w", "est"),
+      "widest" -> wrap("w", "i", "d", "est")), s"got $got")
+  }
+
+  /** Driver-side reference BPE: greedy leftmost non-overlapping merge,
+    * the semantics the wrapped-symbol `replace` must implement. */
+  private def refMerge(syms: List[String], l: String,
+      r: String): List[String] = syms match {
+    case a :: b :: rest if a == l && b == r =>
+      (a + b) :: refMerge(rest, l, r)
+    case a :: rest => a :: refMerge(rest, l, r)
+    case Nil => Nil
+  }
+
+  test("bpe learn: randomized law — the distributed merge loop equals " +
+      "a driver-side reference trainer on arbitrary corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val alphabet = "aabbc"
+    def word() = (0 until (1 + rng.nextInt(6)))
+      .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    (1 to 4).foreach { round =>
+      val texts = (0 until 25).map(_ =>
+        (0 until rng.nextInt(10)).map(_ => word()).mkString(" "))
+      val (merges, _) = TextOps.bpeLearn(texts.toDF("text"), steps = 5)
+      // reference trainer over the same corpus
+      var vocab = texts.flatMap(_.split(" ")).filter(_.length >= 2)
+        .groupBy(identity).map { case (w, ws) =>
+          w.split("").toList -> ws.size.toLong }.toSeq
+      val want = Seq.newBuilder[(Int, String, String, Long)]
+      var step = 1
+      var done = false
+      while (step <= 5 && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, n) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+          want += ((step, l, r, c))
+          vocab = vocab.map { case (syms, n) => refMerge(syms, l, r) -> n }
+          step += 1
+        }
+      }
+      assert(merges == want.result(),
+        s"round $round: got $merges want ${want.result()}")
+    }
+  }
+
+  test("bpe learn plan: after the word-table build, no merge round " +
+      "ever re-scans the corpus — the loop input is the checkpointed " +
+      "vocab table") {
+    val (_, words) = TextOps.bpeLearn(
+      graft.sources.Tables.documents(spark, sf), steps = 3)
+    val names = planNodeNames(words.queryExecution.executedPlan)
+    assert(!names.exists(n => n.contains("FileSourceScan") ||
+      n.contains("Scan parquet")),
+      s"merge round re-scans the corpus: $names")
+  }
+
   test("bpe_top_pairs plan: word-table compression, then TakeOrdered " +
       "— the top-20 never trigger a global sort") {
     val df = TextOps.bpeTopPairs(spark, sf)
