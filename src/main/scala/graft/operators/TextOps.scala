@@ -390,9 +390,14 @@ object TextOps {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += ((step, l, r, c))
+        // chain the replace on top of the ONE checkpoint: re-running
+        // ≤steps constant-folded replaces per round is vocab-scale
+        // noise, and skipping the per-round re-checkpoint keeps only
+        // one RDD pinned for the loop's lifetime (A/B measured a wash
+        // on wall time — the lazy materializations fuse either way)
         words = words.withColumn("repr", replace($"repr",
           lit(BpeSep + l + BpeSep + BpeSep + r + BpeSep),
-          lit(BpeSep + l + r + BpeSep))).localCheckpoint(false)
+          lit(BpeSep + l + r + BpeSep)))
       }
     }
     (merges.result(), words)
