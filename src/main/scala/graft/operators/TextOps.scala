@@ -280,6 +280,62 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** `text_perplexity_filter` — unigram-LM quality filtering (the
+    * CCNet discipline: train a small LM on the corpus, score every
+    * document by per-token negative log-likelihood, drop the worst):
+    * pass 1 trains — token counts in one shuffle, then the TOP-K vocab
+    * (K = 24 here so the OOV class is genuinely exercised against this
+    * corpus's 31-token vocabulary; K ≈ 200k at 100 TB, which is still
+    * broadcastable — real LM filters cap the vocab for exactly this
+    * reason) with add-one smoothing over K + 1 classes (the +1 is the
+    * OOV bucket). Pass 2 scores — a BROADCAST join from tokens to the
+    * vocab's precomputed per-token NLL (no shuffle; text_rarity by
+    * contrast pays the full term-shuffle join because its vocabulary
+    * is uncapped), then a doc-level aggregate and the keep/drop cut.
+    * Float discipline: -ln p is computed ONCE per vocab entry (+ once
+    * for OOV) and rounded to DECIMAL(18,9), so the per-doc sum is
+    * exact integer arithmetic and the oracle's only float ops are the
+    * same single-input ln/divide both engines evaluate on identical
+    * doubles — per-doc float accumulation (ordering-sensitive) never
+    * happens. Driver work is one 2-value stats row; the vocab
+    * broadcast is K-bounded. */
+  def textPerplexityFilter(spark: SparkSession, dir: String): DataFrame =
+    perplexityOver(Tables.documents(spark, dir), k = 24, tau = 4.8)
+
+  /** The unigram-LM train+score core over an arbitrary (doc_id, lang,
+    * text) frame — split out so TextSpec can drive a hand-computable
+    * corpus through the exact production pipeline. */
+  private[graft] def perplexityOver(docs: DataFrame, k: Int,
+      tau: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+    val counts = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+    // coalesce: a token-free corpus (hostile sweep's degenerate case)
+    // must yield an empty result, not a null-decode NPE on the stats row
+    val (tAll, vDistinct) = counts
+      .agg(coalesce(sum($"c"), lit(0L)), count(lit(1)))
+      .as[(Long, Long)].head()
+    val v = math.min(k.toLong, vDistinct)
+    val denom = (tAll + v + 1).toDouble
+    val vocabNll = counts.orderBy($"c".desc, $"tok").limit(k)
+      .select($"tok",
+        round(-log(($"c" + 1.0) / denom), 9)
+          .cast("decimal(18,9)").as("nll"))
+    val oovNll = new java.math.BigDecimal(-math.log(1.0 / denom))
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    toks.join(broadcast(vocabNll), Seq("tok"), "left")
+      .select($"doc_id", $"lang",
+        coalesce($"nll", lit(oovNll)).as("nll"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_tokens"), sum($"nll").as("sum_nll"))
+      .select($"doc_id", $"lang", $"n_tokens",
+        round($"sum_nll".cast("double") / $"n_tokens", 4).as("nll"))
+      .withColumn("keep", $"nll" <= tau)
+      .orderBy($"doc_id")
+  }
+
   /** `bpe_top_pairs` — the BPE-training kernel, distributed: the corpus
     * first compresses to a (word, count) table (the classic
     * tokenizer-training trick — pair statistics over DISTINCT words
@@ -510,6 +566,7 @@ object TextOps {
     "text_bpe_encode" -> (textBpeEncode _),
     "text_html_strip" -> (textHtmlStrip _),
     "text_rarity" -> (textRarity _),
+    "text_perplexity_filter" -> (textPerplexityFilter _),
     "text_stats" -> (textStats _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
@@ -639,6 +696,32 @@ object TextOps {
          |    AS rarity_permille
          |FROM toks JOIN df USING (t)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_perplexity_filter" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest($TOKS) AS tok FROM documents),
+         |counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+         |stats AS (
+         |  SELECT CAST(SUM(c) AS BIGINT) AS t_all,
+         |    LEAST(COUNT(*), 24) AS v
+         |  FROM counts),
+         |vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 24),
+         |vnll AS (
+         |  SELECT tok, CAST(ROUND(-ln((c + 1.0) /
+         |    CAST(s.t_all + s.v + 1 AS DOUBLE)), 9) AS DECIMAL(18,9)) AS nll
+         |  FROM vocab, stats s),
+         |oov AS (
+         |  SELECT CAST(ROUND(-ln(1.0 /
+         |    CAST(t_all + v + 1 AS DOUBLE)), 9) AS DECIMAL(18,9)) AS nll
+         |  FROM stats),
+         |scored AS (
+         |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+         |    SUM(COALESCE(vn.nll, (SELECT nll FROM oov))) AS sum_nll
+         |  FROM toks LEFT JOIN vnll vn USING (tok)
+         |  GROUP BY doc_id, lang)
+         |SELECT doc_id, lang, n_tokens,
+         |  ROUND(CAST(sum_nll AS DOUBLE) / n_tokens, 4) AS nll,
+         |  (ROUND(CAST(sum_nll AS DOUBLE) / n_tokens, 4) <= 4.8) AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id, lang, n_chars, length(text) AS n_chars_measured,
          |  len($TOKS) AS n_tokens,

@@ -1,12 +1,14 @@
 package graft.sources
 
+import java.net.URI
 import java.nio.file.{Files, Paths}
 import java.nio.file.attribute.PosixFilePermission
 import java.util.{EnumSet => JEnumSet}
-import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.hadoop.fs.permission.FsPermission
 
-/** Fork-free local filesystem for the `file:` scheme.
+/** Fork-free raw local filesystem (see [[NioLocalFileSystem]]).
   *
   * Without libhadoop, Hadoop's RawLocalFileSystem shells out
   * (`fork`+`exec chmod`) on EVERY file create to set permissions
@@ -14,11 +16,9 @@ import org.apache.hadoop.fs.permission.FsPermission
   * write creates hundreds of files, and forking a multi-GB JVM per file
   * dominates the write path (observed: 30-100s stalls with all executor
   * threads in `ProcessImpl.forkAndExec`). This subclass reroutes permission
-  * ops through java.nio — no child processes — and, being the *raw* FS,
-  * also drops the `.crc` checksum twin written for every file, halving
-  * creates. Installed by `Tables.warmup` via `fs.file.impl`.
+  * ops through java.nio — no child processes.
   */
-class NioLocalFileSystem extends RawLocalFileSystem {
+class NioRawLocalFileSystem extends RawLocalFileSystem {
 
   private def toPosix(perm: FsPermission): JEnumSet[PosixFilePermission] = {
     import PosixFilePermission._
@@ -39,4 +39,25 @@ class NioLocalFileSystem extends RawLocalFileSystem {
   override def setPermission(p: Path, permission: FsPermission): Unit =
     Files.setPosixFilePermissions(
       Paths.get(pathToFile(p).getAbsolutePath), toPosix(permission))
+}
+
+/** Fork-free local filesystem for the `file:` scheme, installed by
+  * `Tables.warmup` via `fs.file.impl`.
+  *
+  * The chmod-fork fix lives in [[NioRawLocalFileSystem]]; this class is
+  * the `LocalFileSystem`-typed wrapper around it because Hadoop's own
+  * `FileSystem.getLocal(conf)` CASTS the `file:` filesystem to
+  * `LocalFileSystem` — a raw-extending impl crashes every caller of
+  * that API (first hit: RocksDBFileManager's `copyFromLocalFile` on
+  * state-store snapshot upload, which `transformWithState` requires).
+  * Checksums are disabled in both directions, so no `.crc` twin is
+  * written per create (the other half of the original fix) and reads
+  * delegate straight to the raw stream.
+  */
+class NioLocalFileSystem extends LocalFileSystem(new NioRawLocalFileSystem) {
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setWriteChecksum(false)
+    setVerifyChecksum(false)
+  }
 }

@@ -18,6 +18,52 @@ import graft.sources.Tables
 case class UserState(n: Long, maxValue: Double, lastTs: Long,
     lastId: Long, lastType: String)
 
+/** Per-user stats processor for `stream_tws_state` — Spark 4's
+  * `transformWithState` (arbitrary-state v2, the successor API to
+  * mapGroupsWithState): state is COMPOSED from typed primitives
+  * instead of one monolithic case-class blob. Per user, a `MapState`
+  * carries per-event_type counts and a `ValueState` the running max.
+  * The scale argument for the v2 shape: MapState entries are
+  * individually addressable in the store, so a batch that touches one
+  * event_type of a 10k-entry map serializes ONE entry, where
+  * mapGroupsWithState rewrites the whole value every invocation — the
+  * difference between O(touched) and O(state) per-batch write
+  * amplification on a 100 TB keyspace. Requires the RocksDB state
+  * store provider (scoped per query by
+  * [[StreamingOps.withRocksDbStateStore]]). Cross-batch correctness is
+  * carried by the STORE (counts accumulate via point updates), not by
+  * re-seeding an in-invocation accumulator — the StateStepSpec
+  * discipline; TwsStateSpec drives a two-batch sequence through it. */
+class TwsUserStats extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Double, String), (Long, Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TTLConfig,
+    TimeMode, TimerValues, ValueState}
+  import org.apache.spark.sql.Encoders
+  @transient private var typeCounts: MapState[String, Long] = _
+  @transient private var maxVal: ValueState[Double] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    typeCounts = getHandle.getMapState[String, Long]("typeCounts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    maxVal = getHandle.getValueState[Double]("maxVal",
+      Encoders.scalaDouble, TTLConfig.NONE)
+  }
+  override def handleInputRows(user: Long,
+      rows: Iterator[(Long, Double, String)],
+      timers: TimerValues): Iterator[(Long, Long, Long, Double)] = {
+    var mx = if (maxVal.exists()) maxVal.get() else Double.MinValue
+    rows.foreach { case (_, v, t) =>
+      if (v > mx) mx = v
+      val c = if (typeCounts.containsKey(t)) typeCounts.getValue(t) else 0L
+      typeCounts.updateValue(t, c + 1L)
+    }
+    maxVal.update(mx)
+    var nTypes = 0L
+    var n = 0L
+    typeCounts.values().foreach { c => nTypes += 1; n += c }
+    Iterator.single((user, nTypes, n, mx))
+  }
+}
+
 /** SURVEY.md §2i — Structured Streaming (X-tier; the reference is batch-
   * only, its event-time partition model maps 1:1 onto tumbling windows:
   * hourly partitions ≙ `window(ts, '1 hour')`, `TimeEx:134-136`).
@@ -94,6 +140,34 @@ object StreamingOps {
       val prev = spark.conf.get(key)
       spark.conf.set(key, n.toString)
       try body finally spark.conf.set(key, prev)
+    }
+
+  /** Run `body` with the RocksDB state store provider (required by
+    * `transformWithState`; the default HDFSBacked provider does not
+    * implement the v2 state primitives). Scoped and restored like
+    * [[withStatePartitions]] — serialized under the shared
+    * session-conf lock so a concurrent key never observes the
+    * swapped provider. */
+  private def withRocksDbStateStore[T](spark: SparkSession)
+      (body: => T): T =
+    graft.sources.IngestOps.sessionConfLock.synchronized {
+      // changelog checkpointing is the production RocksDB mode (and
+      // the 100 TB one): a commit uploads the batch's DELTA as a small
+      // changelog file; full snapshots move to async maintenance.
+      // Without it every commit uploads the whole RocksDB snapshot
+      // inline (~0.4 s/store even for KB-sized state).
+      val settings = Seq(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider"),
+        "spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled" -> "true")
+      val prev = settings.map { case (k, _) => k -> spark.conf.getOption(k) }
+      settings.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
 
   /** Run `body` without the watermark-advance NO-DATA micro-batch.
@@ -397,6 +471,61 @@ object StreamingOps {
       .groupBy($"user_id")     // keep the final state row per key
       .agg(max($"n").as("n"), max($"max_value").as("max_value"),
         max_by($"last_type", $"n").as("last_type"))
+      .orderBy($"user_id"))
+  }
+
+  /** `stream_tws_state` — arbitrary keyed state via Spark 4's
+    * `transformWithState` (the arbitrary-state v2 API; processor =
+    * [[TwsUserStats]]): per-user per-event_type counts in a MapState
+    * plus a running max in a ValueState, over the `user_id % 4 = 3`
+    * slice (disjoint probe from `stream_custom_state`, which exercises
+    * the v1 mapGroupsWithState surface over all users). Runs on the
+    * RocksDB state store — the provider the v2 API requires and the
+    * one a 100 TB deployment runs anyway (state larger than executor
+    * heap, changelog checkpointing). Drained on the finite file stream
+    * the final emission per key equals the batch aggregate — that is
+    * the oracle; the sink fold keeps the last batch's row per key
+    * (every tracked stat is monotone, so `max` selects it). */
+  def streamTwsState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val queryName = s"tws_state_${System.nanoTime()}"
+    val src = Tables.normalizeTs(spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir))
+      // validity fence at the typed boundary (the stream_custom_state
+      // discipline): a row missing the key or a tracked metric carries
+      // no state evidence and must not reach the primitive-typed tuple
+      .filter($"user_id".isNotNull && $"value".isNotNull &&
+        $"event_type".isNotNull)
+      .filter($"user_id" % 4 === 3)
+      .select($"user_id", $"value", $"event_type")
+      .as[(Long, Double, String)]
+    val out = src.groupByKey(_._1)
+      .transformWithState(new TwsUserStats,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_types", "n", "max_value")
+    // 2 state partitions, not the suite's 8: a RocksDB store instance
+    // carries ~1 s of open/load cost per partition per query — an
+    // order of magnitude above the HDFSBacked store's — and this
+    // single-drain state is KB-sized. At 100 TB the count scales with
+    // the keyspace (the conf is per-query, as here), and long-lived
+    // queries amortize the open across thousands of batches.
+    withRocksDbStateStore(spark) { withStatePartitions(spark, 2) {
+      val q = out.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      drain(q, tag = "tws")
+    } }
+    releaseSink(spark, queryName)(spark.table(queryName)
+      .groupBy($"user_id")     // keep the final (monotone) row per key
+      .agg(max($"n_types").as("n_types"), max($"n").as("n"),
+        max($"max_value").as("max_value"))
       .orderBy($"user_id"))
   }
 
@@ -887,6 +1016,7 @@ object StreamingOps {
     "stream_join_dim" -> (streamJoinDim _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_custom_state" -> (streamCustomState _),
+    "stream_tws_state" -> (streamTwsState _),
     "stream_hourly_rollup" -> (streamHourlyRollup _),
     "stream_session_agg" -> (streamSessionAgg _),
     "stream_session_watermark" -> (streamSessionWatermark _),
@@ -974,6 +1104,11 @@ object StreamingOps {
         |SELECT a.user_id, a.n, a.mx AS max_value, l.event_type AS last_type
         |FROM agg a JOIN last l ON a.user_id = l.user_id AND l.rn = 1
         |ORDER BY a.user_id""".stripMargin,
+    "stream_tws_state" ->
+      """SELECT user_id, COUNT(DISTINCT event_type) AS n_types,
+        |  COUNT(*) AS n, MAX(value) AS max_value
+        |FROM events WHERE user_id % 4 = 3
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,

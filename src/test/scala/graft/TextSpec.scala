@@ -206,4 +206,35 @@ class TextSpec extends SparkSpecBase {
     assert(names.count(_.contains("ShuffleExchange")) == 2,
       s"shuffle count drifted: $names")
   }
+
+  test("perplexity filter matches a hand-computed unigram LM on a " +
+      "tiny corpus: top-K vocab with deterministic ties, add-one " +
+      "smoothing over K+1 classes, OOV bucket, decimal-exact doc sums") {
+    import spark.implicits._
+    // counts: aa=3, dd=3, bb=1, cc=1 → K=2 vocab = {aa, dd} (ties on
+    // count break by token); T=8, V=2, denom=11
+    val docs = Seq((1L, "x", "aa aa bb"), (2L, "x", "aa cc"),
+      (3L, "y", "dd dd dd"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.perplexityOver(docs, k = 2, tau = 1.5)
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    def nll9(p: Double): BigDecimal = BigDecimal(-math.log(p))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val inV = nll9(4.0 / 11)   // c=3 → (3+1)/11
+    val oov = nll9(1.0 / 11)
+    // mirror the production arithmetic exactly: decimal-exact sum,
+    // ONE double division, then the same half-up round at scale 4
+    def doc(parts: BigDecimal*): Double =
+      BigDecimal(parts.sum.toDouble / parts.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Seq(
+      (1L, "x", 3L, doc(inV, inV, oov), doc(inV, inV, oov) <= 1.5),
+      (2L, "x", 2L, doc(inV, oov), doc(inV, oov) <= 1.5),
+      (3L, "y", 3L, doc(inV, inV, inV), doc(inV, inV, inV) <= 1.5))
+    assert(got == want, s"got $got, want $want")
+    // the threshold actually splits this corpus (keep and drop both
+    // non-empty), so the cut is exercised, not vacuous
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
 }
