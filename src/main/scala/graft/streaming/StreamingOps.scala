@@ -64,6 +64,79 @@ class TwsUserStats extends org.apache.spark.sql.streaming.StatefulProcessor[
   }
 }
 
+/** One held session for [[TwsSessionTimers]]: [startUs, endUs] event
+  * span, row count, and the value sum as EXACT CENTS (each row's value
+  * is rounded to DECIMAL(18,2) semantics — BigDecimal HALF_UP at scale
+  * 2 — before summing, so the accumulated sum is integer arithmetic
+  * and matches the oracle's SUM(CAST(value AS DECIMAL(18,2))) with no
+  * float-ordering sensitivity). */
+case class TwsSession(startUs: Long, endUs: Long, n: Long, sumCents: Long)
+
+/** Session processor for `stream_tws_timers` — the full
+  * transformWithState triad: ListState (held sessions) + EVENT-TIME
+  * TIMERS + watermark-driven eviction, hand-rolling what
+  * `session_window` does natively so the v2 API's timer surface is
+  * actually exercised. Per user, open sessions (gap = 30 min, the
+  * LAG-greater-than convention) are held in a ListState; every input
+  * batch merge-sessionizes the new events INTO the held set (two
+  * sessions bridged by a new event coalesce; counts and cent-sums
+  * add — summaries suffice, raw events are never retained), then one
+  * timer is registered per session at end + gap. When the watermark
+  * passes a timer, handleExpiredTimer emits every RIPE session
+  * (end + gap ≤ watermark) exactly once and keeps the rest — so a
+  * stale timer (its session was extended) fires harmlessly, and state
+  * holds only the watermark horizon, never the stream's history. */
+class TwsSessionTimers extends
+    org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+    OutputMode, TTLConfig, TimeMode, TimerValues}
+  import org.apache.spark.sql.Encoders
+  private val GapUs = 30L * 60 * 1000 * 1000
+  private val GapMs = 30L * 60 * 1000
+  @transient private var sessions: ListState[TwsSession] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sessions = getHandle.getListState[TwsSession]("sessions",
+      Encoders.product[TwsSession], TTLConfig.NONE)
+  /** Merge-sessionize: held sessions + new (tsUs, cents) events under
+    * the gap rule. Both inputs summary-sized; output sorted by start. */
+  private[graft] def merge(held: Seq[TwsSession],
+      events: Seq[(Long, Long)]): Seq[TwsSession] = {
+    val all = (held ++ events.map(e => TwsSession(e._1, e._1, 1L, e._2)))
+      .sortBy(s => (s.startUs, s.endUs))
+    all.foldLeft(List.empty[TwsSession]) { (acc, s) =>
+      acc match {
+        case h :: t if s.startUs - h.endUs <= GapUs =>
+          TwsSession(h.startUs, math.max(h.endUs, s.endUs), h.n + s.n,
+            h.sumCents + s.sumCents) :: t
+        case _ => s :: acc
+      }
+    }.reverse
+  }
+  override def handleInputRows(user: Long,
+      rows: Iterator[(Long, Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    val held = if (sessions.exists()) sessions.get().toSeq else Seq.empty
+    val merged = merge(held, rows.map(r => (r._2, r._3)).toSeq)
+    sessions.put(merged.toArray)
+    // one timer per session at its CURRENT expiry; ms floor matches the
+    // watermark's ms precision. Re-registering an unchanged expiry is
+    // an idempotent overwrite in the timer store.
+    merged.foreach(s => getHandle.registerTimer(s.endUs / 1000 + GapMs))
+    Iterator.empty
+  }
+  override def handleExpiredTimer(user: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+    val held = if (sessions.exists()) sessions.get().toSeq else Seq.empty
+    val wm = timers.getCurrentWatermarkInMs
+    val (ripe, open) = held.partition(s => s.endUs / 1000 + GapMs <= wm)
+    if (open.isEmpty) sessions.clear()
+    else sessions.put(open.toArray)
+    ripe.sortBy(_.startUs).iterator
+      .map(s => (user, s.startUs, s.n, s.sumCents))
+  }
+}
+
 /** SURVEY.md §2i — Structured Streaming (X-tier; the reference is batch-
   * only, its event-time partition model maps 1:1 onto tumbling windows:
   * hourly partitions ≙ `window(ts, '1 hour')`, `TimeEx:134-136`).
@@ -527,6 +600,55 @@ object StreamingOps {
       .agg(max($"n_types").as("n_types"), max($"n").as("n"),
         max($"max_value").as("max_value"))
       .orderBy($"user_id"))
+  }
+
+  /** `stream_tws_timers` — the transformWithState TIMER surface
+    * (processor = [[TwsSessionTimers]]): hand-rolled session windows
+    * where eviction is driven by per-key EVENT-TIME TIMERS instead of
+    * the session_window operator's built-in state machine — ListState
+    * holds open sessions, every batch merge-sessionizes new events
+    * into it, and a watermark-passed timer emits each closed session
+    * exactly once (append mode; the no-data batch carries the advanced
+    * watermark that fires the timers, so this key must NOT run under
+    * [[withoutNoDataBatches]]). Probes user slice `user_id % 5 = 4`
+    * (disjoint from every other streaming probe); gap 30 min,
+    * watermark 3 h. Value sums ride exact cents (DECIMAL(18,2) × 100
+    * as long) end to end. Oracle = batch gap-sessionization cut at the
+    * final watermark — sessions the watermark never passed stay in
+    * state and appear nowhere. */
+  def streamTwsTimers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val queryName = s"tws_timers_${System.nanoTime()}"
+    val src = Tables.normalizeTs(spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir))
+      .filter($"user_id".isNotNull && $"value".isNotNull &&
+        $"ts".isNotNull)
+      .filter($"user_id" % 5 === 4)
+      .withWatermark("ts", "3 hours")
+      .select($"user_id", unix_micros($"ts").as("ts_us"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)]
+    val out = src.groupByKey(_._1)
+      .transformWithState(new TwsSessionTimers,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "session_start_us", "n", "sum_cents")
+    withRocksDbStateStore(spark) { withStatePartitions(spark, 2) {
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      drain(q, tag = "tws_timers")
+    } }
+    releaseSink(spark, queryName)(spark.table(queryName)
+      .select($"user_id", $"session_start_us",
+        $"n", ($"sum_cents".cast("double") / 100).as("sum_value"))
+      .orderBy($"user_id", $"session_start_us"))
   }
 
   /** `stream_stream_join` — watermarked stream-stream interval join (the
@@ -1017,6 +1139,7 @@ object StreamingOps {
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_custom_state" -> (streamCustomState _),
     "stream_tws_state" -> (streamTwsState _),
+    "stream_tws_timers" -> (streamTwsTimers _),
     "stream_hourly_rollup" -> (streamHourlyRollup _),
     "stream_session_agg" -> (streamSessionAgg _),
     "stream_session_watermark" -> (streamSessionWatermark _),
@@ -1109,6 +1232,38 @@ object StreamingOps {
         |  COUNT(*) AS n, MAX(value) AS max_value
         |FROM events WHERE user_id % 4 = 3
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // batch gap-sessionization (30-min LAG rule) cut at the final
+    // watermark: emitted sessions are exactly those whose ms-floored
+    // end + gap the watermark (ms-floored max ts - 3 h) passed
+    "stream_tws_timers" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value FROM events WHERE user_id % 5 = 4),
+        |wm AS (
+        |  SELECT epoch_ms(CAST(date_trunc('millisecond', MAX(ts))
+        |    AS TIMESTAMP)) - 3*3600*1000 AS w
+        |  FROM e),
+        |flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           > INTERVAL 30 MINUTE OR
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |closed AS (
+        |  SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |    epoch_ms(CAST(date_trunc('millisecond', MAX(ts))
+        |      AS TIMESTAMP)) AS end_ms
+        |  FROM sessions GROUP BY user_id, sid)
+        |SELECT user_id, session_start_us, n, sum_value
+        |FROM closed, wm WHERE end_ms + 30*60*1000 <= w
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,

@@ -90,4 +90,59 @@ class TwsStateSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("stream_tws_timers: emitted = batch sessionization cut at the " +
+      "final watermark, and the held tail is non-empty (timers evict, " +
+      "the cut is not vacuous)") {
+    import spark.implicits._
+    val got = graft.streaming.StreamingOps.streamTwsTimers(spark, sf)
+      .collect().toSeq
+    val e = graft.sources.Tables.events(spark, sf)
+      .filter($"user_id" % 5 === 4)
+    val wmMs = e.agg(max(date_trunc("millisecond", $"ts"))).head
+      .getTimestamp(0).getTime - 3 * 3600 * 1000L
+    val lagTs = lag($"ts", 1).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts"))
+    val sessions = e
+      .withColumn("new_session",
+        when(lagTs.isNull ||
+          unix_micros($"ts") - unix_micros(lagTs) >
+            30L * 60 * 1000 * 1000, 1).otherwise(0))
+      .withColumn("sid", sum($"new_session").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts")
+          .rowsBetween(Long.MinValue, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(unix_micros(min($"ts")).as("session_start_us"),
+        count(lit(1)).as("n"),
+        graft.operators.dsum($"value").as("sum_value"),
+        (unix_millis(date_trunc("millisecond", max($"ts"))) +
+          30L * 60 * 1000).as("expiry_ms"))
+    val want = sessions.filter($"expiry_ms" <= wmMs)
+      .select($"user_id", $"session_start_us", $"n", $"sum_value")
+      .orderBy($"user_id", $"session_start_us").collect().toSeq
+    assert(got.nonEmpty && got == want)
+    assert(sessions.count() > got.size,
+      "no held sessions — the watermark cut is vacuous at this sf")
+  }
+
+  test("TwsSessionTimers.merge coalesces sessions a new event bridges " +
+      "and respects the exact gap boundary") {
+    import graft.streaming.{TwsSession, TwsSessionTimers}
+    val p = new TwsSessionTimers
+    val gapUs = 30L * 60 * 1000 * 1000
+    val a = TwsSession(0L, 100L, 2L, 500L)
+    val b = TwsSession(100L + 2 * gapUs, 100L + 2 * gapUs, 1L, 100L)
+    // no bridge: the two stay separate
+    assert(p.merge(Seq(a, b), Seq.empty) == Seq(a, b))
+    // a bridging event within gap of BOTH coalesces everything
+    val bridge = (100L + gapUs, 7L)
+    assert(p.merge(Seq(a, b), Seq(bridge)) ==
+      Seq(TwsSession(0L, b.endUs, 4L, 607L)))
+    // boundary: exactly gap apart = SAME session (the LAG > gap rule);
+    // one microsecond beyond = new session
+    assert(p.merge(Seq(a), Seq((100L + gapUs, 1L))).size == 1)
+    assert(p.merge(Seq(a), Seq((101L + gapUs, 1L))).size == 2)
+  }
 }
