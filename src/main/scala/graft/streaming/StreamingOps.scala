@@ -234,7 +234,12 @@ object StreamingOps {
           ("org.apache.spark.sql.execution.streaming." +
             "state.RocksDBStateStoreProvider"),
         "spark.sql.streaming.stateStore.rocksdb." +
-          "changelogCheckpointing.enabled" -> "true")
+          "changelogCheckpointing.enabled" -> "true",
+        // row-count tracking forces a get() before every put; these
+        // drains write each key once, so the audit costs more than it
+        // tells (the metric it feeds is numRowsTotal, not correctness)
+        "spark.sql.streaming.stateStore.rocksdb." +
+          "trackTotalNumberOfRows" -> "false")
       val prev = settings.map { case (k, _) => k -> spark.conf.getOption(k) }
       settings.foreach { case (k, v) => spark.conf.set(k, v) }
       try body finally prev.foreach {
@@ -581,13 +586,15 @@ object StreamingOps {
       .transformWithState(new TwsUserStats,
         TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "n_types", "n", "max_value")
-    // 2 state partitions, not the suite's 8: a RocksDB store instance
-    // carries ~1 s of open/load cost per partition per query — an
+    // 1 state partition, not the suite's 8: a RocksDB store instance
+    // carries ~0.4-1 s of open/load cost per partition per query — an
     // order of magnitude above the HDFSBacked store's — and this
-    // single-drain state is KB-sized. At 100 TB the count scales with
-    // the keyspace (the conf is per-query, as here), and long-lived
-    // queries amortize the open across thousands of batches.
-    withRocksDbStateStore(spark) { withStatePartitions(spark, 2) {
+    // single-drain state is KB-sized with a trivial per-key update
+    // (stream_tws_timers, whose merge work is real CPU, keeps 2). At
+    // 100 TB the count scales with the keyspace (the conf is
+    // per-query, as here), and long-lived queries amortize the open
+    // across thousands of batches.
+    withRocksDbStateStore(spark) { withStatePartitions(spark, 1) {
       val q = out.writeStream
         .outputMode("update")
         .format("memory")
