@@ -22,6 +22,7 @@ object SparkEntry {
       graft.sources.IngestOps.queries ++ graft.sources.LakeOps.queries ++
       graft.sources.CryptoOps.queries ++
       TextOps.queries ++ RetrievalOps.queries ++
+      CdcOps.queries ++ DqOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++
       MultimodalOps.queries ++ GenOps.queries ++
       PipelineOps.queries ++ RobustOps.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
       graft.sources.IngestOps.oracles ++ graft.sources.LakeOps.oracles ++
       graft.sources.CryptoOps.oracles ++
       TextOps.oracles ++ RetrievalOps.oracles ++
+      CdcOps.oracles ++ DqOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++
       MultimodalOps.oracles ++ GenOps.oracles ++
       PipelineOps.oracles ++ RobustOps.oracles ++

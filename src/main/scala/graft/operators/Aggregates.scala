@@ -456,7 +456,38 @@ object Aggregates {
       .orderBy($"day")
   }
 
+  /** `agg_corr_exact` — per-returnflag Pearson correlation of quantity vs
+    * extended price from DECIMAL-EXACT second moments. The built-in
+    * `corr()` streams float co-moments whose value depends on partition
+    * visit order — unusable under a hash oracle and subtly
+    * non-reproducible at 100 TB. Instead the five moments (Σx, Σy, Σx²,
+    * Σy², Σxy) accumulate in decimal (2-dp inputs → 4-dp products, all
+    * exact, order-independent, and map-side-combinable like any sum), and
+    * the one-row-per-group corr formula runs in float64 at the end with
+    * the same textual operation order as the oracle. Single shuffle,
+    * partial aggregation, no second pass for the means. */
+  def aggCorrExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = dec($"l_quantity")
+    val y = dec($"l_extendedprice")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+      .select($"l_returnflag", $"n",
+        round(
+          (d($"n") * d($"sxy") - d($"sx") * d($"sy")) /
+            (sqrt(d($"n") * d($"sxx") - d($"sx") * d($"sx")) *
+              sqrt(d($"n") * d($"syy") - d($"sy") * d($"sy"))),
+          6).as("corr"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr_exact" -> (aggCorrExact _),
     "agg_pivot" -> (aggPivot _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_percentile" -> (aggPercentile _),
@@ -483,6 +514,25 @@ object Aggregates {
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "agg_corr_exact" ->
+      s"""WITH m AS (
+         |  SELECT l_returnflag, COUNT(*) AS n,
+         |    SUM(CAST(l_quantity AS $D)) AS sx,
+         |    SUM(CAST(l_extendedprice AS $D)) AS sy,
+         |    SUM(CAST(l_quantity AS $D) * CAST(l_quantity AS $D)) AS sxx,
+         |    SUM(CAST(l_extendedprice AS $D) *
+         |      CAST(l_extendedprice AS $D)) AS syy,
+         |    SUM(CAST(l_quantity AS $D) *
+         |      CAST(l_extendedprice AS $D)) AS sxy
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, n,
+         |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+         |       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+         |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT user_id, event_type, COUNT(*) AS n

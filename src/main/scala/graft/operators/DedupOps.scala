@@ -531,7 +531,62 @@ object DedupOps {
     (novel, pos)
   }
 
+  /** `dedup_fuzzy_edit` — blocked edit-distance near-dup pairs: the
+    * fuzzy tier BETWEEN `dedup_near` (hash-exact after normalization —
+    * distance 0 only) and the shingle families (set overlap — blind to
+    * character-level typo edits). Docs are blocked on (lang | first 12
+    * normalized chars); only same-block pairs are compared, with
+    * Levenshtein over the 80-char ASCII head as the confirm.
+    *
+    * Scale shape: candidate generation is a bucket equi-join — the same
+    * discipline as the LSH bands — so the corpus NEVER sees an all-pairs
+    * product. Two guards make the worst case structural, not hoped-for:
+    * docs whose normalized text is shorter than the block key are
+    * excluded (the null/empty hot bucket cannot form), and any block
+    * larger than 64 members is dropped by a windowed count BEFORE the
+    * join (corpus-hot boilerplate prefixes — a block of B docs costs
+    * B²/2 O(80²) confirms, so the cap bounds per-block work at ~2k
+    * comparisons; production would route dropped blocks to the shingle
+    * path instead). Levenshtein runs on the ASCII projection because
+    * the two engines agree on unit-cost character edits only there —
+    * the honest portability bound, stated rather than hidden. */
+  def dedupFuzzyEdit(spark: SparkSession, dir: String): DataFrame =
+    fuzzyEditPairs(Tables.documents(spark, dir))
+
+  /** Blocked edit-distance pairs over any (doc_id, text, lang) relation
+    * — shared by the key and DedupSpec's planted-typo corpora. */
+  private[graft] def fuzzyEditPairs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ascii = regexp_replace(coalesce($"text", lit("")),
+      "[^\\x20-\\x7e]", "")
+    val norm = regexp_replace(
+      lower(trim(regexp_replace($"text", "\\s+", " "))), "[^a-z0-9 ]", "")
+    val blocked = docs
+      .select($"doc_id", substring(ascii, 1, 80).as("head"),
+        norm.as("norm"), coalesce($"lang", lit("")).as("lang"))
+      .filter(length($"norm") >= 12)
+      .select($"doc_id", $"head",
+        concat($"lang", lit("|"), substring($"norm", 1, 12)).as("blk"))
+    // eager cut: the guarded block table feeds both join sides (the
+    // jaccardPairs discipline); at full scale this is persist(DISK_ONLY)
+    val guarded = blocked
+      .withColumn("bn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"blk")))
+      .filter($"bn" <= 64).drop("bn")
+      .localCheckpoint(true)
+    guarded.as("a").join(guarded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.blk").as("blk"),
+        levenshtein(col("a.head"), col("b.head")).cast("long").as("dist"))
+      .filter($"dist" <= 8)
+      .orderBy($"da", $"db")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_fuzzy_edit" -> (dedupFuzzyEdit _),
     "dedup_corpus_bloom" -> (dedupCorpusBloom _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_url" -> (dedupUrl _),
@@ -620,6 +675,29 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_fuzzy_edit" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(coalesce(text, ''),
+        |      '[^\x20-\x7e]', '', 'g'), 1, 80) AS head,
+        |    regexp_replace(lower(trim(regexp_replace(text, '\s+', ' ',
+        |      'g'))), '[^a-z0-9 ]', '', 'g') AS norm,
+        |    coalesce(lang, '') AS lang
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, head,
+        |    concat(lang, '|', substr(norm, 1, 12)) AS blk
+        |  FROM d WHERE length(norm) >= 12),
+        |g AS (
+        |  SELECT doc_id, head, blk FROM (
+        |    SELECT doc_id, head, blk,
+        |      COUNT(*) OVER (PARTITION BY blk) AS bn FROM f)
+        |  WHERE bn <= 64)
+        |SELECT a.doc_id AS da, b.doc_id AS db, a.blk AS blk,
+        |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        |FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 8
+        |ORDER BY da, db""".stripMargin,
     "dedup_corpus_bloom" ->
       """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
         |corpus AS (

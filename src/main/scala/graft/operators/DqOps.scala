@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-quality operators (SURVEY.md §2k validation family).
+  *
+  * The reference's only quality gate is schema-shape validation at
+  * ingest (`aig/AIGEventsSchemaValidator.java:148-205`, required-field
+  * nullability at `:154-161`); `validate_schema` / `ingest_quarantine`
+  * cover that surface. A production pipeline also runs CONTENT checks —
+  * expectation suites over the values (the Great-Expectations/dbt-test
+  * shape) and statistical outlier screens — before data is allowed
+  * downstream. These two keys are that tier.
+  *
+  * Scale design: `dq_expectations`' scalar expectations all fold into
+  * ONE scan → ONE 1-row aggregate (each check is a conditional count —
+  * map-side combinable), then the tall report is an explode of that
+  * single row: metadata-scale. The uniqueness expectation is the only
+  * one that fundamentally needs a shuffle (distinct on the key pair);
+  * it shares the same scan and runs as a count-distinct partial
+  * aggregate, not a self-join. `dq_outlier_iqr` computes EXACT discrete
+  * order statistics per group (rank-at-ceil(p·n), the same discipline
+  * as `length_band_filter`) — one shuffle on the group key, and the
+  * rank/fence/classify steps all ride that single Exchange as window +
+  * final aggregate. Interpolating quantile functions are deliberately
+  * avoided: engines disagree on interpolation arithmetic, but the
+  * element AT a rank is a raw data value — bit-identical everywhere.
+  */
+object DqOps {
+
+  private val Total = "total"
+
+  /** `dq_expectations` — an expectation-suite report over lineitem: one
+    * row per expectation with observed violations and a pass flag.
+    * Checks: not-null key, non-negative quantity, discount within
+    * [0, 0.1], returnflag in the accepted set, and (orderkey, linenumber)
+    * uniqueness — the one expectation this corpus genuinely fails, so
+    * the report proves the fail path, not just a wall of greens. */
+  def dqExpectations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def viol(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val agg = Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as(Total),
+      viol($"l_orderkey".isNull).as("v_notnull"),
+      viol($"l_quantity" < 0).as("v_nonneg"),
+      viol(!$"l_discount".between(0.0, 0.1)).as("v_range"),
+      viol(!$"l_returnflag".isin("A", "N", "R")).as("v_accepted"),
+      countDistinct($"l_orderkey", $"l_linenumber").as("n_distinct"))
+    def row(name: String, column: String, v: Column) = struct(
+      lit(name).as("expectation"), lit(column).as("column"),
+      v.as("violations"), col(Total).as("total"), (v === 0L).as("pass"))
+    agg.select(explode(array(
+        row("not_null", "l_orderkey", $"v_notnull"),
+        row("non_negative", "l_quantity", $"v_nonneg"),
+        row("in_range_0_0.1", "l_discount", $"v_range"),
+        row("accepted_values", "l_returnflag", $"v_accepted"),
+        row("unique", "l_orderkey,l_linenumber",
+          col(Total) - $"n_distinct"))).as("r"))
+      .select($"r.*")
+      .orderBy($"expectation")
+  }
+
+  /** `dq_outlier_iqr` — per-event-type Tukey outlier screen: exact
+    * discrete Q1/Q3 (value at rank ceil(p·n) under (value, event_id)
+    * order — raw data values, no interpolation), fences at
+    * q ∓ 1.5·IQR, and the out-of-fence count. The fences are IEEE-
+    * identical on both engines because they are the same textual ops on
+    * bit-identical inputs. */
+  def dqOutlierIqr(spark: SparkSession, dir: String): DataFrame =
+    outlierIqrOver(Tables.events(spark, dir))
+
+  /** The IQR screen over any (event_type, value, event_id) relation —
+    * shared by the key and DqSpec's planted-outlier corpora. */
+  private[graft] def outlierIqrOver(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val byType = Window.partitionBy($"event_type")
+    val ordered = byType.orderBy($"value", $"event_id")
+    def rankAt(p: Double): Column =
+      ceil($"n".cast("double") * lit(p)).cast("long")
+    val q = events
+      .filter($"value".isNotNull)
+      .select($"event_type", $"value", $"event_id")
+      .withColumn("rn", row_number().over(ordered).cast("long"))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("q1",
+        max(when($"rn" === rankAt(0.25), $"value")).over(byType))
+      .withColumn("q3",
+        max(when($"rn" === rankAt(0.75), $"value")).over(byType))
+    val lo = $"q1" - lit(1.5) * ($"q3" - $"q1")
+    val hi = $"q3" + lit(1.5) * ($"q3" - $"q1")
+    q.groupBy($"event_type")
+      .agg(max($"n").as("n"),
+        max($"q1").as("q1"), max($"q3").as("q3"),
+        sum(when($"value" < lo || $"value" > hi, 1L).otherwise(0L))
+          .as("n_outliers"),
+        min($"value").as("vmin"), max($"value").as("vmax"))
+      .select($"event_type", $"n", $"q1", $"q3",
+        ($"q1" - lit(1.5) * ($"q3" - $"q1")).as("lo"),
+        ($"q3" + lit(1.5) * ($"q3" - $"q1")).as("hi"),
+        $"n_outliers", $"vmin", $"vmax")
+      .orderBy($"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_expectations" -> (dqExpectations _),
+    "dq_outlier_iqr" -> (dqOutlierIqr _))
+
+  val oracles: Map[String, String] = Map(
+    "dq_expectations" ->
+      """WITH m AS (
+        |  SELECT COUNT(*) AS total,
+        |    SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS v_notnull,
+        |    SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS v_nonneg,
+        |    SUM(CASE WHEN l_discount NOT BETWEEN 0 AND 0.1
+        |      THEN 1 ELSE 0 END) AS v_range,
+        |    SUM(CASE WHEN l_returnflag NOT IN ('A','N','R')
+        |      THEN 1 ELSE 0 END) AS v_accepted
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT COUNT(*) AS n_distinct FROM
+        |    (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+        |SELECT expectation, "column",
+        |  CAST(violations AS BIGINT) AS violations,
+        |  CAST(total AS BIGINT) AS total, violations = 0 AS pass
+        |FROM (
+        |  SELECT 'not_null' AS expectation, 'l_orderkey' AS "column",
+        |    v_notnull AS violations, total FROM m
+        |  UNION ALL SELECT 'non_negative', 'l_quantity', v_nonneg, total
+        |  FROM m
+        |  UNION ALL SELECT 'in_range_0_0.1', 'l_discount', v_range, total
+        |  FROM m
+        |  UNION ALL SELECT 'accepted_values', 'l_returnflag', v_accepted,
+        |    total FROM m
+        |  UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber',
+        |    m.total - u.n_distinct, m.total FROM m, u)
+        |ORDER BY expectation""".stripMargin,
+    "dq_outlier_iqr" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value, event_id,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY event_type ORDER BY value, event_id)
+        |      AS BIGINT) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |q AS (
+        |  SELECT event_type, value, n,
+        |    max(CASE WHEN rn =
+        |        CAST(ceil(CAST(n AS DOUBLE) * 0.25) AS BIGINT)
+        |      THEN value END) OVER (PARTITION BY event_type) AS q1,
+        |    max(CASE WHEN rn =
+        |        CAST(ceil(CAST(n AS DOUBLE) * 0.75) AS BIGINT)
+        |      THEN value END) OVER (PARTITION BY event_type) AS q3
+        |  FROM ranked)
+        |SELECT event_type, MAX(n) AS n, MAX(q1) AS q1, MAX(q3) AS q3,
+        |  MAX(q1) - 1.5 * (MAX(q3) - MAX(q1)) AS lo,
+        |  MAX(q3) + 1.5 * (MAX(q3) - MAX(q1)) AS hi,
+        |  CAST(SUM(CASE WHEN value < q1 - 1.5 * (q3 - q1)
+        |    OR value > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  MIN(value) AS vmin, MAX(value) AS vmax
+        |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

@@ -274,4 +274,42 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
     assert(pairs.head.getDouble(2) == 0.8)
   }
+
+  test("fuzzy edit-distance pairs: planted typos found at their exact " +
+      "distance, cross-block pairs impossible, far tails rejected by " +
+      "the threshold, hot blocks dropped by the 64-member cap") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "some more filler text to pass eighty characters of head easily"
+    // block A: exact dup (dist 0), two single-char typos past the
+    // 12-char block key, one same-block doc with a hostile tail
+    val blockA = Seq(
+      (1L, base, "en"),
+      (2L, base, "en"),                                  // dist 0 to 1
+      (3L, base.updated(20, 'x'), "en"),                 // dist 1
+      (4L, base.updated(20, 'x').updated(30, 'q'), "en"),// dist 2
+      (5L, base.take(15) + ("Z" * 70), "en"))            // dist >> 8
+    // block B: same text, different lang -> different block
+    val blockB = Seq((6L, base, "de"))
+    // hot block: 70 near-identical docs sharing a 12-char prefix
+    val hot = (100L until 170L).map(i =>
+      (i, s"hotprefix common boilerplate row number $i padded out to " +
+        "be long enough for the ascii head window", "en"))
+    val docs = (blockA ++ blockB ++ hot).toDF("doc_id", "text", "lang")
+    val got = DedupOps.fuzzyEditPairs(docs)
+      .select($"da", $"db", $"dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1))-> r.getLong(2)).toMap
+    // planted pairs at their exact Levenshtein distances (head = first
+    // 80 ascii chars, so the distances are those of the 80-char heads)
+    assert(got((1L, 2L)) === 0L)
+    assert(got((1L, 3L)) === 1L)
+    assert(got((1L, 4L)) === 2L)
+    assert(got((3L, 4L)) === 1L)
+    // doc 5 shares the block but its tail is beyond the threshold
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+    // doc 6 is in a different lang-block: never paired despite equal text
+    assert(!got.keySet.exists(p => p._1 == 6L || p._2 == 6L))
+    // the 70-member hot block is dropped whole: no pair involves it
+    assert(!got.keySet.exists(p => p._1 >= 100L || p._2 >= 100L))
+  }
 }

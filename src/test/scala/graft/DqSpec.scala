@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.DqOps
+import org.apache.spark.sql.functions._
+
+/** Data-quality tier laws: the expectation report's counters re-derived
+  * independently, and the IQR screen proven on planted corpora where the
+  * fences and outlier set are known exactly. */
+class DqSpec extends SparkSpecBase {
+
+  test("dq_expectations on the driver corpus: clean checks pass, the " +
+      "uniqueness violation count equals the independent recount") {
+    import spark.implicits._
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val total = li.count()
+    val distinctPairs = li.select($"l_orderkey", $"l_linenumber")
+      .distinct().count()
+    val rows = DqOps.dqExpectations(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(rows.size === 5)
+    for (name <- Seq("not_null", "non_negative", "in_range_0_0.1",
+        "accepted_values")) {
+      assert(rows(name) === ((0L, total, true)), name)
+    }
+    val (uv, ut, upass) = rows("unique")
+    assert(ut === total)
+    assert(uv === total - distinctPairs)
+    assert(upass === (uv == 0L))
+    // this corpus genuinely violates the uniqueness expectation — the
+    // report must prove the FAIL path, not a wall of greens
+    assert(uv > 0L)
+  }
+
+  test("dq_outlier_iqr on planted data: exact rank-based Q1/Q3, exact " +
+      "fences, exactly the planted outliers flagged; constant group " +
+      "has zero IQR and zero outliers; all-null group is absent") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => ("a", i.toDouble, i.toLong)) ++
+      Seq(("a", 1000.0, 101L), ("a", -1000.0, 102L))
+    val b = (1 to 10).map(i => ("b", 5.0, 200L + i))
+    val c = (1 to 5).map(i => ("c", null.asInstanceOf[java.lang.Double],
+      300L + i))
+    val df = (a.map(t => (t._1, t._2: java.lang.Double, t._3)) ++
+        b.map(t => (t._1, t._2: java.lang.Double, t._3)) ++ c)
+      .toDF("event_type", "value", "event_id")
+    val got = DqOps.outlierIqrOver(df).orderBy($"event_type").collect()
+    assert(got.length === 2)
+    val ra = got(0)
+    // n=102; sorted: -1000, 1..100, 1000. Q1 at rank ceil(0.25*102)=26
+    // -> 25.0; Q3 at rank ceil(0.75*102)=77 -> 76.0. IQR=51 ->
+    // fences [-51.5, 152.5] -> exactly the two planted outliers.
+    assert(ra.getString(0) === "a")
+    assert(ra.getLong(1) === 102L)
+    assert(ra.getDouble(2) === 25.0)
+    assert(ra.getDouble(3) === 76.0)
+    assert(ra.getDouble(4) === 25.0 - 1.5 * 51.0)
+    assert(ra.getDouble(5) === 76.0 + 1.5 * 51.0)
+    assert(ra.getLong(6) === 2L)
+    assert(ra.getDouble(7) === -1000.0 && ra.getDouble(8) === 1000.0)
+    val rb = got(1)
+    assert(rb.getString(0) === "b")
+    assert(rb.getDouble(2) === 5.0 && rb.getDouble(3) === 5.0)
+    assert(rb.getLong(6) === 0L)
+  }
+
+  test("dq_outlier_iqr corpus laws: q1 <= q3, fences bracket the " +
+      "quartiles, quartiles are actual data values, outlier count " +
+      "matches an independent recount") {
+    import spark.implicits._
+    val rep = DqOps.dqOutlierIqr(spark, sf).collect()
+    assert(rep.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter($"value".isNotNull)
+    rep.foreach { r =>
+      val (et, q1, q3, lo, hi, nOut) = (r.getString(0), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))
+      assert(q1 <= q3 && lo <= q1 && hi >= q3, et)
+      // quartiles are raw data values of that group
+      assert(ev.filter($"event_type" === et && $"value" === q1)
+        .count() > 0, s"$et q1")
+      assert(ev.filter($"event_type" === et && $"value" === q3)
+        .count() > 0, s"$et q3")
+      val recount = ev.filter($"event_type" === et &&
+        ($"value" < lo || $"value" > hi)).count()
+      assert(recount === nOut, s"$et outliers")
+    }
+  }
+}

@@ -362,4 +362,33 @@ class SimilaritySpec extends SparkSpecBase {
       assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
     }
   }
+
+  test("rank eval identity law: a perfect approximation (dq = v) " +
+      "scores NDCG exactly 1.0 with all 10 hits on every query") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val v = transform($"embedding", x => x.cast("double"))
+    val base = graft.sources.Tables.embeddingsValid(spark, sf)
+      .select($"vec_id", v.as("v"), v.as("dq"))
+    val rows = SimilarityOps.rankEval(base).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 10L, s"hits for query ${r.getLong(0)}")
+      assert(r.getDouble(2) === r.getDouble(3), "dcg == idcg")
+      assert(r.getDouble(4) === 1.0, s"ndcg for query ${r.getLong(0)}")
+    }
+  }
+
+  test("sim_ndcg_quantized corpus report: 10 queries, ndcg in (0, 1], " +
+      "dcg never exceeds idcg, hits bounded by 10") {
+    val rows = SimilarityOps.simNdcgQuantized(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (hits, dcg, idcg, ndcg) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(hits >= 0L && hits <= 10L)
+      assert(dcg <= idcg + 1e-9)
+      assert(ndcg > 0.0 && ndcg <= 1.0 + 1e-9)
+    }
+  }
 }
