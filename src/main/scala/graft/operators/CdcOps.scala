@@ -88,8 +88,11 @@ object CdcOps {
     "scd2_build" -> (scd2Build _),
     "scd2_asof" -> (scd2Asof _))
 
-  /** Shared oracle CTEs — the DuckDB twin of [[changes]]+[[scd2Build]]. */
-  private val SCD2_CTES =
+  /** Shared oracle CTEs — the DuckDB twin of [[scd2Over]] on the
+    * `user_id < 30` events slice. Also consumed by the streaming twin's
+    * oracle (`stream_scd2_current`), so the two surfaces can never
+    * drift apart. */
+  private[graft] val SCD2_CTES =
     """WITH ordered AS (
       |  SELECT user_id, ts, event_id, event_type,
       |    lag(event_type) OVER

@@ -105,11 +105,55 @@ object DqOps {
       .orderBy($"event_type")
   }
 
+  /** `dq_freshness` — calendar-completeness / freshness audit: one row
+    * per EXPECTED day (a fixed 35-day calendar spanning past the
+    * corpus), with observed event count, distinct users, the last
+    * event's timestamp, and a staleness flag for days with no data at
+    * all. The left join from the calendar is what distinguishes this
+    * from a plain rollup: a silent ingestion hole produces a row that
+    * SAYS so, instead of silently vanishing from the report — the
+    * failure mode partition-level monitoring exists to catch (the
+    * reference's hourly-partition layout makes holes invisible to a
+    * reader the same way, `TimeEx:144-196`). Scale shape: one scan +
+    * one shuffle on the day key; the calendar side is 35 literal rows
+    * broadcast against the aggregate, and the report is
+    * calendar-bounded regardless of corpus size. */
+  def dqFreshness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cal = spark.sql(
+      """SELECT explode(sequence(DATE'2024-01-01', DATE'2024-02-04',
+        |  interval 1 day)) AS day""".stripMargin)
+    val act = Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        max($"ts").as("last_ts"))
+    cal.join(act, Seq("day"), "left")
+      .select($"day", coalesce($"n", lit(0L)).as("n"),
+        coalesce($"n_users", lit(0L)).as("n_users"), $"last_ts",
+        $"n".isNull.as("is_stale"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_expectations" -> (dqExpectations _),
+    "dq_freshness" -> (dqFreshness _),
     "dq_outlier_iqr" -> (dqOutlierIqr _))
 
   val oracles: Map[String, String] = Map(
+    "dq_freshness" ->
+      """WITH cal AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+        |    DATE '2024-02-04', INTERVAL 1 DAY)) AS DATE) AS day),
+        |act AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |    COUNT(DISTINCT user_id) AS n_users, MAX(ts) AS last_ts
+        |  FROM events GROUP BY 1)
+        |SELECT cal.day, coalesce(act.n, 0) AS n,
+        |  coalesce(act.n_users, 0) AS n_users, act.last_ts,
+        |  act.n IS NULL AS is_stale
+        |FROM cal LEFT JOIN act ON cal.day = act.day
+        |ORDER BY cal.day""".stripMargin,
     "dq_expectations" ->
       """WITH m AS (
         |  SELECT COUNT(*) AS total,

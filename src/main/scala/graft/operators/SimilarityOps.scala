@@ -625,10 +625,17 @@ object SimilarityOps {
     * vec_id < 10, candidates the rest, ranked by cosine over `v` (truth)
     * vs `dq` (approximation). Shared by the key and SimilaritySpec's
     * identity law (dq = v must score NDCG exactly 1.0). */
-  private[graft] def rankEval(base: DataFrame): DataFrame = {
-    val spark = base.sparkSession
+  private[graft] def rankEval(rawBase: DataFrame): DataFrame = {
+    val spark = rawBase.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
+    // eager cut: the (vec_id, v, dq) table feeds FOUR consumers (each
+    // branch's corpus and query side); without it every branch re-scans
+    // and re-runs the CodegenFallback dequantize lambdas. Bounded: one
+    // row per vector. At 100 TB the same cut is persist(DISK_ONLY) —
+    // or the quantized table is already a persisted artifact of
+    // embed_quantize's write path.
+    val base = rawBase.localCheckpoint(true)
     def queriesSide = broadcast(base.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"dq".as("qdq")))
     def corpus = base.filter($"vec_id" >= 10)

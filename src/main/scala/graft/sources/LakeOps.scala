@@ -1278,6 +1278,69 @@ object LakeOps {
       .orderBy($"day")
   }
 
+  /** `remove_orphan_files` — Iceberg's RemoveOrphanFiles maintenance
+    * action, the complement of [[expireSnapshots]]: expiry reclaims
+    * files a DROPPED snapshot once referenced; this op reclaims files
+    * NO snapshot ever committed. The reference's bulk loader creates
+    * exactly this debris — it uploads every data file in parallel
+    * FIRST and commits once at the end
+    * (`BulkParquetToIcebergAtomicMultipart.java:78-101`), so a crash
+    * inside that window strands fully-written files the catalog knows
+    * nothing about. The action: reachable = the union of every
+    * snapshot's ADDED manifest (files later logically removed stay
+    * reachable — reclaiming those is expiry's job, and an orphan scan
+    * must never race it); candidates = FS listing minus reachable; only
+    * candidates older than the age threshold are deleted (Iceberg's
+    * `olderThan` guard — a file a LIVE in-flight commit just uploaded
+    * looks identical to debris, so recency is the only safe fence).
+    * The fixture plants 3 aged stray files and 1 recent in-flight one;
+    * the report carries the removed/retained counts plus the table
+    * aggregate read through the manifests — byte-identical before and
+    * after, because orphans were never visible to a reader in the
+    * first place (that invisibility is WHY the FS bloats silently at
+    * 100 TB without this op: nothing ever notices the debris).
+    * Scale note: production runs the FS listing as a distributed job
+    * and anti-joins it against the manifest file-list DATASET — the
+    * same metadata-as-data discipline as [[IngestOps]]' bloom
+    * sidecars; the driver here touches only metadata-cardinality
+    * relative paths, never row data. */
+  def removeOrphanFiles(spark: SparkSession, dir: String): DataFrame =
+    removeOrphanFilesAt(spark, dir, IngestOps.tmp("events_orphan_rm"))
+
+  /** [[removeOrphanFiles]] against a caller-chosen table root, so
+    * LakeSpec can inspect the post-action filesystem state. */
+  private[graft] def removeOrphanFilesAt(spark: SparkSession,
+      dir: String, out: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    writeVersioned(spark, dir, out)
+    val data = s"$out/data"
+    // plant the crash debris: copies of a live file under names no
+    // manifest references — 3 aged well past the threshold, 1 recent
+    val sample = liveFiles(spark, out, Seq(1)).head
+    val strays = Seq("day=1/orphan-a.parquet", "day=2/orphan-b.parquet",
+      "day=3/orphan-c.parquet", "day=4/inflight-recent.parquet")
+    strays.foreach { rel =>
+      Files.copy(Paths.get(s"$data/$sample"), Paths.get(s"$data/$rel")) }
+    strays.take(3).foreach { rel =>
+      Files.setLastModifiedTime(Paths.get(s"$data/$rel"),
+        java.nio.file.attribute.FileTime.fromMillis(0L)) }
+    // reachable = every file ANY snapshot added (removed-later included)
+    val reachable = (1 to 3)
+      .flatMap(s => readManifest(spark, out, s"snap-$s.txt")).toSet
+    val cutoffMs = System.currentTimeMillis() - 10L * 60 * 1000
+    val candidates = (listData(spark, data) -- reachable).toSeq.sorted
+    val (aged, recent) = candidates.partition { rel =>
+      Files.getLastModifiedTime(Paths.get(s"$data/$rel"))
+        .toMillis < cutoffMs }
+    aged.foreach(rel => Files.delete(Paths.get(s"$data/$rel")))
+    readLive(spark, out, 1 to 3).filter($"day".between(1, 15))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select(lit(aged.size.toLong).as("orphans_removed"),
+        lit(recent.size.toLong).as("orphans_retained"),
+        $"n", $"sum_value")
+  }
+
   /** `meta_refs` — the REFS metadata table served by the DSv2 connector
     * ([[graft.sources.GraftMetaSource]], `.option("table","refs")`),
     * completing the metadata-table family (files/snapshots/partitions/
@@ -1534,6 +1597,7 @@ object LakeOps {
     "commit_conflict_retry" -> (commitConflictRetry _),
     "update_where" -> (updateWhere _),
     "expire_snapshots" -> (expireSnapshots _),
+    "remove_orphan_files" -> (removeOrphanFiles _),
     "rollback_snapshot" -> (rollbackSnapshot _),
     "partition_evolve" -> (partitionEvolve _),
     "incremental_read" -> (incrementalRead _))
@@ -1737,6 +1801,11 @@ object LakeOps {
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
          |FROM events WHERE day(ts) BETWEEN 1 AND 15
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "remove_orphan_files" ->
+      s"""SELECT CAST(3 AS BIGINT) AS orphans_removed,
+         |  CAST(1 AS BIGINT) AS orphans_retained, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events WHERE day(ts) BETWEEN 1 AND 15""".stripMargin,
     "rollback_snapshot" ->
       s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n,
          |  COUNT(DISTINCT user_id) AS n_users,

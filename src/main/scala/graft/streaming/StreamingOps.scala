@@ -18,6 +18,16 @@ import graft.sources.Tables
 case class UserState(n: Long, maxValue: Double, lastTs: Long,
     lastId: Long, lastType: String)
 
+/** Per-user SCD2-current maintenance state for `stream_scd2_current`:
+  * the open version's ordinal and type plus the (ts_ord, event_id)
+  * tip it was applied at — the minimal state a streaming dimension
+  * maintainer carries per key (the full version HISTORY lives in the
+  * published dimension table, never in stream state). Transition is
+  * [[StreamingOps.scd2Step]], split out for StateStepSpec-style
+  * multi-batch driving. */
+case class Scd2State(version: Long, lastType: String, lastOrd: Long,
+    lastId: Long)
+
 /** Per-user stats processor for `stream_tws_state` — Spark 4's
   * `transformWithState` (arbitrary-state v2, the successor API to
   * mapGroupsWithState): state is COMPOSED from typed primitives
@@ -170,6 +180,31 @@ object StreamingOps {
       }
     }
     UserState(n, mx, lastKey._1, lastKey._2, lastType)
+  }
+
+  /** One micro-batch's worth of per-user SCD2-CURRENT maintenance for
+    * `stream_scd2_current` (rows are (user_id, event_type, ts_ord,
+    * event_id) tuples): sort the batch by the (ts_ord, event_id) total
+    * order, then fold — a row whose type differs from the applied tip
+    * opens a new version. Seeded from the previous state; a row at or
+    * behind the applied tip is DROPPED, because applying it would
+    * renumber already-published versions (the production form buffers
+    * under a watermark before applying — the stream_late_drop
+    * discipline — and this finite in-order drain never hits the
+    * branch; StreamingSpec drives it explicitly). */
+  private[graft] def scd2Step(prevOpt: Option[Scd2State],
+      rows: Iterator[(Long, String, Long, Long)]): Scd2State = {
+    var st = prevOpt.getOrElse(
+      Scd2State(0L, "", Long.MinValue, Long.MinValue))
+    rows.toArray.sortBy(r => (r._3, r._4)).foreach {
+      case (_, t, ord, id) =>
+        if (ord > st.lastOrd || (ord == st.lastOrd && id > st.lastId)) {
+          val v = if (st.version == 0L || st.lastType != t)
+            st.version + 1 else st.version
+          st = Scd2State(v, t, ord, id)
+        }
+    }
+    st
   }
 
   /** Release a memory-sink's catalog entry: sink tables are uniquely
@@ -549,6 +584,63 @@ object StreamingOps {
       .groupBy($"user_id")     // keep the final state row per key
       .agg(max($"n").as("n"), max($"max_value").as("max_value"),
         max_by($"last_type", $"n").as("last_type"))
+      .orderBy($"user_id"))
+  }
+
+  /** `stream_scd2_current` — streaming CURRENT-VIEW maintenance of the
+    * SCD2 dimension that [[graft.operators.CdcOps]] builds in batch:
+    * per user, `mapGroupsWithState` carries only the open version's
+    * (ordinal, type, applied tip) — [[Scd2State]] — and each batch
+    * folds its rows through [[scd2Step]] in (ts_ord, event_id) order.
+    * Drained on the finite file stream, the emitted current rows equal
+    * the batch SCD2 build's `is_current` slice EXACTLY — the oracle is
+    * CdcOps' own SCD2 CTEs cut to current rows, so the streaming and
+    * batch CDC surfaces are pinned to each other and cannot drift.
+    * This is the lambda-architecture reconciliation a production
+    * dimension pipeline runs: the stream maintains the serving view,
+    * the nightly batch rebuild must agree with it. State per key is
+    * O(1) — version counter and tip, never history — which is what
+    * makes the shape viable when the keyspace is 10⁹ users. */
+  def streamScd2Current(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val queryName = s"scd2_cur_${System.nanoTime()}"
+    val src = Tables.normalizeTs(spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir))
+      // validity fence at the typed boundary (stream_custom_state
+      // discipline) + the CdcOps probe slice
+      .filter($"user_id".isNotNull && $"event_type".isNotNull &&
+        $"ts".isNotNull && $"event_id".isNotNull)
+      .filter($"user_id" < 30)
+      .select($"user_id", $"event_type",
+        unix_micros($"ts").as("ts_ord"), $"event_id")
+      .as[(Long, String, Long, Long)]
+    val out = src.groupByKey(_._1)
+      .mapGroupsWithState[Scd2State, (Long, Long, String)](
+        GroupStateTimeout.NoTimeout) { case (user, rows, state) =>
+        val next = scd2Step(state.getOption, rows)
+        state.update(next)
+        (user, next.version, next.lastType)
+      }
+      .toDF("user_id", "version", "event_type")
+    withStatePartitions(spark, 8) {
+      val q = out.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      drain(q, tag = "scd2_cur")
+    }
+    // final state row per key: version is monotone; at a version tie
+    // the type is necessarily unchanged, so max_by is deterministic
+    releaseSink(spark, queryName)(spark.table(queryName)
+      .groupBy($"user_id")
+      .agg(max($"version").as("version"),
+        max_by($"event_type", $"version").as("event_type"))
       .orderBy($"user_id"))
   }
 
@@ -1145,6 +1237,7 @@ object StreamingOps {
     "stream_join_dim" -> (streamJoinDim _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_custom_state" -> (streamCustomState _),
+    "stream_scd2_current" -> (streamScd2Current _),
     "stream_tws_state" -> (streamTwsState _),
     "stream_tws_timers" -> (streamTwsTimers _),
     "stream_hourly_rollup" -> (streamHourlyRollup _),
@@ -1234,6 +1327,10 @@ object StreamingOps {
         |SELECT a.user_id, a.n, a.mx AS max_value, l.event_type AS last_type
         |FROM agg a JOIN last l ON a.user_id = l.user_id AND l.rn = 1
         |ORDER BY a.user_id""".stripMargin,
+    "stream_scd2_current" ->
+      s"""${graft.operators.CdcOps.SCD2_CTES}
+         |SELECT user_id, version, event_type FROM scd2
+         |WHERE is_current ORDER BY user_id""".stripMargin,
     "stream_tws_state" ->
       """SELECT user_id, COUNT(DISTINCT event_type) AS n_types,
         |  COUNT(*) AS n, MAX(value) AS max_value

@@ -120,4 +120,17 @@ class CdcSpec extends SparkSpecBase {
     assert(usersWithHistory.exceptAll(got.select($"user_id"))
       .count() === 0)
   }
+
+  test("streaming SCD2-current maintenance equals the batch SCD2 " +
+      "build's is_current slice — the lambda-architecture " +
+      "reconciliation law") {
+    import spark.implicits._
+    val streamed = graft.streaming.StreamingOps
+      .streamScd2Current(spark, sf)
+    val batch = CdcOps.scd2Build(spark, sf)
+      .filter($"is_current")
+      .select($"user_id", $"version", $"event_type")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
 }

@@ -964,4 +964,35 @@ class LakeSpec extends SparkSpecBase {
     // old files still back the pinned snapshot (no premature delete)
     assertPinned("after publish")
   }
+
+  test("remove_orphan_files: aged debris deleted, the recent in-flight " +
+      "file retained, every committed file untouched, reads identical " +
+      "before and after") {
+    import spark.implicits._
+    val L = sources.LakeOps
+    val out = sources.IngestOps.tmp("orphan_spec")
+    val before = graft.sources.Tables.events(spark, sf)
+      .filter(dayofmonth($"ts").between(1, 15))
+      .agg(count(lit(1)), sum(operators.dec($"value"))).collect().head
+    val rep = L.removeOrphanFilesAt(spark, sf, out).collect().head
+    assert(rep.getLong(0) === 3L, "orphans_removed")
+    assert(rep.getLong(1) === 1L, "orphans_retained")
+    assert(rep.getLong(2) === before.getLong(0), "row count intact")
+    val dataDir = new java.io.File(s"$out/data")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val names = walk(dataDir).map(_.getName).toSet
+    // the aged strays are gone; the recent in-flight upload survives
+    assert(!names.exists(_.startsWith("orphan-")), names.toString)
+    assert(names.contains("inflight-recent.parquet"))
+    // every committed file still exists (reachable set untouched)
+    val live = L.liveFiles(spark, out, 1 to 3)
+    live.foreach { rel =>
+      assert(new java.io.File(s"$out/data/$rel").exists(), rel) }
+    // and the table still answers identically through the manifests
+    val after = L.readLive(spark, out, 1 to 3)
+      .filter($"day".between(1, 15))
+      .agg(count(lit(1)), sum(operators.dec($"value"))).collect().head
+    assert(after === before)
+  }
 }

@@ -37,4 +37,30 @@ class StateStepSpec extends AnyFunSuite {
         row(1.0, "tie_lo", ord = 2000L, id = 4L)))
     assert(tie.lastType == "tie_hi" && tie.lastId == 9L)
   }
+
+  private def c(t: String, ord: Long, id: Long) = (7L, t, ord, id)
+
+  test("scd2Step: unordered batch folds in (ts_ord, event_id) order, " +
+      "runs collapse, cross-batch changes version, a late event at or " +
+      "behind the applied tip is dropped") {
+    import graft.streaming.Scd2State
+    // batch 1 arrives UNORDERED: a(1) b(3) a(2) by ord -> a,a,b -> v2
+    val b1 = StreamingOps.scd2Step(None,
+      Iterator(c("b", 300L, 3L), c("a", 100L, 1L), c("a", 200L, 2L)))
+    assert(b1 == Scd2State(2L, "b", 300L, 3L), b1)
+    // batch 2: same type extends the run (no new version), then a
+    // change opens version 3
+    val b2 = StreamingOps.scd2Step(Some(b1),
+      Iterator(c("b", 400L, 4L), c("a", 500L, 5L)))
+    assert(b2 == Scd2State(3L, "a", 500L, 5L), b2)
+    // batch 3: a LATE row behind the applied tip is dropped — applying
+    // it would renumber published versions
+    val b3 = StreamingOps.scd2Step(Some(b2),
+      Iterator(c("z", 450L, 99L)))
+    assert(b3 == b2, s"late row was applied: $b3")
+    // ord tie at the tip: equal (ord, id) dropped, higher id applied
+    val b4 = StreamingOps.scd2Step(Some(b3),
+      Iterator(c("q", 500L, 5L), c("r", 500L, 6L)))
+    assert(b4 == Scd2State(4L, "r", 500L, 6L), b4)
+  }
 }
