@@ -672,7 +672,39 @@ object SimilarityOps {
       .orderBy($"qid")
   }
 
+  /** `sim_hard_negatives` — hard-negative mining for contrastive
+    * training: for each query vector (vec_id < 10), the top-5
+    * most-cosine-similar vectors whose LABEL differs from the query's —
+    * the "looks the same, is not the same" examples an embedding
+    * trainer needs per anchor. Same physical shape as the rank-eval
+    * branches: one corpus scan against the broadcast 10-row query side,
+    * the label-mismatch predicate fused into the scan-side filter, and
+    * the per-query bounded heap ([[graft.plans.TopK]]) so only 5 rows
+    * per (query, partition) ever shuffle. At 100 TB with 10⁶ anchors
+    * this exact plan becomes anchor-batched broadcast rounds over the
+    * ANN index instead of the exact scan — the candidate generation
+    * changes, the mining predicate and heap do not. */
+  def simHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddingsValid(spark, dir)
+    val q = broadcast(e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("q_emb"),
+        $"label".as("q_label")))
+    val scored = e.filter($"vec_id" >= 10).crossJoin(q)
+      .filter($"label" =!= $"q_label")
+      .select($"qid", $"vec_id".as("vid"), $"label",
+        round(cosine($"embedding", $"q_emb"), 6).as("cos"))
+    graft.plans.TopK.perKey(scored, Seq($"qid"),
+        Seq($"cos".desc, $"vid".asc), 5)
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"vid"))
+        .cast("long"))
+      .select($"qid", $"vid", $"label", $"cos", $"neg_rank")
+      .orderBy($"qid", $"neg_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hard_negatives" -> (simHardNegatives _),
     "sim_ndcg_quantized" -> (simNdcgQuantized _),
     "sim_ivfpq_index" -> (simIvfpqIndex _),
     "sim_ivfpq_recall" -> (simIvfpqRecall _),
@@ -823,6 +855,23 @@ object SimilarityOps {
        |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS q_emb, label AS q_label
+         |  FROM embeddings WHERE vec_id < 10),
+         |s AS (
+         |  SELECT qid, e.vec_id AS vid, e.label AS label,
+         |    round(${cosSql("e.embedding", "q_emb")}, 6) AS cos
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id >= 10 AND e.label <> q.q_label),
+         |r AS (
+         |  SELECT qid, vid, label, cos,
+         |    CAST(row_number() OVER
+         |      (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT)
+         |      AS neg_rank
+         |  FROM s)
+         |SELECT qid, vid, label, cos, neg_rank FROM r
+         |WHERE neg_rank <= 5 ORDER BY qid, neg_rank""".stripMargin,
     "sim_ndcg_quantized" ->
       s"""WITH s AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -560,7 +560,47 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** `text_line_dedup` — C4-style LINE-level boilerplate removal stats:
+    * split every doc into trimmed non-empty lines, count each distinct
+    * line's document frequency corpus-wide, and report per doc how many
+    * of its lines are corpus-hot (df ≥ 3 — the cookie-banner/nav-bar
+    * tier every web-scrape pipeline strips) plus the retained fraction.
+    * Distinct-per-doc lines feed the count, so a doc repeating its own
+    * boilerplate 50 times cannot promote it to "corpus-hot" alone.
+    *
+    * Scale shape: explode → per-(line) count (one shuffle, map-side
+    * combinable) → broadcast-join the HOT SET back (hot lines are a
+    * tiny fraction by Zipf — at 100 TB the hot set is the only thing
+    * that moves; production would pass it as a bloom filter, the
+    * dedup_corpus_bloom discipline). The driver corpus has no repeated
+    * lines (all-zero hot counts — the honest degenerate answer);
+    * TextSpec plants shared boilerplate and proves the flagging. */
+  def textLineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedupOver(Tables.documents(spark, dir))
+
+  /** The line-dedup report over any (doc_id, text) relation. */
+  private[graft] def lineDedupOver(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lines = docs
+      .select($"doc_id", explode(array_distinct(filter(
+        transform(split(coalesce($"text", lit("")), "\n"),
+          l => trim(l)), l => l =!= ""))).as("line"))
+    val hot = lines.groupBy($"line")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= 3)
+    lines.join(broadcast(hot), Seq("line"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"df".isNotNull, 1L).otherwise(0L)).as("n_hot"))
+      .select($"doc_id", $"n_lines", $"n_hot",
+        round(($"n_lines" - $"n_hot").cast("double") /
+          $"n_lines".cast("double"), 6).as("retained_ratio"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_line_dedup" -> (textLineDedup _),
     "bpe_top_pairs" -> (bpeTopPairs _),
     "bpe_learn_merges" -> (bpeLearnMerges _),
     "text_bpe_encode" -> (textBpeEncode _),
@@ -623,6 +663,24 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_line_dedup" ->
+      """WITH lines AS (
+        |  SELECT DISTINCT doc_id, trim(l) AS line FROM (
+        |    SELECT doc_id, unnest(string_split(coalesce(text, ''),
+        |      chr(10))) AS l
+        |    FROM documents)
+        |  WHERE trim(l) <> ''),
+        |hot AS (
+        |  SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines
+        |  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3)
+        |SELECT l.doc_id, COUNT(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN h.df IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hot,
+        |  round(CAST(COUNT(*) - SUM(CASE WHEN h.df IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS retained_ratio
+        |FROM lines l LEFT JOIN hot h ON l.line = h.line
+        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
     "bpe_learn_merges" -> {
       val (chain, _) = bpeCtes(BpeSteps)
       val union = (0 until BpeSteps).map(i =>

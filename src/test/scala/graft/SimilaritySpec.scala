@@ -379,6 +379,39 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("hard negatives: every mined negative differs from its query's " +
+      "label, ranks are contiguous 1..5 per query, and the top-1 " +
+      "matches a driver-side brute-force recount") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = SimilarityOps.simHardNegatives(spark, sf).collect()
+    assert(rows.length === 50)
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2))).toSeq
+    val byId = e.map(t => t._1 -> t).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (qid, g) =>
+      val (_, qv, qLabel) = byId(qid)
+      assert(g.map(_.getLong(4)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      g.foreach(r => assert(r.getInt(2) !== qLabel, s"q$qid label leak"))
+      // driver-side brute force over the same candidate universe
+      val want = e.filter(t => t._1 >= 10 && t._3 != qLabel)
+        .map(t => (t._1, math.rint(cos(qv, t._2) * 1e6) / 1e6))
+        .sortBy { case (vid, c) => (-c, vid) }.head
+      val got = g.minBy(_.getLong(4))
+      assert(got.getLong(1) === want._1,
+        s"q$qid top-1: got ${got.getLong(1)}, want ${want._1}")
+    }
+  }
+
   test("sim_ndcg_quantized corpus report: 10 queries, ndcg in (0, 1], " +
       "dcg never exceeds idcg, hits bounded by 10") {
     val rows = SimilarityOps.simNdcgQuantized(spark, sf).collect()

@@ -237,4 +237,32 @@ class TextSpec extends SparkSpecBase {
     // non-empty), so the cut is exercised, not vacuous
     assert(got.exists(_._5) && got.exists(!_._5))
   }
+
+  test("line dedup: planted cross-doc boilerplate flagged at df >= 3, " +
+      "a doc repeating its own line cannot promote it, blanks and " +
+      "whitespace lines never count") {
+    import spark.implicits._
+    val banner = "accept all cookies"
+    val nav = "home | products | about"
+    val docs = Seq(
+      (1L, s"$banner\nunique one\n$nav"),
+      (2L, s"$banner\nunique two\n$nav"),
+      (3L, s"$banner\nunique three\n$nav"),
+      // doc 4 repeats ITS OWN line 5 times: distinct-per-doc counting
+      // must see df=1 for it (not corpus-hot)
+      (4L, Seq.fill(5)("my private chorus").mkString("\n")),
+      // doc 5: blanks and space-only lines are dropped pre-count
+      // (trim is space-only on BOTH engines — the shared contract)
+      (5L, "\n  \nreal line\n \n")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.lineDedupOver(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // banner+nav are hot (df=3 each); each of docs 1-3 has 2 hot of 3
+    Seq(1L, 2L, 3L).foreach { d =>
+      assert(got(d) === ((3L, 2L, 0.333333)), s"doc $d: ${got(d)}") }
+    // doc 4's self-repeated line collapses to one distinct line, df=1
+    assert(got(4L) === ((1L, 0L, 1.0)))
+    // doc 5 keeps only the single real line
+    assert(got(5L) === ((1L, 0L, 1.0)))
+  }
 }
