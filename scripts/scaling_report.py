@@ -125,6 +125,24 @@ OVERRIDES = {
     "extract_partition_value": "fixed_probe",
     "filter_tenant_time": "fixed_probe",
     "filter_time_between": "linear", "filter_time_gte": "linear",
+    # round-18 wave 2/3: the rank evals scan the full corpus per query
+    # batch (the sim_ prefix's fixed_probe would under-declare them,
+    # same reasoning as sim_knn_query)
+    "sim_ndcg_quantized": "linear", "sim_hard_negatives": "linear",
+    # SCD2 build/lookup: one pass over the changelog slice
+    "scd2_build": "linear", "scd2_asof": "linear",
+    # DQ tier: single-scan reports
+    "dq_expectations": "linear", "dq_outlier_iqr": "linear",
+    "dq_freshness": "linear",
+    "reshape_unpivot": "linear",
+    "agg_corr_exact": "linear",
+    "text_line_dedup": "linear",
+    # fuzzy dedup: candidate join bounded by block collisions — the
+    # same pairs-bounded contract as the LSH families (replicas of the
+    # uniform 10x corpus all collide, so the confirm grows ~quadratic
+    # in replication; the equal-head short-circuit keeps the confirm
+    # cheap on exactly that case)
+    "dedup_fuzzy_edit": "pairs_bounded",
 }
 
 # lake-mutation / ingest keys rewrite event-corpus-scale files: linear
@@ -136,7 +154,8 @@ for k in ("branch_read changelog_diff commit_conflict_retry compact_mor "
           "compact_files ingest_parallel sort_cluster_write "
           "zorder_cluster_write table_create write_partitioned "
           "write_parquet_zstd write_encrypted manifest_prune_scan "
-          "manifest_bloom_prune manifest_null_prune").split():
+          "manifest_bloom_prune manifest_null_prune "
+          "remove_orphan_files stream_scd2_current").split():
     OVERRIDES.setdefault(k, "linear")
 
 

@@ -576,12 +576,26 @@ object DedupOps {
           .partitionBy($"blk")))
       .filter($"bn" <= 64).drop("bn")
       .localCheckpoint(true)
+    // confirm kernel, cheapest test first: (1) equal heads are distance
+    // 0 via an O(len) comparison — on a replica-heavy corpus (the
+    // common dedup case; the uniform 10x ladder corpus is EXACTLY
+    // this) nearly every surviving pair takes this branch and never
+    // pays the DP; (2) heads whose lengths differ by more than the
+    // threshold cannot be within it (each edit changes length by ≤1) —
+    // an integer reject; (3) the remainder runs the THRESHOLD
+    // Levenshtein (Ukkonen band, O(len·k) not O(len²)), whose -1
+    // overflow sentinel the filter discards. Result values are
+    // identical to the plain-Levenshtein spelling, which is what the
+    // DuckDB twin runs (its CASE takes the same equal-head shortcut).
+    val hA = col("a.head"); val hB = col("b.head")
+    val dist = when(hA === hB, lit(0L))
+      .when(abs(length(hA) - length(hB)) > 8, lit(-1L))
+      .otherwise(levenshtein(hA, hB, 8).cast("long"))
     guarded.as("a").join(guarded.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.blk").as("blk"),
-        levenshtein(col("a.head"), col("b.head")).cast("long").as("dist"))
-      .filter($"dist" <= 8)
+        col("a.blk").as("blk"), dist.as("dist"))
+      .filter($"dist" >= 0 && $"dist" <= 8)
       .orderBy($"da", $"db")
   }
 
@@ -693,11 +707,12 @@ object DedupOps {
         |    SELECT doc_id, head, blk,
         |      COUNT(*) OVER (PARTITION BY blk) AS bn FROM f)
         |  WHERE bn <= 64)
-        |SELECT a.doc_id AS da, b.doc_id AS db, a.blk AS blk,
-        |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
-        |FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.head, b.head) <= 8
-        |ORDER BY da, db""".stripMargin,
+        |SELECT da, db, blk, dist FROM (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.blk AS blk,
+        |    CAST(CASE WHEN a.head = b.head THEN 0
+        |      ELSE levenshtein(a.head, b.head) END AS BIGINT) AS dist
+        |  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |WHERE dist <= 8 ORDER BY da, db""".stripMargin,
     "dedup_corpus_bloom" ->
       """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
         |corpus AS (
