@@ -385,6 +385,6 @@ class EngineSpec extends SparkSpecBase {
       s"no-oracle: ${(qs -- os).toSeq.sorted}; " +
         s"oracle-only: ${(os -- qs).toSeq.sorted}")
     // the declared count in the section header can't drift either
-    assert(inventory.size == 234, s"inventory holds ${inventory.size}")
+    assert(inventory.size == 247, s"inventory holds ${inventory.size}")
   }
 }
