@@ -486,7 +486,42 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** `agg_hll_union` — MERGEABLE sketch rollup via Spark's DataSketches
+    * HLL family (`hll_sketch_agg` / `hll_union_agg` /
+    * `hll_sketch_estimate`): build one user-cardinality sketch PER DAY,
+    * then union the day sketches into weekly estimates WITHOUT touching
+    * a row again. This is the pre-aggregation contract a 100 TB metrics
+    * pipeline lives on — persist tiny daily sketches (4 KiB at
+    * lgK=12), answer any later rollup (week, month, arbitrary ad-hoc
+    * ranges) by sketch union alone; `approx_count_distinct`
+    * (`agg_approx_distinct`) cannot do this because its HLL++ state is
+    * not exposed as a value. Tolerance folding per the
+    * agg_approx_distinct discipline: the output carries the EXACT
+    * weekly distinct plus a within-5% flag on the union estimate
+    * (lgK=12 ⇒ rsd ≈ 1.6%), and the oracle emits literal TRUE — a
+    * drifting sketch hash-fails the round instead of hiding. */
+  def aggHllUnion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val daily = ev
+      .groupBy(date_trunc("week", $"ts").as("week"),
+        to_date($"ts").as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val weekly = daily.groupBy($"week")
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+    val exact = ev
+      .groupBy(date_trunc("week", $"ts").as("week"))
+      .agg(countDistinct($"user_id").as("exact_users"))
+    weekly.join(exact, Seq("week"))
+      .select($"week", $"n_days", $"exact_users",
+        (abs($"est" - $"exact_users") / $"exact_users" < 0.05)
+          .as("within_5pct"))
+      .orderBy($"week")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hll_union" -> (aggHllUnion _),
     "agg_corr_exact" -> (aggCorrExact _),
     "agg_pivot" -> (aggPivot _),
     "agg_grouping_sets" -> (aggGroupingSets _),
@@ -514,6 +549,12 @@ object Aggregates {
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "agg_hll_union" ->
+      """SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+        |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY 1 ORDER BY week""".stripMargin,
     "agg_corr_exact" ->
       s"""WITH m AS (
          |  SELECT l_returnflag, COUNT(*) AS n,

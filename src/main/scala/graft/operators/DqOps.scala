@@ -135,12 +135,74 @@ object DqOps {
       .orderBy($"day")
   }
 
+  /** `dq_drift` — categorical distribution-drift report between a
+    * reference window (days 1-15) and the current window (days 16-30):
+    * per event_type, counts and shares on both sides and the absolute
+    * share delta (the per-category term of total-variation distance —
+    * the L1 drift metric chosen over PSI/chi² because it needs NO
+    * logarithms, so the result is a hash-provable IEEE expression; a
+    * category absent from one side contributes its full share, which
+    * log-based PSI can't even define without smoothing). The ML-ops
+    * gate this feeds: alert when any category drifts past a threshold
+    * between training and serving data. Scale shape: one scan, one
+    * shuffle on the category key, and the two 1-row totals broadcast
+    * back — the report is category-bounded. */
+  def dqDrift(spark: SparkSession, dir: String): DataFrame =
+    driftOver(Tables.events(spark, dir))
+
+  /** The drift report over any (event_type, ts, value) relation —
+    * shared by the key and DqSpec's planted two-window corpora. */
+  private[graft] def driftOver(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val d = dayofmonth($"ts")
+    val counted = events
+      .filter($"value".isNotNull)
+      .groupBy($"event_type")
+      .agg(sum(when(d.between(1, 15), 1L).otherwise(0L)).as("ref_n"),
+        sum(when(d.between(16, 30), 1L).otherwise(0L)).as("cur_n"))
+    val totals = counted.agg(sum($"ref_n").as("ref_total"),
+      sum($"cur_n").as("cur_total"))
+    counted.crossJoin(broadcast(totals))
+      .select($"event_type", $"ref_n", $"cur_n",
+        round(($"ref_n".cast("double") / $"ref_total".cast("double")), 6)
+          .as("ref_share"),
+        round(($"cur_n".cast("double") / $"cur_total".cast("double")), 6)
+          .as("cur_share"),
+        round(abs(
+          $"ref_n".cast("double") / $"ref_total".cast("double") -
+            $"cur_n".cast("double") / $"cur_total".cast("double")), 6)
+          .as("drift"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_expectations" -> (dqExpectations _),
+    "dq_drift" -> (dqDrift _),
     "dq_freshness" -> (dqFreshness _),
     "dq_outlier_iqr" -> (dqOutlierIqr _))
 
   val oracles: Map[String, String] = Map(
+    "dq_drift" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    SUM(CASE WHEN day(ts) BETWEEN 1 AND 15 THEN 1 ELSE 0 END)
+        |      AS ref_n,
+        |    SUM(CASE WHEN day(ts) BETWEEN 16 AND 30 THEN 1 ELSE 0 END)
+        |      AS cur_n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |t AS (SELECT SUM(ref_n) AS ref_total, SUM(cur_n) AS cur_total
+        |  FROM c)
+        |SELECT event_type, CAST(ref_n AS BIGINT) AS ref_n,
+        |  CAST(cur_n AS BIGINT) AS cur_n,
+        |  round(CAST(ref_n AS DOUBLE) / CAST(ref_total AS DOUBLE), 6)
+        |    AS ref_share,
+        |  round(CAST(cur_n AS DOUBLE) / CAST(cur_total AS DOUBLE), 6)
+        |    AS cur_share,
+        |  round(abs(CAST(ref_n AS DOUBLE) / CAST(ref_total AS DOUBLE) -
+        |    CAST(cur_n AS DOUBLE) / CAST(cur_total AS DOUBLE)), 6)
+        |    AS drift
+        |FROM c, t ORDER BY event_type""".stripMargin,
     "dq_freshness" ->
       """WITH cal AS (
         |  SELECT CAST(unnest(generate_series(DATE '2024-01-01',

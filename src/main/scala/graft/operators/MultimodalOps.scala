@@ -141,7 +141,36 @@ object MultimodalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_dedup" -> (multimodalDedup _),
     "multimodal_decode" -> (multimodalDecode _))
+
+  /** `multimodal_dedup` — byte-identical payload dedup over the binary
+    * column: group on the payload digest, keep the min doc_id, report
+    * copy count and byte size. The media twin of `dedup_exact` — the
+    * FIRST pass every image/audio corpus runs (re-crawled and re-hosted
+    * assets are byte-identical far more often than text is), and the
+    * cheapest: the shuffle carries 16-byte digests + counters, never
+    * payloads. A NULL payload groups under the NULL digest — the
+    * missing-asset bucket surfaces in the report instead of crashing
+    * the pass (the MultimodalOps null contract). */
+  def multimodalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    payloadDedupOver(Tables.documents(spark, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload")))
+  }
+
+  /** The digest-dedup report over any (doc_id, payload binary)
+    * relation — shared by the key and EngineSpec's planted copies. */
+  private[graft] def payloadDedupOver(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupBy(md5($"payload").as("payload_md5"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        max(octet_length($"payload")).cast("long").as("n_bytes"))
+      .select($"keep_id", $"n_copies", $"n_bytes", $"payload_md5")
+      .orderBy($"keep_id")
+  }
 
   // Oracle notes: strlen() is DuckDB's BYTE length (length() counts
   // characters), matching the engine's octet_length over the UTF-8
@@ -152,6 +181,11 @@ object MultimodalOps {
   // coalesce(text, '') mirrors decodePayload's null-payload contract:
   // a missing payload decodes as the EMPTY payload, never as NULLs.
   val oracles: Map[String, String] = Map(
+    "multimodal_dedup" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+        |  CAST(MAX(strlen(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "multimodal_decode" ->
       """WITH t AS (
         |  SELECT doc_id, coalesce(text, '') AS t FROM documents)

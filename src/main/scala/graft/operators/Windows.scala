@@ -148,7 +148,49 @@ object Windows {
       .orderBy($"event_type", $"event_id")
   }
 
+  /** `win_streak` — longest same-event_type run per user, the
+    * gaps-and-islands pattern (two row_numbers whose difference is
+    * constant within a run): per user, the longest streak's length and
+    * type (ties broken by type then island start — deterministic) and
+    * the total run count. The consumption-side twin of `scd2_build`
+    * (which EMITS the runs as versions): engagement streaks, failure
+    * bursts, and retry storms all reduce to this shape. Two window
+    * partitionings (user) and (user, type) → Catalyst plans the
+    * (user, type) exchange first and the (user) windows reuse it via
+    * ENSURE_REQUIREMENTS — one wide shuffle, one narrow re-sort. */
+  def winStreak(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    streaksOver(Tables.events(spark, dir).filter($"user_id" < 30))
+  }
+
+  /** The streak report over any (user_id, event_type, ts, event_id)
+    * relation — shared by the key and EngineSpec's planted runs. */
+  private[graft] def streaksOver(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val byType = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    val islands = events
+      .withColumn("island",
+        row_number().over(byUser) - row_number().over(byType))
+    val runs = islands
+      .groupBy($"user_id", $"event_type", $"island")
+      .agg(count(lit(1)).as("len"), min($"ts").as("run_start"))
+    val best = Window.partitionBy($"user_id")
+      .orderBy($"len".desc, $"event_type", $"run_start")
+    runs
+      .withColumn("rn", row_number().over(best))
+      .withColumn("n_runs",
+        count(lit(1)).over(Window.partitionBy($"user_id")))
+      .filter($"rn" === 1)
+      .select($"user_id", $"len".as("longest_streak"),
+        $"event_type".as("streak_type"), $"n_runs")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_streak" -> (winStreak _),
     "win_running_median" -> (winRunningMedian _),
     "win_percent_cume" -> (winPercentCume _),
     "win_range_frame" -> (winRangeFrame _),
@@ -162,6 +204,28 @@ object Windows {
   private val D = "DECIMAL(18,2)"
 
   val oracles: Map[String, String] = Map(
+    "win_streak" ->
+      """WITH islands AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) -
+        |    CAST(row_number() OVER
+        |      (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |      AS BIGINT) AS island
+        |  FROM events WHERE user_id < 30),
+        |runs AS (
+        |  SELECT user_id, event_type, island, COUNT(*) AS len,
+        |    MIN(ts) AS run_start
+        |  FROM islands GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT user_id, event_type, len,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, event_type, run_start) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_runs
+        |  FROM runs)
+        |SELECT user_id, len AS longest_streak,
+        |  event_type AS streak_type, n_runs
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "win_running_median" ->
       s"""SELECT event_type, event_id,
          |  round(quantile_cont(CAST(CAST(value AS $D) AS DOUBLE), 0.5)

@@ -86,4 +86,27 @@ class DqSpec extends SparkSpecBase {
       assert(recount === nOut, s"$et outliers")
     }
   }
+
+  test("dq_drift on planted windows: exact shares and deltas, a " +
+      "category absent from one side contributes its full share " +
+      "(the case log-based PSI cannot define)") {
+    import spark.implicits._
+    def t(day: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-$day%02d 10:00:00")
+    // reference window (days 1-15): 8 clicks, 2 errors
+    // current window (days 16-30): 5 clicks, 0 errors, 5 signups
+    val ref = (1 to 8).map(i => ("click", t(2), 1.0)) ++
+      (1 to 2).map(i => ("error", t(3), 1.0))
+    val cur = (1 to 5).map(i => ("click", t(20), 1.0)) ++
+      (1 to 5).map(i => ("signup", t(21), 1.0))
+    val df = (ref ++ cur).toDF("event_type", "ts", "value")
+    val got = DqOps.driftOver(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got("click") === ((8L, 5L, 0.8, 0.5, 0.3)))
+    // error vanished from current: drift = its whole reference share
+    assert(got("error") === ((2L, 0L, 0.2, 0.0, 0.2)))
+    // signup is NEW in current: drift = its whole current share
+    assert(got("signup") === ((0L, 5L, 0.0, 0.5, 0.5)))
+  }
 }

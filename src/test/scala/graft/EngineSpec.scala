@@ -385,6 +385,65 @@ class EngineSpec extends SparkSpecBase {
       s"no-oracle: ${(qs -- os).toSeq.sorted}; " +
         s"oracle-only: ${(os -- qs).toSeq.sorted}")
     // the declared count in the section header can't drift either
-    assert(inventory.size == 247, s"inventory holds ${inventory.size}")
+    assert(inventory.size == 251, s"inventory holds ${inventory.size}")
+  }
+
+  test("win_streak on planted runs: exact longest streak per user, " +
+      "deterministic tie-break by type, run counts exact") {
+    import spark.implicits._
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // u1: a a a b b a  -> longest 'a' x3, 3 runs
+    // u2: x x y y      -> TIE at 2: 'x' wins (type asc), 2 runs
+    val ev = Seq(
+      (1L, "a", t(1), 1L), (1L, "a", t(2), 2L), (1L, "a", t(3), 3L),
+      (1L, "b", t(4), 4L), (1L, "b", t(5), 5L), (1L, "a", t(6), 6L),
+      (2L, "x", t(1), 7L), (2L, "x", t(2), 8L),
+      (2L, "y", t(3), 9L), (2L, "y", t(4), 10L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = graft.operators.Windows.streaksOver(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq((1L, 3L, "a", 3L), (2L, 2L, "x", 2L)))
+  }
+
+  test("multimodal payload dedup on planted copies: byte-identical " +
+      "payloads collapse, the null-payload bucket is reported, " +
+      "distinct payloads stay apart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "same bytes"), (2L, "same bytes"), (7L, "same bytes"),
+      (3L, "other bytes"),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val got = graft.operators.MultimodalOps.payloadDedupOver(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.isNullAt(3))).toSeq
+    assert(got === Seq(
+      (1L, 3L, 10L, false),   // the triplet collapses under one digest
+      (3L, 1L, 11L, false),
+      (4L, 2L, -1L, true)))   // missing assets surface as the NULL bucket
+  }
+
+  test("hll union law: the estimate of unioned per-slice sketches " +
+      "equals the estimate of one sketch over the union, and both " +
+      "land within 5% of exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 400).map(i => (i % 2, i.toLong))
+      .toDF("slice", "uid")
+    // per-slice sketches -> union -> estimate
+    val viaUnion = rows.groupBy($"slice")
+      .agg(expr("hll_sketch_agg(uid, 12)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))"))
+      .collect().head.getLong(0)
+    // one sketch over everything
+    val direct = rows
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(uid, 12))"))
+      .collect().head.getLong(0)
+    assert(viaUnion === direct,
+      "sketch union must equal sketching the union")
+    assert(math.abs(viaUnion - 400L) <= 20L, s"estimate $viaUnion")
   }
 }
