@@ -137,6 +137,9 @@ OVERRIDES = {
     "reshape_unpivot": "linear",
     "agg_corr_exact": "linear",
     "text_line_dedup": "linear",
+    # round-18 wave 4: single-pass scans/rollups
+    "agg_hll_union": "linear", "dq_drift": "linear",
+    "win_streak": "linear", "multimodal_dedup": "linear",
     # fuzzy dedup: candidate join bounded by block collisions — the
     # same pairs-bounded contract as the LSH families (replicas of the
     # uniform 10x corpus all collide, so the confirm grows ~quadratic
