@@ -412,6 +412,23 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("rank-eval and hard-negative plans go through the bounded " +
+      "TopK heap, never a full per-query window sort") {
+    for (df <- Seq(SimilarityOps.simNdcgQuantized(spark, sf),
+        SimilarityOps.simHardNegatives(spark, sf))) {
+      df.collect() // executed plan (AQE finalizes on run)
+      val names = planNodeNames(df.queryExecution.executedPlan)
+      // two TopKPerKeyExec instances per ranking branch: the partial
+      // (pre-shuffle) heap and the final one
+      assert(names.count(_ == "TopKPerKeyExec") >= 2,
+        s"bounded heaps missing in: ${names.distinct.sorted}")
+      // the only Window nodes rank the <= k*queries surviving rows —
+      // they must sit ABOVE the heap, so the full candidate set never
+      // reaches a window sort (heap nodes bound what flows upward)
+      assert(names.count(_ == "WindowExec") <= 2, names.toString)
+    }
+  }
+
   test("sim_ndcg_quantized corpus report: 10 queries, ndcg in (0, 1], " +
       "dcg never exceeds idcg, hits bounded by 10") {
     val rows = SimilarityOps.simNdcgQuantized(spark, sf).collect()
