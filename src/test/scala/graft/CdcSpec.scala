@@ -121,6 +121,51 @@ class CdcSpec extends SparkSpecBase {
       .count() === 0)
   }
 
+  test("randomized law: on 40 random changelogs (ts ties, singleton " +
+      "users, chatty re-emits included) the SCD2 build always yields " +
+      "contiguous versions, gap-free ranges, collapsed runs, and a " +
+      "version count equal to the change count") {
+    import spark.implicits._
+    val rng = new scala.util.Random(18)
+    val types = Seq("a", "b", "c")
+    val rows = for {
+      trial <- 0 until 40
+      user = trial.toLong
+      n = 1 + rng.nextInt(12)
+      i <- 0 until n
+    } yield (user,
+      // coarse ts pool forces frequent SAME-ts ties per user
+      new java.sql.Timestamp(86400000L * (1 + rng.nextInt(4))),
+      trial * 100L + i,                      // unique event_id
+      types(rng.nextInt(types.length)))      // chatty: repeats common
+    val changelog = rng.shuffle(rows)
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val d = CdcOps.scd2Over(changelog).cache()
+    val w = Window.partitionBy($"user_id").orderBy($"version")
+    // contiguity + single current
+    assert(d.groupBy($"user_id").agg(
+        sum(when($"is_current", 1).otherwise(0)).as("ncur"),
+        max($"version").as("maxv"), count(lit(1)).as("n"))
+      .filter($"ncur" =!= 1 || $"n" =!= $"maxv").count() === 0)
+    // gap-free half-open chain
+    assert(d.withColumn("nf", lead($"effective_from", 1).over(w))
+      .filter($"nf".isNotNull && $"effective_to" =!= $"nf")
+      .count() === 0)
+    // collapsed runs
+    assert(d.withColumn("p", lag($"event_type", 1).over(w))
+      .filter($"p" === $"event_type").count() === 0)
+    // version count == change count under the same total order
+    val wo = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val changes = changelog
+      .withColumn("p", lag($"event_type", 1).over(wo))
+      .filter($"p".isNull || $"p" =!= $"event_type")
+      .groupBy($"user_id").agg(count(lit(1)).as("nc"))
+    assert(d.groupBy($"user_id").agg(count(lit(1)).as("nv"))
+      .join(changes, "user_id").filter($"nv" =!= $"nc")
+      .count() === 0)
+    d.unpersist()
+  }
+
   test("streaming SCD2-current maintenance equals the batch SCD2 " +
       "build's is_current slice — the lambda-architecture " +
       "reconciliation law") {
