@@ -87,6 +87,39 @@ class DqSpec extends SparkSpecBase {
     }
   }
 
+  test("dq_freshness recount law: every calendar row's count, user " +
+      "count, last timestamp, and staleness flag match an independent " +
+      "per-day recount; the report covers exactly the 35-day calendar " +
+      "and the post-corpus days are the stale ones") {
+    import spark.implicits._
+    val got = DqOps.dqFreshness(spark, sf).collect()
+    assert(got.length === 35)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val byDay = ev.groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("nu"), max($"ts").as("mx"))
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getTimestamp(3))).toMap
+    var stale = 0
+    got.foreach { r =>
+      val day = r.getDate(0).toString
+      byDay.get(day) match {
+        case Some((n, nu, mx)) =>
+          assert(r.getLong(1) === n, s"$day n")
+          assert(r.getLong(2) === nu, s"$day n_users")
+          assert(r.getTimestamp(3) === mx, s"$day last_ts")
+          assert(!r.getBoolean(4), s"$day wrongly stale")
+        case None =>
+          assert(r.getLong(1) === 0L && r.getBoolean(4) &&
+            r.isNullAt(3), s"$day should be a stale hole row")
+          stale += 1
+      }
+    }
+    // the corpus is January-resident: the February calendar tail (and
+    // any genuine January holes) must surface as stale rows
+    assert(stale > 0, "no stale rows — the hole path went unexercised")
+  }
+
   test("dq_drift on planted windows: exact shares and deltas, a " +
       "category absent from one side contributes its full share " +
       "(the case log-based PSI cannot define)") {
