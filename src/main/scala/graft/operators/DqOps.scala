@@ -48,7 +48,13 @@ object DqOps {
       viol($"l_quantity" < 0).as("v_nonneg"),
       viol(!$"l_discount".between(0.0, 0.1)).as("v_range"),
       viol(!$"l_returnflag".isin("A", "N", "R")).as("v_accepted"),
-      countDistinct($"l_orderkey", $"l_linenumber").as("n_distinct"))
+      // distinct over the STRUCT, not the bare pair: countDistinct(a, b)
+      // skips tuples containing NULL, while the oracle's
+      // SELECT DISTINCT counts them — struct(a, b) is itself non-null,
+      // so NULL-keyed tuples count identically on both engines even if
+      // the corpus ever grows one (ADVICE r18).
+      countDistinct(struct($"l_orderkey", $"l_linenumber"))
+        .as("n_distinct"))
     def row(name: String, column: String, v: Column) = struct(
       lit(name).as("expectation"), lit(column).as("column"),
       v.as("violations"), col(Total).as("total"), (v === 0L).as("pass"))
@@ -121,8 +127,8 @@ object DqOps {
   def dqFreshness(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cal = spark.sql(
-      """SELECT explode(sequence(DATE'2024-01-01', DATE'2024-02-04',
-        |  interval 1 day)) AS day""".stripMargin)
+      s"""SELECT explode(sequence(DATE'$CorpusStartDate',
+         |  DATE'$FreshnessEndDate', interval 1 day)) AS day""".stripMargin)
     val act = Tables.events(spark, dir)
       .groupBy(to_date($"ts").as("day"))
       .agg(count(lit(1)).as("n"),
@@ -159,20 +165,25 @@ object DqOps {
     val counted = events
       .filter($"value".isNotNull)
       .groupBy($"event_type")
-      .agg(sum(when(d.between(1, 15), 1L).otherwise(0L)).as("ref_n"),
-        sum(when(d.between(16, 30), 1L).otherwise(0L)).as("cur_n"))
+      .agg(sum(when(d.between(1, CorpusDays / 2), 1L).otherwise(0L))
+          .as("ref_n"),
+        sum(when(d.between(CorpusDays / 2 + 1, CorpusDays), 1L)
+          .otherwise(0L)).as("cur_n"))
     val totals = counted.agg(sum($"ref_n").as("ref_total"),
       sum($"cur_n").as("cur_total"))
+    // an empty window (every event outside it, or an empty corpus) makes
+    // the total 0; bare IEEE division would emit NaN there — and Spark
+    // and DuckDB don't even agree on 0/0 — so a degenerate corpus must
+    // resolve to share 0.0, not a hash-diverging non-finite (ADVICE r18)
+    def share(n: Column, tot: Column): Column =
+      when(tot === 0L, lit(0.0))
+        .otherwise(n.cast("double") / tot.cast("double"))
     counted.crossJoin(broadcast(totals))
       .select($"event_type", $"ref_n", $"cur_n",
-        round(($"ref_n".cast("double") / $"ref_total".cast("double")), 6)
-          .as("ref_share"),
-        round(($"cur_n".cast("double") / $"cur_total".cast("double")), 6)
-          .as("cur_share"),
-        round(abs(
-          $"ref_n".cast("double") / $"ref_total".cast("double") -
-            $"cur_n".cast("double") / $"cur_total".cast("double")), 6)
-          .as("drift"))
+        round(share($"ref_n", $"ref_total"), 6).as("ref_share"),
+        round(share($"cur_n", $"cur_total"), 6).as("cur_share"),
+        round(abs(share($"ref_n", $"ref_total") -
+          share($"cur_n", $"cur_total")), 6).as("drift"))
       .orderBy($"event_type")
   }
 
@@ -184,29 +195,34 @@ object DqOps {
 
   val oracles: Map[String, String] = Map(
     "dq_drift" ->
-      """WITH c AS (
-        |  SELECT event_type,
-        |    SUM(CASE WHEN day(ts) BETWEEN 1 AND 15 THEN 1 ELSE 0 END)
-        |      AS ref_n,
-        |    SUM(CASE WHEN day(ts) BETWEEN 16 AND 30 THEN 1 ELSE 0 END)
-        |      AS cur_n
-        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
-        |t AS (SELECT SUM(ref_n) AS ref_total, SUM(cur_n) AS cur_total
-        |  FROM c)
-        |SELECT event_type, CAST(ref_n AS BIGINT) AS ref_n,
-        |  CAST(cur_n AS BIGINT) AS cur_n,
-        |  round(CAST(ref_n AS DOUBLE) / CAST(ref_total AS DOUBLE), 6)
-        |    AS ref_share,
-        |  round(CAST(cur_n AS DOUBLE) / CAST(cur_total AS DOUBLE), 6)
-        |    AS cur_share,
-        |  round(abs(CAST(ref_n AS DOUBLE) / CAST(ref_total AS DOUBLE) -
-        |    CAST(cur_n AS DOUBLE) / CAST(cur_total AS DOUBLE)), 6)
-        |    AS drift
-        |FROM c, t ORDER BY event_type""".stripMargin,
+      s"""WITH c AS (
+         |  SELECT event_type,
+         |    SUM(CASE WHEN day(ts) BETWEEN 1 AND ${CorpusDays / 2}
+         |      THEN 1 ELSE 0 END) AS ref_n,
+         |    SUM(CASE WHEN day(ts) BETWEEN ${CorpusDays / 2 + 1}
+         |      AND $CorpusDays THEN 1 ELSE 0 END) AS cur_n
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |t AS (SELECT SUM(ref_n) AS ref_total, SUM(cur_n) AS cur_total
+         |  FROM c)
+         |SELECT event_type, CAST(ref_n AS BIGINT) AS ref_n,
+         |  CAST(cur_n AS BIGINT) AS cur_n,
+         |  round(CASE WHEN ref_total = 0 THEN 0.0 ELSE
+         |    CAST(ref_n AS DOUBLE) / CAST(ref_total AS DOUBLE) END, 6)
+         |    AS ref_share,
+         |  round(CASE WHEN cur_total = 0 THEN 0.0 ELSE
+         |    CAST(cur_n AS DOUBLE) / CAST(cur_total AS DOUBLE) END, 6)
+         |    AS cur_share,
+         |  round(abs(
+         |    (CASE WHEN ref_total = 0 THEN 0.0 ELSE
+         |      CAST(ref_n AS DOUBLE) / CAST(ref_total AS DOUBLE) END) -
+         |    (CASE WHEN cur_total = 0 THEN 0.0 ELSE
+         |      CAST(cur_n AS DOUBLE) / CAST(cur_total AS DOUBLE) END)), 6)
+         |    AS drift
+         |FROM c, t ORDER BY event_type""".stripMargin,
     "dq_freshness" ->
-      """WITH cal AS (
-        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01',
-        |    DATE '2024-02-04', INTERVAL 1 DAY)) AS DATE) AS day),
+      s"""WITH cal AS (
+         |  SELECT CAST(unnest(generate_series(DATE '$CorpusStartDate',
+         |    DATE '$FreshnessEndDate', INTERVAL 1 DAY)) AS DATE) AS day),
         |act AS (
         |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
         |    COUNT(DISTINCT user_id) AS n_users, MAX(ts) AS last_ts

@@ -40,6 +40,29 @@ package object operators {
     * (the deterministic stand-in for ThreadLocalRandom, Creator:244-248). */
   val MixConst: Long = 2654435761L
 
+  /** The driver corpus's event-time span (TESTDATA.md, seed 42): event
+    * timestamps cover days 1..[[CorpusDays]] starting at
+    * [[CorpusStartDate]]. Declared ONCE so every calendar-shaped key
+    * (dq_freshness's expected-day calendar, dq_drift's ref/cur windows)
+    * derives its bounds from the same fact as the corpus — a
+    * regenerated corpus with a different span then breaks ONE constant
+    * loudly instead of silently turning the whole freshness report
+    * stale (ADVICE r18). */
+  val CorpusStartDate: String = "2024-01-01"
+  val CorpusDays: Int = 30
+
+  /** Days the freshness calendar looks PAST the corpus end — the
+    * deliberately-stale tail that proves the report's hole-detection
+    * path fires. */
+  val FreshnessTailDays: Int = 5
+
+  /** Last day of the freshness calendar (corpus span + stale tail),
+    * as a DATE literal string both engines parse identically. */
+  val FreshnessEndDate: String = java.time.LocalDate
+    .parse(CorpusStartDate)
+    .plusDays(CorpusDays.toLong + FreshnessTailDays - 1)
+    .toString
+
   /** DuckDB list-literal spelling of a vocabulary, e.g.
     * `(['a','b'])` — index with `[CAST(expr AS INT) + 1]`. */
   def sqlList(xs: Seq[String]): String =

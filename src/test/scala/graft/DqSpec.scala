@@ -142,4 +142,26 @@ class DqSpec extends SparkSpecBase {
     // signup is NEW in current: drift = its whole current share
     assert(got("signup") === ((0L, 5L, 0.0, 0.5, 0.5)))
   }
+
+  test("dq_drift on a degenerate corpus (one window empty): shares " +
+      "resolve to 0.0, never NaN/Infinity — the no-non-finite contract " +
+      "holds even when a total divides by zero") {
+    import spark.implicits._
+    def t(day: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-$day%02d 10:00:00")
+    // every event lands in the reference window; the current window is
+    // EMPTY, so cur_total = 0 and an unguarded share would be 0/0
+    val df = ((1 to 6).map(_ => ("click", t(2), 1.0)) ++
+        (1 to 4).map(_ => ("error", t(5), 1.0)))
+      .toDF("event_type", "ts", "value")
+    val got = DqOps.driftOver(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got("click") === ((6L, 0L, 0.6, 0.0, 0.6)))
+    assert(got("error") === ((4L, 0L, 0.4, 0.0, 0.4)))
+    got.values.foreach { case (_, _, rs, cs, d) =>
+      Seq(rs, cs, d).foreach(v =>
+        assert(!v.isNaN && !v.isInfinity, "non-finite share leaked"))
+    }
+  }
 }
