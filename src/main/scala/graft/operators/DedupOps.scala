@@ -31,6 +31,42 @@ object DedupOps {
       sequence(lit(1), greatest(length(text) - 2, lit(1))),
       i => text.substr(i, lit(3))))
 
+  /** Distinct word (whitespace-token) 3-gram shingles — the TOKEN-level
+    * shingle unit the decontamination family uses. Character shingles
+    * degenerate on a small-alphabet corpus (this one has only a few
+    * hundred distinct char-3-grams, so every doc pair becomes a
+    * candidate no matter how the join is filtered); token 3-grams over
+    * even a 30-word vocabulary span a ~27k universe, which keeps the
+    * co-shingle equi-join selective at any corpus size — and token
+    * n-gram overlap is what production eval-leak checks actually
+    * compute. A doc with fewer than 3 tokens has NO token 3-grams:
+    * the empty-array branch is explicit because Spark's
+    * sequence(1, n) DESCENDS for n < 1 (it would emit positions 1,0)
+    * and DuckDB's || is NULL-propagating where concat_ws is
+    * NULL-skipping — both engines must agree on "no shingles". */
+  private[graft] def tokenShingles3(text: Column): Column =
+    tokenShingles(text, 3)
+
+  /** Distinct word k-gram shingles of a doc — the general form behind
+    * [[tokenShingles3]] and the k=8 grams of the contamination audit.
+    * Built as k-1 zip_with passes over shifted slices, NOT a transform
+    * with element_at(t, i): a lambda-body reference to the split array
+    * re-evaluates the regex split PER ELEMENT (≈k·tokens splits per
+    * row — measured as 11 s of a 5k-doc shingle pass); slice arguments
+    * evaluate the split once per reference, a fixed ~k per row. */
+  private[graft] def tokenShingles(text: Column, k: Int): Column = {
+    require(k >= 2, s"k-gram needs k >= 2, got $k")
+    val t = split(trim(text), "\\s+")
+    val n = size(t)
+    val len = n - (k - 1)
+    val grams = (2 to k).foldLeft(slice(t, lit(1), len)) { (acc, j) =>
+      zip_with(acc, slice(t, lit(j), len),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    when(n >= k, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Spread an under-partitioned frame across the session's cores.
     * A bounded-subset scan (200 docs from one parquet file) arrives as
     * ONE partition, so every downstream per-row hash lane (16 md5s per
@@ -126,8 +162,8 @@ object DedupOps {
     * which is what keeps this shape viable at 100 TB.
     * Columns: da, db, inter, na, nb, jaccard (rounded 6dp). Also the edge
     * generator for [[PipelineOps.dedupCluster]]. */
-  private[graft] def jaccardPairs(docs: DataFrame,
-      threshold: Double): DataFrame = {
+  private[graft] def jaccardPairs(docs: DataFrame, threshold: Double,
+      shingle: Column => Column = shingles3(_)): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // The shingle-set subtree feeds FOUR consumers below (the prefix
@@ -137,7 +173,7 @@ object DedupOps {
     // restricts docs to a candidate subset first. At full corpus scale the
     // same cut is a persist(DISK_ONLY) on the shingle table.
     val sets = spreadSmall(
-      docs.select($"doc_id", shingles3($"text").as("ss")))
+      docs.select($"doc_id", shingle($"text").as("ss")))
       .localCheckpoint()
     val sh = sets.select($"doc_id", size($"ss").as("n"), explode($"ss").as("s"))
     val freq = sh.groupBy($"s").agg(count(lit(1)).as("df"))
@@ -156,10 +192,18 @@ object DedupOps {
     val prefix = sh.join(freq, "s")
       .withColumn("rk", row_number().over(byRarity))
       .filter($"rk" <= $"n" - ceil(lit(threshold) * $"n" - lit(1e-9)) + 1)
-      .select($"doc_id", $"s")
+      .select($"doc_id", $"s", $"n")
       .localCheckpoint()
+    // PPJoin's length filter rides the candidate join: J(a,b) ≥ t forces
+    // t·max(na,nb) ≤ |a∩b| ≤ min(na,nb), so docs whose set sizes differ
+    // by more than the ratio t can never qualify — pruning them HERE
+    // costs two long comparisons per joined row, before the pair ever
+    // reaches distinct() or the array confirm. Lossless by the same
+    // inequality that defines the threshold.
     val cand = prefix.as("a").join(prefix.as("b"),
-        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.n" >= lit(threshold) * $"b.n" &&
+          $"b.n" >= lit(threshold) * $"a.n")
       .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
     thresholdJaccard(pairStats(cand, sets), threshold)
       .select($"da", $"db", $"inter", $"na", $"nb",
@@ -168,12 +212,25 @@ object DedupOps {
 
   /** (da, db, na, nb, inter) for each candidate pair — the confirm's
     * scalar stats, one `array_intersect` per pair by construction.
-    * Bounded: one narrow row per candidate pair. */
+    * Bounded: one narrow row per candidate pair.
+    *
+    * The per-doc set table is EXPLICITLY broadcast: it is a
+    * localCheckpoint leaf (LogicalRDD), whose size estimate is the
+    * conf default — without the hint both probes plan as sort-merge
+    * joins that shuffle every candidate row WITH its shingle arrays
+    * attached (measured 5-8 s of the full-corpus contamination key at
+    * sf0.1; the hinted plan runs the same confirm in under a second).
+    * One narrow row per doc (id + shingle array) stays broadcastable
+    * far past these corpora (~45 MB at sf1); at true 100 TB the
+    * confirm becomes two shuffle joins co-partitioned on doc_id — the
+    * pair list is the big side there, and nothing else changes. */
   private def pairStats(cand: DataFrame, sets: DataFrame): DataFrame = {
     import cand.sparkSession.implicits._
     cand
-      .join(sets.select($"doc_id".as("da"), $"ss".as("ssa")), "da")
-      .join(sets.select($"doc_id".as("db"), $"ss".as("ssb")), "db")
+      .join(broadcast(sets.select($"doc_id".as("da"), $"ss".as("ssa"))),
+        "da")
+      .join(broadcast(sets.select($"doc_id".as("db"), $"ss".as("ssb"))),
+        "db")
       .select($"da", $"db", size($"ssa").cast("long").as("na"),
         size($"ssb").cast("long").as("nb"),
         size(array_intersect($"ssa", $"ssb")).cast("long").as("inter"))

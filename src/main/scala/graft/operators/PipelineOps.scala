@@ -603,34 +603,46 @@ object PipelineOps {
       .orderBy($"lang", $"shard", $"bin")
   }
 
-  /** `contamination_check` — eval-set leakage audit: for each held-out
-    * split, how many docs have a character-3-gram Jaccard ≥ 0.5 near-dup
-    * in train (the n-gram-overlap decontamination check run before
-    * training). Candidate pairs come from the shingle equi-join, so the
-    * work is shuffle-bounded like the dedup family; bounded subset here,
-    * the banded minhash path is the 100 TB formulation. */
+  /** `contamination_check` — eval-set leakage audit over the FULL
+    * corpus: for each held-out split, how many docs share at least one
+    * 8-token-gram with any train document. This is the production
+    * decontamination check (the GPT-3/Llama-style long-n-gram overlap
+    * screen): a long gram collision is evidence of copied text, and the
+    * audit is an EQUI-JOIN on the gram — work ∝ gram rows + true
+    * collisions, never candidate pairs. The r18 formulation (pairwise
+    * char-3-gram Jaccard under a `doc_id < 200` cap) could not scale on
+    * principle: any fixed small shingle universe saturates, making
+    * every doc pair a candidate and every exact threshold join ~n² on
+    * BOTH engines — 8-token grams over even this 30-word vocabulary
+    * span a ~10^11 universe (measured max df = 4 at sf0.1), so the
+    * join is selective at any corpus size. 100 TB shape: explode, one
+    * shuffle on the gram key, aggregate; hash grams to 64-bit and cap
+    * runaway-df grams (both standard) if the string shuffle ever
+    * dominates. Docs with <8 tokens have no grams and are reported
+    * uncontaminated — identically on both engines. */
   def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val b = hashBucket($"doc_id", 179426549L, 100L)
-    val docs = Tables.documents(spark, dir).filter($"doc_id" < 200)
+    contaminationOver(Tables.documents(spark, dir)
       .withColumn("split",
-        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
-    val labels = docs.select($"doc_id", $"split")
-    val pairs = DedupOps.jaccardPairs(docs, 0.5).select($"da", $"db")
-    // one pass: unioning pairs with its swap would run the similarity
-    // join twice
-    val oriented = pairs.select(explode(array(
-        struct($"da".as("a"), $"db".as("b")),
-        struct($"db".as("a"), $"da".as("b")))).as("e"))
-      .select($"e.a", $"e.b")
-    val contaminated = oriented
-      .join(labels.select($"doc_id".as("a"), $"split".as("sa")), "a")
-      .join(labels.select($"doc_id".as("b"), $"split".as("sb")), "b")
-      .filter($"sa".isin("val", "test") && $"sb" === "train")
-      .select($"a", $"sa").distinct()
+        when(b < 80, "train").when(b < 90, "val").otherwise("test")))
+  }
+
+  /** The gram-collision audit over any (doc_id, text, split) relation —
+    * shared by the key and PipelineSpec's planted-leak corpora. */
+  private[graft] def contaminationOver(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs.select($"doc_id", $"split",
+      explode(DedupOps.tokenShingles($"text", 8)).as("s"))
+    val trainGrams = grams.filter($"split" === "train")
+      .select($"s").distinct()
+    val contaminated = grams.filter($"split" =!= "train")
+      .join(trainGrams, "s")
+      .select($"doc_id", $"split").distinct()
     docs.filter($"split" =!= "train")
       .groupBy($"split").agg(count(lit(1)).as("n_docs"))
-      .join(contaminated.groupBy($"sa".as("split"))
+      .join(contaminated.groupBy($"split")
         .agg(count(lit(1)).as("n_contaminated")), Seq("split"), "left")
       .select($"split", $"n_docs",
         coalesce($"n_contaminated", lit(0L)).as("n_contaminated"))
@@ -1387,15 +1399,21 @@ object PipelineOps {
          |WHERE f.rn = f.m
          |ORDER BY lang, shard, bin""".stripMargin,
     "contamination_check" ->
-      s"""WITH ${edgesCte(200)},
-         |d AS (
-         |  SELECT doc_id, $SPLIT AS split FROM documents WHERE doc_id < 200),
-         |oriented AS (SELECT da AS a, db AS b FROM edges
-         |             UNION ALL SELECT db, da FROM edges),
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(w) - 7, 0) + 1),
+         |    i -> array_to_string(w[i::INT:i::INT + 7], ' ')))) AS s
+         |  FROM toks),
+         |d AS (SELECT doc_id, $SPLIT AS split FROM documents),
+         |tr AS (SELECT DISTINCT s FROM sh JOIN d USING (doc_id)
+         |       WHERE split = 'train'),
          |cont AS (
-         |  SELECT DISTINCT o.a, x.split FROM oriented o
-         |  JOIN d x ON o.a = x.doc_id JOIN d y ON o.b = y.doc_id
-         |  WHERE x.split IN ('val', 'test') AND y.split = 'train'),
+         |  SELECT DISTINCT sh.doc_id, d.split FROM sh
+         |  JOIN tr USING (s) JOIN d ON sh.doc_id = d.doc_id
+         |  WHERE d.split <> 'train'),
          |base AS (
          |  SELECT split, COUNT(*) AS n_docs FROM d
          |  WHERE split <> 'train' GROUP BY 1),

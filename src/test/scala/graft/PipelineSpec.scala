@@ -196,6 +196,48 @@ class PipelineSpec extends SparkSpecBase {
     a.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
+  test("contamination_check planted-leak law: exactly the eval docs " +
+      "sharing an 8-token-gram with train flag, shorter overlaps and " +
+      "sub-8-token docs never do") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"  // 8 tokens
+    val docs = Seq(
+      // train corpus: the passage embedded mid-document
+      (1L, s"lead in words $passage trailing text here", "train"),
+      (2L, "completely unrelated train document body text", "train"),
+      // leaked: contains the full 8-token passage
+      (10L, s"prefix $passage suffix", "val"),
+      // 7-token overlap only -> NOT contaminated at k=8
+      (11L, "alpha beta gamma delta epsilon zeta eta other words pad",
+        "val"),
+      (12L, s"$passage", "test"),            // exactly the 8 tokens
+      (13L, "seven short tokens only here no more", "test"),  // <8 toks? 7
+      (14L, "nothing shared with training data at all right here",
+        "test")).toDF("doc_id", "text", "split")
+    val got = PipelineOps.contaminationOver(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("val") === ((2L, 1L)))   // only doc 10
+    assert(got("test") === ((3L, 1L)))  // only doc 12
+  }
+
+  test("tokenShingles: sliding k-grams, distinct, empty under k tokens") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b"), (3L, ""), (4L, "  x   y  z  "),
+      (5L, "r r r r")).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        graft.operators.DedupOps.tokenShingles($"text", 3).as("ss"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) === Seq("a b c", "b c d"))
+    assert(got(2L) === Seq.empty)
+    assert(got(3L) === Seq.empty)
+    // irregular whitespace collapses through the same \s+ split both
+    // engines use
+    assert(got(4L) === Seq("x y z"))
+    // repeated gram deduplicates
+    assert(got(5L) === Seq("r r r"))
+  }
+
   test("token_histogram buckets partition the corpus by width-16 bins") {
     val rows = PipelineOps.tokenHistogram(spark, sf).collect()
     val nDocs = graft.sources.Tables.documents(spark, sf).count()
