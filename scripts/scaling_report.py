@@ -74,8 +74,13 @@ OVERRIDES = {
     "dedup_minhash_lsh": "bounded",      # doc_id < 200
     "dedup_ngram_jaccard": "bounded",    # doc_id < 40
     "dedup_simhash": "bounded",          # doc_id < 500
-    "dedup_embedding": "bounded",        # vec_id < 600
-    "dedup_lsh_parity": "bounded",       # vec_id < 600
+    # full corpus since r19; work ∝ band-colliding pairs. NOTE the sf1
+    # generator REUSES vector payloads across replicas (gen_sf1.py), so
+    # every vector is genuinely duplicated 10x and true near-dup pairs
+    # grow ~100x at a 10x row step - output-driven superlinearity of
+    # the replica corpus, not a plan property.
+    "dedup_embedding": "pairs_bounded",
+    "dedup_lsh_parity": "bounded",       # vec_id < 600 sample anchor
     "sim_lsh_parity": "bounded",         # vec_id < 400
     "sim_cosine_topk": "bounded",
     # sim_knn_query has NO subset bound: it is one scan of the whole
@@ -83,7 +88,8 @@ OVERRIDES = {
     # index family is the sublinear path a deployment uses instead)
     "sim_knn_query": "linear",
     "text_pii_redact": "bounded",        # event_id < 500
-    "contamination_check": "bounded",
+    # full corpus since r19: 8-token-gram equi-join, work ∝ gram rows
+    "contamination_check": "linear",
     "dedup_cluster": "bounded",          # 40-doc edge fixture
     "dedup_resolve": "bounded",          # 200-doc labels fixture
     "bucket_point_lookup": "fixed_probe",

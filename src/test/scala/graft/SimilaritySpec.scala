@@ -63,55 +63,63 @@ class SimilaritySpec extends SparkSpecBase {
       report.getLong(0) * (report.getLong(0) - 1) / 2)
   }
 
-  test("LSH-dedup parity vs dedup_embedding: on the overlap corpus the " +
-      "bucketed near-dup path finds exactly the exact threshold pairs " +
-      "that share a bucket, and reports its recall of the full set") {
+  test("dedup_embedding ground-truth law: the shipped multi-band plan " +
+      "finds exactly the exact-recount pairs that share a band bucket " +
+      "(none dropped, no phantoms), its recall is the parity report's, " +
+      "and its executed plan contains no cartesian node") {
     import spark.implicits._
-    // dedup_embedding's corpus and threshold; the same sign-LSH family
-    val dims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
-    val bucket = concat(dims.map(i =>
-      when(element_at($"embedding", i) >= 0f, "1").otherwise("0")): _*)
+    // the O(n²) ground-truth recount on the bounded sample — the r18
+    // key's cartesian formulation, demoted to spec-side referee
     val e = graft.sources.Tables.embeddings(spark, sf)
       .filter($"vec_id" < 600)
-      .select($"vec_id", $"embedding", bucket.as("bucket"))
-    val exactPairs = SimilarityOps.dedupEmbedding(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exactSameBucket = e.as("a")
-      .join(e.as("b"), $"a.vec_id" < $"b.vec_id")
-      .filter($"a.bucket" === $"b.bucket" &&
-        VectorFunctions.cosine($"a.embedding", $"b.embedding") >= 0.35)
-      .select($"a.vec_id", $"b.vec_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lshPairs = e.as("a")
-      .join(e.as("b"),
-        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select($"vec_id", $"embedding")
+    val exactPairs = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
       .filter(VectorFunctions.cosine($"a.embedding", $"b.embedding")
         >= 0.35)
       .select($"a.vec_id", $"b.vec_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // parity: the bucketed path finds EXACTLY the exact pairs that
-    // collide — no phantom pairs, none dropped inside a bucket
-    assert(lshPairs == exactSameBucket,
-      s"bucketed dedup drifted: ${lshPairs.size} vs " +
-        s"${exactSameBucket.size} same-bucket exact pairs")
-    assert(lshPairs.subsetOf(exactPairs),
+    // independent spelling of band collision: driver-side sign bits
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def bands(v: Array[Float]): Set[String] =
+      (0 until SimilarityOps.DedupBands).map(b =>
+        s"$b:" + (0 until SimilarityOps.DedupBandBits).map(j =>
+          if (v(b * SimilarityOps.DedupBandBits + j) >= 0f) '1' else '0')
+          .mkString).toSet
+    val exactColliding = exactPairs.filter { case (a, b) =>
+      bands(vecs(a)).intersect(bands(vecs(b))).nonEmpty }
+    // the SHIPPED key, restricted to the sample (band candidacy is a
+    // property of the two vectors alone, so subsetting is sound)
+    val shipped = SimilarityOps.dedupEmbedding(spark, sf)
+    val shippedPairs = shipped
+      .filter($"va" < 600 && $"vb" < 600)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shippedPairs == exactColliding,
+      s"bucketed dedup drifted: ${shippedPairs.size} shipped vs " +
+        s"${exactColliding.size} colliding exact pairs")
+    assert(shippedPairs.subsetOf(exactPairs),
       "bucketed path surfaced a pair the exact threshold rejects")
-    // honesty metric: what fraction of ALL exact near-dups one band of
-    // this family recovers (production stacks bands to drive this → 1)
     val recall =
       if (exactPairs.isEmpty) 1.0
-      else lshPairs.size.toDouble / exactPairs.size
-    info(f"single-band LSH recall of exact near-dups: $recall%.3f " +
-      s"(${lshPairs.size}/${exactPairs.size})")
-    assert(exactPairs.isEmpty || lshPairs.nonEmpty,
-      "LSH band recovered none of the exact near-dup pairs")
+      else shippedPairs.size.toDouble / exactPairs.size
+    info(f"multi-band LSH recall of exact near-dups: $recall%.3f " +
+      s"(${shippedPairs.size}/${exactPairs.size})")
+    assert(exactPairs.isEmpty || shippedPairs.nonEmpty,
+      "LSH bands recovered none of the exact near-dup pairs")
     // the oracle-key report (dedup_lsh_parity) must agree with this
     // set-based computation — same counts, driver-checked
     val report = SimilarityOps.dedupLshParity(spark, sf).collect().head
     assert(report.getLong(0) == exactPairs.size.toLong &&
-      report.getLong(1) == lshPairs.size.toLong,
+      report.getLong(1) == shippedPairs.size.toLong,
       s"dedup_lsh_parity (${report.getLong(0)},${report.getLong(1)}) vs " +
-        s"spec (${exactPairs.size},${lshPairs.size})")
+        s"spec (${exactPairs.size},${shippedPairs.size})")
+    // plan shape: the r18 cartesian is gone for good — candidates come
+    // from an equi-join, so no cartesian/nested-loop node may appear
+    shipped.collect() // finalize AQE
+    val names = planNodeNames(shipped.queryExecution.executedPlan)
+    assert(!names.exists(n => n.contains("CartesianProduct") ||
+        n.contains("BroadcastNestedLoopJoin")),
+      s"cartesian node in dedup_embedding plan: ${names.distinct.sorted}")
   }
 
   test("sim_knn_query equals brute force exactly") {
