@@ -73,6 +73,25 @@ object Bench {
     (now - floor) > adjBase * 2.0 * gateScale && now - base > 0.5
   }
 
+  /** Floor-aware round-over-round comparison (pure so BenchGateSpec can
+    * pin it): over the common keys whose BASELINE clears 2× the
+    * scheduling floor, the ratio of summed above-floor time now vs the
+    * baseline record. Sub-floor keys are excluded because their records
+    * are noise ratchet, not code (meta_history "2.37×" at 0.077 s), and
+    * the floor is subtracted from both sides so the constant every key
+    * pays can't dilute a real kernel change. Returns (compared-key
+    * count, ratio) — ratio None when nothing qualifies. */
+  private[graft] def aboveFloorRatio(timed: collection.Map[String, Double],
+      baselines: Map[String, Double],
+      floor: Double): (Int, Option[Double]) = {
+    val keys = timed.keys.filter(k =>
+      baselines.get(k).exists(_ > floor * 2)).toSeq
+    val baseAbove = keys.map(k => math.max(baselines(k) - floor, 0.0)).sum
+    val nowAbove = keys.map(k => math.max(timed(k) - floor, 0.0)).sum
+    (keys.size,
+      if (baseAbove > 0) Some(nowAbove / baseAbove) else None)
+  }
+
   /** Median, NaN on empty — shared by the contention index and the
     * re-pass gate so the two can't diverge. */
   private[graft] def median(xs: Seq[Double]): Double =
@@ -291,6 +310,11 @@ object Bench {
     // floor × ~220 keys the floor is tens of seconds of any total, so
     // round-over-round comparisons of CODE should difference this
     val totalAboveFloor = math.max(0.0, total - floorSec * timed.size)
+    // floor-aware CODE comparison vs the record file (VERDICT r18 #8):
+    // sub-floor keys excluded, floor differenced out of both sides
+    val (nBaseCompared, vsBaseline) =
+      aboveFloorRatio(timed, baselines, floorSec)
+    val vsBaselineJson = vsBaseline.map(num3).getOrElse("null")
     val regJson = regressions.map { case (k, (b, n)) =>
       s""""$k":{"baseline":$b,"now":$n}""" }.mkString("{", ",", "}")
     if (regressions.nonEmpty)
@@ -303,7 +327,7 @@ object Bench {
     // short machine-readable summary LAST: the driver captures a bounded
     // stdout tail, and the 100+-entry line above overflows it (r1 had
     // parsed:null). A failed query is an error entry, never a fake timing.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"wall_sec":$wallSec,"contention_index":$ciJson,"floor_sec":${num3(floorSec)},"n_flagged_first_pass":${firstPassFlags.size},"n_regressions":${regressions.size},"queries_file":"BENCH_SUMMARY.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"wall_sec":$wallSec,"contention_index":$ciJson,"floor_sec":${num3(floorSec)},"vs_baseline_above_floor":$vsBaselineJson,"n_flagged_first_pass":${firstPassFlags.size},"n_regressions":${regressions.size},"queries_file":"BENCH_SUMMARY.json","sf":"$sfDir"}""")
     // full per-query detail ALSO goes to a file: the driver's stdout tail
     // truncates the 100+-entry line, which left 48/108 timings
     // unrecoverable in r3 — BENCH_SUMMARY.json is the durable record
@@ -320,7 +344,7 @@ object Bench {
       .map(n => s""""$n"""").getOrElse("null")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$repoRoot/BENCH_SUMMARY.json"),
-      s"""{"total":$total,"n_queries":${results.size},"cpus":"$cpus","setup_sec":$setupSec,"setup_detail":$setupDetailJson,"wall_sec":$wallSec,"samples_per_query":2,"floor_sec":${num3(floorSec)},"total_above_floor":${num3(totalAboveFloor)},"contention_index":$ciJson,"canary_ratios":${canaryRatios.map(num3).mkString("[", ",", "]")},"flagged_first_pass":$flaggedJson,"repass_canary_ratio":$repassJson,"repass_gate_scale":$repassGateScale,"repass_wait_sec":$repassWaitSec,"spill_bytes":$spillJson,"prewarm_failures":$prewarmJson,"errors":$errJson,"regressions":$regJson,"baseline_note":$noteJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"total":$total,"n_queries":${results.size},"cpus":"$cpus","setup_sec":$setupSec,"setup_detail":$setupDetailJson,"wall_sec":$wallSec,"samples_per_query":2,"floor_sec":${num3(floorSec)},"total_above_floor":${num3(totalAboveFloor)},"n_baseline_compared":$nBaseCompared,"vs_baseline_above_floor":$vsBaselineJson,"contention_index":$ciJson,"canary_ratios":${canaryRatios.map(num3).mkString("[", ",", "]")},"flagged_first_pass":$flaggedJson,"repass_canary_ratio":$repassJson,"repass_gate_scale":$repassGateScale,"repass_wait_sec":$repassWaitSec,"spill_bytes":$spillJson,"prewarm_failures":$prewarmJson,"errors":$errJson,"regressions":$regJson,"baseline_note":$noteJson,"queries":$qs,"sf":"$sfDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

@@ -65,4 +65,26 @@ class BenchGateSpec extends AnyFunSuite {
     val n = Bench.readBaselineNoteFrom(txt).get
     assert(n.contains("after rewrite"), s"truncated: '$n'")
   }
+
+  test("aboveFloorRatio: sub-floor baselines excluded, floor " +
+      "differenced from both sides, empty overlap yields None") {
+    val floor = 0.1
+    val timed = Map("slow" -> 1.1, "fast" -> 0.15, "subfloor" -> 0.4,
+      "unbaselined" -> 9.9)
+    val baselines = Map("slow" -> 0.6, "fast" -> 0.3,
+      "subfloor" -> 0.15, // <= 2x floor: excluded even though it "4x'd"
+      "missing" -> 1.0)
+    val (n, ratio) = Bench.aboveFloorRatio(timed, baselines, floor)
+    assert(n == 2) // slow + fast; subfloor excluded, unbaselined skipped
+    // now-above = (1.1-0.1) + (0.15-0.1) = 1.05
+    // base-above = (0.6-0.1) + (0.3-0.1) = 0.7
+    assert(math.abs(ratio.get - 1.05 / 0.7) < 1e-12)
+    assert(Bench.aboveFloorRatio(Map("a" -> 1.0),
+      Map.empty, floor)._2.isEmpty)
+    // a timed value BELOW the floor clamps to 0 contribution, not
+    // negative credit
+    val (_, r2) = Bench.aboveFloorRatio(Map("slow" -> 0.05),
+      Map("slow" -> 0.6), floor)
+    assert(r2.get == 0.0)
+  }
 }
