@@ -299,6 +299,30 @@ object StreamingOps {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Cached footer-inferred schema of the events corpus file. Every
+    * file-source streaming key needs the batch schema up front
+    * (readStream.schema(...) is mandatory for file sources), and the
+    * inference read costs one scheduled job (~0.1 s) PER INVOCATION —
+    * across ~13 streaming keys × 2 bench samples that was ~2-3 s of
+    * pure re-inference of a schema that cannot change within a JVM
+    * (the corpus contract pins one flat file per table per sf dir;
+    * a corpus REGENERATION restarts the engine process). Keyed by
+    * path so multi-sf test sessions stay correct. */
+  private val eventsSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+  private def eventsSchema(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.types.StructType =
+    inferredSchema(spark, s"$dir/events.parquet")
+
+  /** Path-keyed inference cache — valid for corpus files AND for the
+    * fingerprint-keyed stream fixtures (their path changes whenever
+    * their content could, so a stale entry is unreachable). */
+  private def inferredSchema(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType =
+    eventsSchemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+
   /** `stream_hourly_rollup` — file-source stream over the events parquet →
     * 1-hour tumbling window counts/sums per event_type → memory sink in
     * complete mode, drained synchronously. NOTE: complete mode retains
@@ -310,7 +334,7 @@ object StreamingOps {
   def streamHourlyRollup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = eventsSchema(spark, dir)
     val queryName = s"hourly_rollup_${System.nanoTime()}"
     val stream = Tables.normalizeTs(spark.readStream
       .schema(batchSchema)
@@ -348,7 +372,7 @@ object StreamingOps {
   def streamSessionAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = eventsSchema(spark, dir)
     val queryName = s"session_agg_${System.nanoTime()}"
     val stream = Tables.normalizeTs(spark.readStream
       .schema(batchSchema)
@@ -383,7 +407,7 @@ object StreamingOps {
   def streamJoinDim(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = eventsSchema(spark, dir)
     val queryName = s"join_dim_${System.nanoTime()}"
     val dim = Seq(("click", "0.5"), ("view", "0.1"), ("purchase", "5.0"),
       ("signup", "2.0"), ("error", "0.25")).toDF("et", "w")
@@ -415,7 +439,7 @@ object StreamingOps {
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = eventsSchema(spark, dir)
     val queryName = s"stream_dedup_${System.nanoTime()}"
     withStatePartitions(spark, 8) {
       val q = spark.readStream
@@ -449,7 +473,7 @@ object StreamingOps {
   def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = eventsSchema(spark, dir)
     val queryName = s"stream_dedup_wm_${System.nanoTime()}"
     withoutNoDataBatches(spark) { withStatePartitions(spark, 8) {
       val q = Tables.normalizeTs(spark.readStream
@@ -510,7 +534,7 @@ object StreamingOps {
   def streamSessionWatermark(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = eventsSchema(spark, dir)
     val queryName = s"session_wm_${System.nanoTime()}"
     val stream = Tables.normalizeTs(spark.readStream
       .schema(batchSchema)
@@ -544,7 +568,7 @@ object StreamingOps {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = eventsSchema(spark, dir)
     val queryName = s"stream_state_${System.nanoTime()}"
     val src = Tables.normalizeTs(spark.readStream
       .schema(batchSchema)
@@ -605,7 +629,7 @@ object StreamingOps {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = eventsSchema(spark, dir)
     val queryName = s"scd2_cur_${System.nanoTime()}"
     val src = Tables.normalizeTs(spark.readStream
       .schema(batchSchema)
@@ -660,7 +684,7 @@ object StreamingOps {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = eventsSchema(spark, dir)
     val queryName = s"tws_state_${System.nanoTime()}"
     val src = Tables.normalizeTs(spark.readStream
       .schema(batchSchema)
@@ -719,7 +743,7 @@ object StreamingOps {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = eventsSchema(spark, dir)
     val queryName = s"tws_timers_${System.nanoTime()}"
     val src = Tables.normalizeTs(spark.readStream
       .schema(batchSchema)
@@ -760,7 +784,7 @@ object StreamingOps {
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = eventsSchema(spark, dir)
     val queryName = s"stream_join_${System.nanoTime()}"
     def side(eventType: String, prefix: String) = {
       Tables.normalizeTs(spark.readStream
@@ -817,7 +841,7 @@ object StreamingOps {
     // fingerprint-keyed layout, so the timed path is the stream drain,
     // not three single-file publishes
     val src = s"${lateDropLayout(spark, dir)}/src"
-    val schema = spark.read.parquet(src).schema
+    val schema = inferredSchema(spark, src)
     val queryName = s"stream_late_${System.nanoTime()}"
     val agg = spark.readStream
       .schema(schema)
@@ -893,7 +917,7 @@ object StreamingOps {
     // working copy of the shared immutable days-1-10 base: the key
     // measures the per-batch MERGE commits, not the base-table build
     graft.sources.LakeOps.cloneTree(upsertBaseLayout(spark, dir), out)
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = eventsSchema(spark, dir)
     val updates = Tables.normalizeTs(spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -979,7 +1003,7 @@ object StreamingOps {
     // compaction pass mutates it, so each run gets its own clone); the
     // timed path is the per-batch MoR commits
     graft.sources.LakeOps.cloneTree(upsertBaseLayout(spark, dir), base)
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = eventsSchema(spark, dir)
     val updates = Tables.normalizeTs(spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -1194,7 +1218,7 @@ object StreamingOps {
       } finally ls.close()
     }
     land("b1")
-    val schema = spark.read.parquet(src).schema
+    val schema = inferredSchema(spark, src)
     drainResumeOnce(spark, src, sink, cp, schema) // processes days 1-5
     land("b2")
     drainResumeOnce(spark, src, sink, cp, schema) // restart: days 6-8 only
