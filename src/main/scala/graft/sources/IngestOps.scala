@@ -975,11 +975,18 @@ object IngestOps {
     val ev = eventsWithParts(spark, dir)
       .select($"event_id", $"event_type", $"value", $"day")
       .localCheckpoint()
+    // ids stamped into the footers on write ([[withFieldId]]); the
+    // sidecars below stay as the no-id-footer fallback + current-schema
+    // record
     ev.filter($"day" <= 15)
-      .select($"event_id", $"event_type", $"value".as("val"), $"day")
+      .select(withFieldId($"event_id", "event_id", 1),
+        withFieldId($"event_type", "event_type", 2),
+        withFieldId($"value", "val", 3), withFieldId($"day", "day", 4))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/v1")
     ev.filter($"day" > 15)
-      .select($"event_id", $"event_type", $"value", $"day")
+      .select(withFieldId($"event_id", "event_id", 1),
+        withFieldId($"event_type", "event_type", 2),
+        withFieldId($"value", "value", 3), withFieldId($"day", "day", 4))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/v2")
     // the field-id sidecars: field 3's PHYSICAL name per era — the id,
     // not the name, is the stable identity the rename pivots on
@@ -996,12 +1003,52 @@ object IngestOps {
       .orderBy($"event_type")
   }
 
+  /** Stamp a column with its Iceberg-style field id for parquet WRITE:
+    * Spark's parquet writer (fieldId.write, on by default) copies the
+    * `parquet.field.id` metadata key into the footer's column ids — the
+    * SAME numbered-field mechanism `AIGEventsSchemaValidator.java:61-146`
+    * builds with `Types.NestedField.required(id, name, type)`, so the
+    * era files this engine writes are id-stamped exactly like files an
+    * Iceberg writer produces, readable by any id-resolving reader. */
+  private[graft] def withFieldId(c: org.apache.spark.sql.Column,
+      name: String, id: Int): org.apache.spark.sql.Column =
+    c.as(name, new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", id.toLong).build())
+
+  /** The (field-id → physical name) mapping read FROM PARQUET FOOTERS —
+    * the wire-format source of truth (one footer per era directory;
+    * every file in an era shares its schema by construction). Empty map
+    * when the files carry no ids (a layout written before id stamping,
+    * or by a writer that never numbered its fields) — callers fall back
+    * to the era sidecar. */
+  private[graft] def footerFieldIds(spark: SparkSession,
+      dirPath: String): Map[Int, String] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")) match {
+      case None => Map.empty
+      case Some(f) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .flatMap(t => Option(t.getId).map(_.intValue -> t.getName))
+          .toMap
+        finally r.close()
+    }
+  }
+
   /** Persist one schema ERA's (field-id → physical column name) mapping
     * — the engine's equivalent of Iceberg's `NestedField` ids
     * (`aig/AIGEventsSchemaValidator.java:61-146`), which are what make
     * renames safe: a column's identity is its id, its name is an era-
     * scoped label. One sidecar per era under `metadata/`, same encoding
-    * discipline as the manifests. */
+    * discipline as the manifests. Since r19 this is the FALLBACK: era
+    * writers stamp real footer field-ids ([[withFieldId]]) and
+    * [[readEraById]] binds from footers first. */
   private[graft] def writeSchemaEra(spark: SparkSession, root: String,
       era: Int, fields: Seq[(Int, String)]): Unit =
     writeMetaLines(spark, root, s"metadata/schema-$era.txt",
@@ -1026,7 +1073,12 @@ object IngestOps {
     * `unionByName(allowMissingColumns)` semantics or project defaults. */
   private[graft] def readEraById(spark: SparkSession, root: String,
       era: Int, current: Seq[(Int, String)]): DataFrame = {
-    val phys = readSchemaEra(spark, root, era).toMap
+    // footers first (the wire format — ids stamped by the era writers),
+    // sidecar only for layouts whose files carry no ids
+    val fromFooter = footerFieldIds(spark, s"$root/v$era")
+    val phys =
+      if (fromFooter.nonEmpty) fromFooter
+      else readSchemaEra(spark, root, era).toMap
     spark.read.parquet(s"$root/v$era")
       .select(current.flatMap { case (id, cur) =>
         phys.get(id).map(p => col(p).as(cur)) }: _*)
@@ -1044,17 +1096,19 @@ object IngestOps {
       val ev = eventsWithParts(spark, dir)
         .select($"event_id", $"event_type", $"value", $"user_id", $"day")
         .localCheckpoint()
-      ev.filter($"day" <= 10)
-        .select($"event_id", $"event_type", $"value".as("a"),
-          $"user_id".as("c"), $"day")
+      // every era write stamps footer field-ids — the binding proof in
+      // IngestSpec reads THESE ids, not the sidecars
+      def eraCols(valName: String, uidName: String) = Seq(
+        withFieldId($"event_id", "event_id", 1),
+        withFieldId($"event_type", "event_type", 2),
+        withFieldId($"value", valName, 3),
+        withFieldId($"user_id", uidName, 5),
+        withFieldId($"day", "day", 4))
+      ev.filter($"day" <= 10).select(eraCols("a", "c"): _*)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/v1")
-      ev.filter($"day".between(11, 20))
-        .select($"event_id", $"event_type", $"value".as("b"),
-          $"user_id".as("c"), $"day")
+      ev.filter($"day".between(11, 20)).select(eraCols("b", "c"): _*)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/v2")
-      ev.filter($"day" > 20)
-        .select($"event_id", $"event_type", $"value".as("b"),
-          $"user_id".as("a"), $"day")
+      ev.filter($"day" > 20).select(eraCols("b", "a"): _*)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/v3")
       writeSchemaEra(spark, out, 1, Seq(1 -> "event_id", 2 -> "event_type",
         3 -> "a", 5 -> "c", 4 -> "day"))

@@ -648,4 +648,65 @@ class IngestSpec extends SparkSpecBase {
     assert(nameMapped.columns.contains("a"),
       "era-1 physical a would collide with the current a by name")
   }
+
+  test("era field-ids live in the parquet FOOTERS (wire format): era-1 " +
+      "binding needs no sidecar, and Spark's native id-resolving " +
+      "reader binds the renamed columns from the stamped ids alone") {
+    import spark.implicits._
+    val root = graft.sources.IngestOps.renameChainLayout(spark, sf)
+    // 1) the footers of every era carry the NestedField-style ids the
+    //    era writers stamped — the same numbered-field mechanism the
+    //    reference builds with Types.NestedField.required(id, name, _)
+    assert(graft.sources.IngestOps.footerFieldIds(spark, s"$root/v1") ==
+      Map(1 -> "event_id", 2 -> "event_type", 3 -> "a", 5 -> "c",
+        4 -> "day"))
+    assert(graft.sources.IngestOps.footerFieldIds(spark, s"$root/v3") ==
+      Map(1 -> "event_id", 2 -> "event_type", 3 -> "b", 5 -> "a",
+        4 -> "day"))
+    // 2) sidecar-free binding: a fixture with id-stamped footers and NO
+    //    metadata/ dir resolves purely from the footers
+    val solo = graft.sources.IngestOps.tmp("fid_solo")
+    Seq((10L, 1.5, 77L), (11L, 2.5, 78L))
+      .toDF("event_id", "value", "user_id")
+      .select(graft.sources.IngestOps.withFieldId($"event_id", "event_id", 1),
+        graft.sources.IngestOps.withFieldId($"value", "a", 3),
+        graft.sources.IngestOps.withFieldId($"user_id", "c", 5))
+      .write.mode("overwrite").parquet(s"$solo/v1")
+    val bound = graft.sources.IngestOps.readEraById(spark, solo, 1,
+      Seq(1 -> "event_id", 3 -> "b", 5 -> "a"))
+      .orderBy($"event_id").collect()
+    assert(bound.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toSeq == Seq((10L, 1.5, 77L), (11L, 2.5, 78L)),
+      "footer-id binding failed without a sidecar")
+    // 3) the stamped ids are REAL parquet field ids: Spark's own
+    //    fieldId.read reader (the Iceberg-compatible resolution mode)
+    //    binds by id across the rename with names that match nothing
+    val readSchema = org.apache.spark.sql.types.StructType(Seq(
+      ("event_id", org.apache.spark.sql.types.LongType, 1L),
+      ("b", org.apache.spark.sql.types.DoubleType, 3L),
+      ("a", org.apache.spark.sql.types.LongType, 5L)).map {
+      case (n, t, id) => org.apache.spark.sql.types.StructField(n, t,
+        nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", id).build())
+    })
+    //    (non-vectorized reader: Spark 4.1's vectorized path mis-binds
+    //    when an id-renamed column's OLD name still exists in the file
+    //    with a different id — name shadowing; the engine's own era
+    //    reads use the footer-projection path, which has no such hole)
+    val keys = Seq("spark.sql.parquet.fieldId.read.enabled" -> "true",
+      "spark.sql.parquet.enableVectorizedReader" -> "false")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val native = spark.read.schema(readSchema).parquet(s"$solo/v1")
+        .orderBy($"event_id").collect()
+      assert(native.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSeq == Seq((10L, 1.5, 77L), (11L, 2.5, 78L)),
+        "native fieldId.read resolution mis-bound the renamed columns")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
