@@ -51,6 +51,12 @@ def main():
                        if k in old and merged[k] < old[k] - 1e-9)
     b["queries"] = merged
     b["total"] = round(sum(merged.values()), 3)
+    # record the merging run's scheduling floor so the bench's
+    # floor-aware baseline comparison can difference each side by its
+    # OWN floor (approximation: mins accumulate across rounds whose
+    # floors differ a little; this is the latest merge's)
+    if s.get("floor_sec") is not None:
+        b["floor_sec"] = s["floor_sec"]
     if NOTE:
         b["note"] = NOTE
     elif b.pop("note", None) is not None:

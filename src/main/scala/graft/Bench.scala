@@ -74,23 +74,41 @@ object Bench {
   }
 
   /** Floor-aware round-over-round comparison (pure so BenchGateSpec can
-    * pin it): over the common keys whose BASELINE clears 2× the
+    * pin it): over the common keys whose BASELINE clears 2× its own
     * scheduling floor, the ratio of summed above-floor time now vs the
     * baseline record. Sub-floor keys are excluded because their records
     * are noise ratchet, not code (meta_history "2.37×" at 0.077 s), and
-    * the floor is subtracted from both sides so the constant every key
-    * pays can't dilute a real kernel change. Returns (compared-key
-    * count, ratio) — ratio None when nothing qualifies. */
+    * each side is differenced by ITS OWN floor — the record file
+    * carries the floor of the run that merged it (merge_baselines.py),
+    * so floor drift between rounds reads as environment, not a code
+    * regression; `baseFloor` falls back to the current floor for
+    * record files written before the field existed. Returns
+    * (compared-key count, ratio) — ratio None when nothing
+    * qualifies. */
   private[graft] def aboveFloorRatio(timed: collection.Map[String, Double],
-      baselines: Map[String, Double],
-      floor: Double): (Int, Option[Double]) = {
+      baselines: Map[String, Double], floor: Double,
+      baseFloor: Option[Double] = None): (Int, Option[Double]) = {
+    val bf = baseFloor.getOrElse(floor)
     val keys = timed.keys.filter(k =>
-      baselines.get(k).exists(_ > floor * 2)).toSeq
-    val baseAbove = keys.map(k => math.max(baselines(k) - floor, 0.0)).sum
+      baselines.get(k).exists(_ > bf * 2)).toSeq
+    val baseAbove = keys.map(k => math.max(baselines(k) - bf, 0.0)).sum
     val nowAbove = keys.map(k => math.max(timed(k) - floor, 0.0)).sum
     (keys.size,
       if (baseAbove > 0) Some(nowAbove / baseAbove) else None)
   }
+
+  /** The record file's own floor_sec (merge-run scheduling floor),
+    * parsed with the same flat-shape discipline as [[readBaselines]]. */
+  private def readBaselineFloor(repoRoot: String): Option[Double] =
+    scala.util.Try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$repoRoot/BASELINE_QUERIES.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val topLevel = """"queries"\s*:\s*\{[^}]*\}""".r
+        .replaceAllIn(txt, "")
+      """"floor_sec"\s*:\s*(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
+        .findFirstMatchIn(topLevel).map(_.group(1).toDouble)
+    }.toOption.flatten
 
   /** Median, NaN on empty — shared by the contention index and the
     * re-pass gate so the two can't diverge. */
@@ -311,9 +329,10 @@ object Bench {
     // round-over-round comparisons of CODE should difference this
     val totalAboveFloor = math.max(0.0, total - floorSec * timed.size)
     // floor-aware CODE comparison vs the record file (VERDICT r18 #8):
-    // sub-floor keys excluded, floor differenced out of both sides
+    // sub-floor keys excluded, each side differenced by its own floor
     val (nBaseCompared, vsBaseline) =
-      aboveFloorRatio(timed, baselines, floorSec)
+      aboveFloorRatio(timed, baselines, floorSec,
+        readBaselineFloor(repoRoot))
     val vsBaselineJson = vsBaseline.map(num3).getOrElse("null")
     val regJson = regressions.map { case (k, (b, n)) =>
       s""""$k":{"baseline":$b,"now":$n}""" }.mkString("{", ",", "}")

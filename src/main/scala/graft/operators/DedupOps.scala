@@ -44,11 +44,8 @@ object DedupOps {
     * sequence(1, n) DESCENDS for n < 1 (it would emit positions 1,0)
     * and DuckDB's || is NULL-propagating where concat_ws is
     * NULL-skipping — both engines must agree on "no shingles". */
-  private[graft] def tokenShingles3(text: Column): Column =
-    tokenShingles(text, 3)
-
-  /** Distinct word k-gram shingles of a doc — the general form behind
-    * [[tokenShingles3]] and the k=8 grams of the contamination audit.
+  /** Distinct word k-gram shingles of a doc — the TOKEN-level shingle
+    * unit (k=8 grams drive the contamination audit).
     * Built as k-1 zip_with passes over shifted slices, NOT a transform
     * with element_at(t, i): a lambda-body reference to the split array
     * re-evaluates the regex split PER ELEMENT (≈k·tokens splits per
@@ -86,7 +83,7 @@ object DedupOps {
     * that size), wrong only if a future caller pairs a huge relation
     * with a prune down to a handful of rows AND a hash-heavy map stage;
     * such a caller should repartition explicitly after the filter. */
-  private def spreadSmall(df: DataFrame): DataFrame = {
+  private[operators] def spreadSmall(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism
     val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
@@ -162,8 +159,8 @@ object DedupOps {
     * which is what keeps this shape viable at 100 TB.
     * Columns: da, db, inter, na, nb, jaccard (rounded 6dp). Also the edge
     * generator for [[PipelineOps.dedupCluster]]. */
-  private[graft] def jaccardPairs(docs: DataFrame, threshold: Double,
-      shingle: Column => Column = shingles3(_)): DataFrame = {
+  private[graft] def jaccardPairs(docs: DataFrame,
+      threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // The shingle-set subtree feeds FOUR consumers below (the prefix
@@ -173,7 +170,7 @@ object DedupOps {
     // restricts docs to a candidate subset first. At full corpus scale the
     // same cut is a persist(DISK_ONLY) on the shingle table.
     val sets = spreadSmall(
-      docs.select($"doc_id", shingle($"text").as("ss")))
+      docs.select($"doc_id", shingles3($"text").as("ss")))
       .localCheckpoint()
     val sh = sets.select($"doc_id", size($"ss").as("n"), explode($"ss").as("s"))
     val freq = sh.groupBy($"s").agg(count(lit(1)).as("df"))
@@ -198,12 +195,16 @@ object DedupOps {
     // t·max(na,nb) ≤ |a∩b| ≤ min(na,nb), so docs whose set sizes differ
     // by more than the ratio t can never qualify — pruning them HERE
     // costs two long comparisons per joined row, before the pair ever
-    // reaches distinct() or the array confirm. Lossless by the same
-    // inequality that defines the threshold.
+    // reaches distinct() or the array confirm. The epsilon mirrors the
+    // prefix bound's guard above: when fl(t) rounds UP, fl(fl(t)·n) can
+    // exceed the exact t·n and the strict ≥ would drop a pair sitting
+    // exactly AT the threshold — err toward admitting the boundary
+    // candidate (the exact confirm still decides it). Lossless by the
+    // same inequality that defines the threshold.
     val cand = prefix.as("a").join(prefix.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
-          $"a.n" >= lit(threshold) * $"b.n" &&
-          $"b.n" >= lit(threshold) * $"a.n")
+          $"a.n" >= lit(threshold) * $"b.n" - lit(1e-9) &&
+          $"b.n" >= lit(threshold) * $"a.n" - lit(1e-9))
       .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
     thresholdJaccard(pairStats(cand, sets), threshold)
       .select($"da", $"db", $"inter", $"na", $"nb",

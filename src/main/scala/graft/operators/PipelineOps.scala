@@ -633,8 +633,13 @@ object PipelineOps {
   private[graft] def contaminationOver(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val grams = docs.select($"doc_id", $"split",
-      explode(DedupOps.tokenShingles($"text", 8)).as("s"))
+    // the corpus contract delivers one flat file → 1-2 input splits;
+    // spreadSmall parallelizes the O(k·tokens) gram pass across the
+    // session (no-op at real multi-file scale — its own doc)
+    val grams = DedupOps.spreadSmall(docs.select($"doc_id", $"split",
+      $"text"))
+      .select($"doc_id", $"split",
+        explode(DedupOps.tokenShingles($"text", 8)).as("s"))
     val trainGrams = grams.filter($"split" === "train")
       .select($"s").distinct()
     val contaminated = grams.filter($"split" =!= "train")

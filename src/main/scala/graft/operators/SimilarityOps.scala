@@ -442,8 +442,20 @@ object SimilarityOps {
     * recall, which changes [[DedupBands]], not the plan. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddingsValid(spark, dir)
-      .select($"vec_id", $"embedding")
+    dedupLshPairs(Tables.embeddingsValid(spark, dir)
+        .select($"vec_id", $"embedding"))
+      .select($"va", $"vb", round($"raw_cos", 6).as("cos"))
+      .orderBy($"va", $"vb")
+  }
+
+  /** The SHARED body of the shipped embedding-dedup plan — multi-band
+    * candidates + exact-cosine confirm over any (vec_id, embedding)
+    * frame, returning (va, vb, raw_cos) for pairs ≥ 0.35. ONE spelling
+    * for both the key ([[dedupEmbedding]]) and the recall report
+    * ([[dedupLshParity]]): the parity key exists to score the executed
+    * plan, so the two must be incapable of drifting apart. */
+  private def dedupLshPairs(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val bb = e.select($"vec_id", explode(bandBuckets($"embedding")).as("bb"))
     val cand = bb.as("a").join(bb.as("b"),
         $"a.bb" === $"b.bb" && $"a.vec_id" < $"b.vec_id")
@@ -455,8 +467,6 @@ object SimilarityOps {
         "vb")
       .select($"va", $"vb", cosine($"ea", $"eb").as("raw_cos"))
       .filter($"raw_cos" >= 0.35)
-      .select($"va", $"vb", round($"raw_cos", 6).as("cos"))
-      .orderBy($"va", $"vb")
   }
 
   /** Bands × bits of the [[dedupEmbedding]] LSH family. */
@@ -524,22 +534,11 @@ object SimilarityOps {
     val exact = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
       .filter(cosine($"a.embedding", $"b.embedding") >= 0.35)
       .agg(count(lit(1)).as("n_exact_pairs"))
-    // the LSH side runs the SHIPPED key's multi-band family (not the
-    // single-band simAnnLsh family) on the same bounded sample, so the
+    // the LSH side runs the SHIPPED key's plan body ([[dedupLshPairs]] —
+    // the same code object, not a copy) on the bounded sample, so the
     // recall this report carries is the recall of dedup_embedding's
-    // executed plan
-    val bb = e.select($"vec_id",
-      explode(bandBuckets($"embedding")).as("bb"))
-    val cand = bb.as("a").join(bb.as("b"),
-        $"a.bb" === $"b.bb" && $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb")).distinct()
-    val lsh = cand
-      .join(broadcast(e.select($"vec_id".as("va"), $"embedding".as("ea"))),
-        "va")
-      .join(broadcast(e.select($"vec_id".as("vb"), $"embedding".as("eb"))),
-        "vb")
-      .filter(cosine($"ea", $"eb") >= 0.35)
-      .agg(count(lit(1)).as("n_lsh_pairs"))
+    // executed plan by construction
+    val lsh = dedupLshPairs(e).agg(count(lit(1)).as("n_lsh_pairs"))
     exact.crossJoin(lsh)
       .select($"n_exact_pairs", $"n_lsh_pairs",
         when($"n_exact_pairs" === 0, lit(1.0)).otherwise(

@@ -1074,11 +1074,21 @@ object IngestOps {
   private[graft] def readEraById(spark: SparkSession, root: String,
       era: Int, current: Seq[(Int, String)]): DataFrame = {
     // footers first (the wire format — ids stamped by the era writers),
-    // sidecar only for layouts whose files carry no ids
+    // COMPLETED by the sidecar where one exists: a mixed/older writer
+    // may have stamped only some fields, and a partial footer map must
+    // not silently narrow the projection when the sidecar still binds
+    // the unstamped ids (ids in neither source are genuinely absent
+    // from the era — columns added later — and are skipped by
+    // contract). Footer wins per-id on disagreement.
     val fromFooter = footerFieldIds(spark, s"$root/v$era")
-    val phys =
-      if (fromFooter.nonEmpty) fromFooter
-      else readSchemaEra(spark, root, era).toMap
+    val sidecar =
+      if (current.forall { case (id, _) => fromFooter.contains(id) })
+        Map.empty[Int, String] // footers bind everything requested
+      else
+        try readSchemaEra(spark, root, era).toMap
+        catch { case _: Exception if fromFooter.nonEmpty =>
+          Map.empty[Int, String] }
+    val phys = sidecar ++ fromFooter
     spark.read.parquet(s"$root/v$era")
       .select(current.flatMap { case (id, cur) =>
         phys.get(id).map(p => col(p).as(cur)) }: _*)

@@ -1218,7 +1218,11 @@ object StreamingOps {
       } finally ls.close()
     }
     land("b1")
-    val schema = inferredSchema(spark, src)
+    // cache key = the fingerprinted LAYOUT, not the fixed-path landing
+    // dir (src is deleted/re-landed per invocation, so its path could
+    // serve a stale entry across corpora; the layout path changes
+    // whenever its content could)
+    val schema = inferredSchema(spark, s"$lay/b1")
     drainResumeOnce(spark, src, sink, cp, schema) // processes days 1-5
     land("b2")
     drainResumeOnce(spark, src, sink, cp, schema) // restart: days 6-8 only

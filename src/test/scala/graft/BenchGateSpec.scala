@@ -86,5 +86,11 @@ class BenchGateSpec extends AnyFunSuite {
     val (_, r2) = Bench.aboveFloorRatio(Map("slow" -> 0.05),
       Map("slow" -> 0.6), floor)
     assert(r2.get == 0.0)
+    // each side differenced by ITS OWN floor: a floor that drifted up
+    // since the record was merged must not read as a code regression
+    val (_, r3) = Bench.aboveFloorRatio(Map("slow" -> 0.29),
+      Map("slow" -> 0.25), floor = 0.09, baseFloor = Some(0.05))
+    assert(math.abs(r3.get - 0.20 / 0.20) < 1e-12,
+      s"floor drift mis-read as regression: ${r3.get}")
   }
 }
