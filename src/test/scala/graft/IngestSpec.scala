@@ -709,4 +709,69 @@ class IngestSpec extends SparkSpecBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("Iceberg-v2 metadata.json: version-hint resolves the current " +
+      "metadata file, every required v2 field is present, the schema " +
+      "carries the field ids, snapshots chain with live manifest " +
+      "pointers, and the snapshot log agrees with the commit log and " +
+      "the snapshots metadata table") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val root = graft.sources.IngestOps.snapshotLayout(spark, sf)
+    val hint = graft.sources.IngestOps
+      .readMetaLines(spark, root, "metadata/version-hint.text")
+    assert(hint == Seq("3"), s"version hint: $hint")
+    val txt = graft.sources.IngestOps
+      .readMetaLines(spark, root, s"metadata/v${hint.head}.metadata.json")
+      .mkString("\n")
+    val j = JsonMethods.parse(txt)
+    assert((j \ "format-version").extract[Int] == 2)
+    for (req <- Seq("table-uuid", "location", "last-sequence-number",
+        "last-updated-ms", "last-column-id", "current-schema-id",
+        "schemas", "default-spec-id", "partition-specs",
+        "last-partition-id", "default-sort-order-id", "sort-orders",
+        "current-snapshot-id", "snapshots", "snapshot-log", "refs")) {
+      assert((j \ req) != JNothing, s"required v2 field missing: $req")
+    }
+    assert((j \ "location").extract[String] == root)
+    // schema: the field-id'd struct (ids are the column identities the
+    // rename/era discipline binds on)
+    val fields = (j \ "schemas")(0) \ "fields"
+    assert(fields.children.map(f => ((f \ "id").extract[Int],
+      (f \ "name").extract[String])) == List(1 -> "event_id",
+      2 -> "user_id", 3 -> "event_type", 4 -> "value", 5 -> "day"))
+    // partition spec: identity on day, sourced from field 5
+    val pf = ((j \ "partition-specs")(0) \ "fields")(0)
+    assert((pf \ "transform").extract[String] == "identity" &&
+      (pf \ "source-id").extract[Int] == 5)
+    // snapshots: ids 1..3, parent chain, ascending sequence numbers,
+    // and every manifest-list pointer names a live file
+    val snaps = (j \ "snapshots").children
+    assert(snaps.map(s => (s \ "snapshot-id").extract[Int]) ==
+      List(1, 2, 3))
+    assert(snaps.tail.map(s =>
+      (s \ "parent-snapshot-id").extract[Int]) == List(1, 2))
+    snaps.foreach { s =>
+      val ml = (s \ "manifest-list").extract[String]
+      assert(graft.sources.IngestOps.fsExists(spark, s"$root/$ml"),
+        s"manifest-list $ml missing")
+    }
+    // snapshot-log == the commits.txt the AS-OF reads resolve against
+    val log = (j \ "snapshot-log").children.map(e =>
+      ((e \ "snapshot-id").extract[Int],
+        (e \ "timestamp-ms").extract[Long]))
+    assert(log == graft.sources.IngestOps.commitLog(spark, root).toList)
+    // refs: main is a branch at the current snapshot
+    assert((j \ "refs" \ "main" \ "snapshot-id").extract[Int] == 3)
+    assert((j \ "refs" \ "main" \ "type").extract[String] == "branch")
+    // cross-surface agreement: the snapshots metadata table serves the
+    // SAME commit timestamps this metadata file records
+    val table = graft.sources.IngestOps.metaSnapshots(spark, sf)
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
+    table.foreach { case (id, ms) =>
+      assert(log.contains((id, ms)),
+        s"snapshots table and metadata.json disagree on commit $id")
+    }
+  }
 }
