@@ -661,8 +661,12 @@ object IngestOps {
       // snapshot-log entries in table metadata.
       writeMetaLines(spark, tmpRoot, "metadata/commits.txt",
         (1 to 3).map(n => s"$n=${1705276800000L + n * 1000L}"))
-      // the Iceberg-v2 table-metadata wire format over the same state
-      writeIcebergMetadataJson(spark, tmpRoot, snapInfo.result())
+      // the Iceberg-v2 table-metadata wire format over the same state:
+      // real avro manifests + manifest-lists, then the metadata.json
+      // pointing at them
+      val snapsSeq = snapInfo.result()
+      val lists = writeAvroManifests(spark, tmpRoot, snapsSeq)
+      writeIcebergMetadataJson(spark, tmpRoot, snapsSeq, lists)
       fs.create(new org.apache.hadoop.fs.Path(tmpRoot, "metadata/_DONE"),
         true).close()
     }
@@ -677,15 +681,14 @@ object IngestOps {
     * identity partition spec on `day`, the snapshot list with
     * parentage/sequence numbers/manifest pointers, the snapshot log
     * from the SAME commits.txt the AS-OF reads resolve against, and
-    * the refs map. One documented deviation: `manifest-list` points at
-    * the engine's newline manifest (`metadata/snap-N.txt`) rather than
-    * an avro manifest-list — the avro encoding needs the Iceberg
-    * runtime, which the offline environment lacks (SURVEY
-    * "Environment constraint"); everything else parses as spec
-    * metadata. IngestSpec parses it back and proves agreement with
-    * the `snapshots`/`history` metadata tables. */
+    * the refs map. `manifest-list` points at the REAL avro
+    * manifest-list files ([[writeAvroManifests]]) when provided,
+    * falling back to the engine's newline manifests. IngestSpec parses
+    * it back and proves agreement with the `snapshots`/`history`
+    * metadata tables. */
   private[graft] def writeIcebergMetadataJson(spark: SparkSession,
-      root: String, snaps: Seq[(Int, Long, Int)]): Unit = {
+      root: String, snaps: Seq[(Int, Long, Int)],
+      manifestLists: Map[Int, String] = Map.empty): Unit = {
     val uuid = java.util.UUID.nameUUIDFromBytes(
       root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val fields = Seq((1, "event_id", "long"), (2, "user_id", "long"),
@@ -698,9 +701,10 @@ object IngestOps {
     val snapsJson = snaps.map { case (id, ms, nFiles) =>
       val parent = if (id == snaps.head._1) ""
         else s""""parent-snapshot-id":${id - 1},"""
+      val ml = manifestLists.getOrElse(id, s"metadata/snap-$id.txt")
       s"""{"snapshot-id":$id,${parent}"sequence-number":$id,""" +
         s""""timestamp-ms":$ms,""" +
-        s""""manifest-list":"metadata/snap-$id.txt",""" +
+        s""""manifest-list":"$ml",""" +
         s""""summary":{"operation":"append",""" +
         s""""added-data-files":"$nFiles"},"schema-id":0}"""
     }.mkString("[", ",", "]")
@@ -726,6 +730,141 @@ object IngestOps {
       s"metadata/v${last._1}.metadata.json", Seq(json))
     writeMetaLines(spark, root, "metadata/version-hint.text",
       Seq(last._1.toString))
+  }
+
+  /** Iceberg avro schema of one MANIFEST entry (spec §"Manifests", v2):
+    * the required fields with their spec field-ids carried as the
+    * `field-id` attribute — the id mapping Iceberg's avro codec uses.
+    * Unlisted optional columns (bounds, null counts) live in the
+    * parquet stats sidecars, the engine's planning surface. */
+  private val ManifestEntrySchema = new org.apache.avro.Schema.Parser()
+    .parse("""{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,
+      | "field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,
+      | "field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],
+      | "default":null,"field-id":4},
+      |{"name":"data_file","field-id":2,"type":{"type":"record",
+      | "name":"r2","fields":[
+      |  {"name":"content","type":"int","field-id":134},
+      |  {"name":"file_path","type":"string","field-id":100},
+      |  {"name":"file_format","type":"string","field-id":101},
+      |  {"name":"partition","field-id":102,"type":{"type":"record",
+      |   "name":"r102","fields":[{"name":"day","type":["null","int"],
+      |    "default":null,"field-id":1000}]}},
+      |  {"name":"record_count","type":"long","field-id":103},
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]}}]}""".stripMargin)
+
+  /** Iceberg avro schema of one MANIFEST-LIST entry (spec §"Snapshots",
+    * v2 required fields, spec field-ids as `field-id`). */
+  private val ManifestListSchema = new org.apache.avro.Schema.Parser()
+    .parse("""{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin)
+
+  /** Write `records` as a real avro file at `path` (hadoop FS). */
+  private def writeAvro(spark: SparkSession, path: String,
+      schema: org.apache.avro.Schema,
+      records: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val os = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    try {
+      w.create(schema, os)
+      records.foreach(w.append)
+    } finally w.close() // closes os
+  }
+
+  /** Emit REAL avro manifests for the 3-commit snapshot table — the
+    * second Iceberg wire-format piece that needs no Iceberg jar (avro
+    * 1.12 ships with Spark): per snapshot, `manifest-snap-N.avro` holds
+    * one spec-shaped manifest_entry per ADDED data file (status=1,
+    * content=DATA, identity `day` partition tuple parsed from the path,
+    * record_count from the stats sidecar, true file length), and
+    * `manifest-list-snap-N.avro` lists the manifests of snapshots 1..N
+    * with sequence numbers and add counts — the cumulative view a
+    * snapshot's `manifest-list` pointer must serve. Returns the list
+    * paths keyed by snapshot so the metadata.json can point at them.
+    * All field-ids ride the avro schemas as `field-id` attributes, the
+    * Iceberg avro id mapping. The newline text manifests remain the
+    * engine's operational planning surface; these are the wire-format
+    * emission (IngestSpec reads them back and proves agreement). */
+  private[graft] def writeAvroManifests(spark: SparkSession, root: String,
+      snaps: Seq[(Int, Long, Int)]): Map[Int, String] = {
+    import org.apache.avro.generic.GenericData
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val perSnap = snaps.map { case (id, _, _) =>
+      val stats = readStatsManifest(spark, root, s"snap-$id.stats")
+      val entries = stats.sortBy(_.rel).map { st =>
+        val e = new GenericData.Record(ManifestEntrySchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", id.toLong)
+        e.put("sequence_number", id.toLong)
+        e.put("file_sequence_number", id.toLong)
+        val df = new GenericData.Record(
+          ManifestEntrySchema.getField("data_file").schema())
+        df.put("content", 0) // DATA
+        df.put("file_path", s"data/${st.rel}")
+        df.put("file_format", "PARQUET")
+        val part = new GenericData.Record(ManifestEntrySchema
+          .getField("data_file").schema().getField("partition").schema())
+        val day = """day=(\d+)/""".r.findFirstMatchIn(st.rel)
+          .map(_.group(1).toInt)
+        part.put("day", day.map(Int.box).orNull)
+        df.put("partition", part)
+        df.put("record_count", st.nRows)
+        df.put("file_size_in_bytes", fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$root/data/${st.rel}")).getLen)
+        e.put("data_file", df)
+        e
+      }
+      val mpath = s"metadata/manifest-snap-$id.avro"
+      writeAvro(spark, s"$root/$mpath", ManifestEntrySchema, entries)
+      (id, mpath, entries.size, stats.map(_.nRows).sum)
+    }
+    snaps.map { case (id, _, _) =>
+      val rows = perSnap.filter(_._1 <= id).map {
+        case (mid, mpath, nf, nr) =>
+          val r = new GenericData.Record(ManifestListSchema)
+          r.put("manifest_path", mpath)
+          r.put("manifest_length", fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$root/$mpath")).getLen)
+          r.put("partition_spec_id", 0)
+          r.put("content", 0) // data manifests
+          r.put("sequence_number", mid.toLong)
+          r.put("min_sequence_number", mid.toLong)
+          r.put("added_snapshot_id", mid.toLong)
+          r.put("added_files_count", nf)
+          r.put("existing_files_count", 0)
+          r.put("deleted_files_count", 0)
+          r.put("added_rows_count", nr)
+          r.put("existing_rows_count", 0L)
+          r.put("deleted_rows_count", 0L)
+          r
+      }
+      val lpath = s"metadata/manifest-list-snap-$id.avro"
+      writeAvro(spark, s"$root/$lpath", ManifestListSchema, rows)
+      id -> lpath
+    }.toMap
   }
 
   /** Commit log (snapshot → committed-at ms), ascending by snapshot. */
@@ -1766,9 +1905,21 @@ object IngestOps {
   private[graft] def bloomSidecar(spark: SparkSession, dir: String,
       root: String): String = {
     val out = sharedFor(spark, "events_blooms_v3", dir)
+    // the sidecar records REL PATHS of the snapshot layout's data
+    // files; that layout is itself a rebuildable artifact (its gate
+    // grew in r19 and rebuilt every pre-r19 layout with fresh random
+    // part names), so corpus-keying alone is not enough — the gate
+    // also pins the exact file listing the blooms were built FROM,
+    // and a parent rebuild makes the sidecar rebuild instead of
+    // planning scans from dangling paths
+    val src = java.util.UUID.nameUUIDFromBytes(
+      listDataFiles(spark, s"$root/data").toSeq.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
     buildShared(spark, out,
-      r => fsExists(spark, s"$r/blooms.parquet/_SUCCESS")) { tmpRoot =>
+      r => fsExists(spark, s"$r/blooms.parquet/_SUCCESS") &&
+        readMetaLines(spark, r, "source.txt") == Seq(src)) { tmpRoot =>
       buildBloomSidecar(spark, s"$root/data", tmpRoot)
+      writeMetaLines(spark, tmpRoot, "source.txt", Seq(src))
     }
   }
 

@@ -773,5 +773,74 @@ class IngestSpec extends SparkSpecBase {
       assert(log.contains((id, ms)),
         s"snapshots table and metadata.json disagree on commit $id")
     }
+    // the manifest-list pointers are the REAL avro files
+    snaps.foreach { s =>
+      assert((s \ "manifest-list").extract[String]
+        .endsWith(".avro"), "manifest-list is not the avro emission")
+    }
+  }
+
+  test("avro manifests are real Iceberg-shaped avro: the list file " +
+      "carries spec field-ids and one row per live manifest, and each " +
+      "manifest's entries agree with the text manifest and the stats " +
+      "sidecar file-for-file") {
+    import scala.jdk.CollectionConverters._
+    val root = graft.sources.IngestOps.snapshotLayout(spark, sf)
+    def readAvro(rel: String)
+        : (org.apache.avro.Schema,
+           Seq[org.apache.avro.generic.GenericRecord]) = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+      val in = new org.apache.avro.mapred.FsInput(p,
+        spark.sparkContext.hadoopConfiguration)
+      val r = new org.apache.avro.file.DataFileReader(in,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try (r.getSchema, r.iterator().asScala.toVector)
+      finally r.close()
+    }
+    // manifest list of the current snapshot: 3 manifests, ascending
+    // sequence numbers, spec field-ids on the avro schema itself
+    val (lschema, lrows) = readAvro("metadata/manifest-list-snap-3.avro")
+    assert(lschema.getField("manifest_path").getObjectProp("field-id")
+      == 500, "manifest_path lacks its Iceberg field-id")
+    assert(lschema.getField("added_snapshot_id").getObjectProp("field-id")
+      == 503)
+    assert(lrows.map(_.get("sequence_number").asInstanceOf[Long])
+      == Vector(1L, 2L, 3L))
+    lrows.foreach { r =>
+      val mp = r.get("manifest_path").toString
+      assert(graft.sources.IngestOps.fsExists(spark, s"$root/$mp"),
+        s"dangling manifest pointer $mp")
+      assert(r.get("manifest_length").asInstanceOf[Long] > 0L)
+    }
+    // snapshot 1's manifest: entries equal the text manifest's file
+    // set, and record counts equal the stats sidecar per file
+    val (eschema, erows) = readAvro("metadata/manifest-snap-1.avro")
+    val dataFileSchema = eschema.getField("data_file").schema()
+    assert(dataFileSchema.getField("file_path").getObjectProp("field-id")
+      == 100)
+    val txtFiles = graft.sources.IngestOps
+      .readMetaLines(spark, root, "metadata/snap-1.txt")
+      .map(rel => s"data/$rel").toSet
+    val avroFiles = erows.map(e => e.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("file_path").toString).toSet
+    assert(avroFiles == txtFiles,
+      "avro manifest and text manifest disagree on snapshot 1's files")
+    val statsRows = graft.sources.IngestOps
+      .readStatsManifest(spark, root, "snap-1.stats")
+      .map(st => s"data/${st.rel}" -> st.nRows).toMap
+    erows.foreach { e =>
+      val df = e.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val fp = df.get("file_path").toString
+      assert(df.get("record_count") == statsRows(fp),
+        s"record_count drifted from the stats sidecar for $fp")
+      assert(e.get("status") == 1) // ADDED
+      // identity partition tuple round-trips the path's day value
+      val day = df.get("partition")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord].get("day")
+      assert(fp.contains(s"day=$day/"), s"partition tuple wrong: $day")
+    }
   }
 }
