@@ -220,6 +220,33 @@ class PipelineSpec extends SparkSpecBase {
     assert(got("test") === ((3L, 1L)))  // only doc 12
   }
 
+  test("tokenShingles law (randomized): equals a driver-side " +
+      "sliding-window reference for k in {2,3,8} over random token " +
+      "sequences spanning the under/at/over-k boundary") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("a", "bb", "ccc", "d", "ee")
+    val docs = (1L to 120L).map { id =>
+      val n = rnd.nextInt(12) // 0..11 tokens straddles every k boundary
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def ref(text: String, k: Int): Seq[String] = {
+      val t = text.trim.split("\\s+").toSeq.filter(_ => text.trim.nonEmpty)
+      if (t.size < k) Seq.empty
+      else t.sliding(k).map(_.mkString(" ")).toSeq.distinct
+    }
+    for (k <- Seq(2, 3, 8)) {
+      val got = docs.toDF("doc_id", "text")
+        .select($"doc_id",
+          graft.operators.DedupOps.tokenShingles($"text", k).as("ss"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      docs.foreach { case (id, text) =>
+        assert(got(id) == ref(text, k),
+          s"k=$k doc $id: got ${got(id)}, want ${ref(text, k)}")
+      }
+    }
+  }
+
   test("tokenShingles: sliding k-grams, distinct, empty under k tokens") {
     import spark.implicits._
     val df = Seq(
