@@ -14,6 +14,28 @@ import graft.sources.Tables
   */
 object DedupOps {
 
+  /** The sf-PROPORTIONAL audit anchor of the three pairwise-confirm keys
+    * (`dedup_ngram_jaccard`, `dedup_minhash_lsh`, `dedup_simhash`): a
+    * deterministic multiplicative hash-sample `(doc_id * k) % 100 < pct`
+    * — the same integer-arithmetic family as PipelineOps' sampling keys,
+    * spelled identically in each DuckDB twin so both engines select the
+    * exact same docs. k is chosen coprime to 100, so the predicate keeps
+    * exactly pct% of every 100 consecutive ids: the audited set is a
+    * fixed FRACTION of the corpus at every sf (sf-proportional), not the
+    * fixed-size `doc_id < K` prefix r19 shipped (which covered ~0% at
+    * 100×). The fraction — not the plan — bounds the replay cost: on
+    * this small-vocab corpus pair DENSITY is scale-constant (~38% of all
+    * pairs at char-3-gram Jaccard ≥ 0.5, ~7% at MinHash 0.4, ~2% at
+    * hamming ≤ 3 — measured sf0.01 vs sf0.1), so result size grows with
+    * sample², and the DuckDB oracle additionally replays 16 md5 calls
+    * per shingle. Each key's pct is sized so the sf0.1 sample matches
+    * the old cap's doc count (bench cost unchanged) and the sf1 oracle
+    * replay stays in seconds. Production uncaps: the executed plans
+    * (PPJoin prefix filter, banded bucket join, pigeonhole block join)
+    * are the 100 TB shapes and never materialize non-candidate pairs. */
+  private def anchorSample(k: Long, pct: Int): Column =
+    pmod(col("doc_id") * lit(k), lit(100L)) < pct
+
   /** Distinct character 3-gram shingles of a doc's text — the fused
     * linear-pass expression ([[graft.functions.Shingles3]]). Value-equal
     * to the declarative spelling below (DedupSpec proves it on the edge
@@ -31,19 +53,6 @@ object DedupOps {
       sequence(lit(1), greatest(length(text) - 2, lit(1))),
       i => text.substr(i, lit(3))))
 
-  /** Distinct word (whitespace-token) 3-gram shingles — the TOKEN-level
-    * shingle unit the decontamination family uses. Character shingles
-    * degenerate on a small-alphabet corpus (this one has only a few
-    * hundred distinct char-3-grams, so every doc pair becomes a
-    * candidate no matter how the join is filtered); token 3-grams over
-    * even a 30-word vocabulary span a ~27k universe, which keeps the
-    * co-shingle equi-join selective at any corpus size — and token
-    * n-gram overlap is what production eval-leak checks actually
-    * compute. A doc with fewer than 3 tokens has NO token 3-grams:
-    * the empty-array branch is explicit because Spark's
-    * sequence(1, n) DESCENDS for n < 1 (it would emit positions 1,0)
-    * and DuckDB's || is NULL-propagating where concat_ws is
-    * NULL-skipping — both engines must agree on "no shingles". */
   /** Distinct word k-gram shingles of a doc — the TOKEN-level shingle
     * unit (k=8 grams drive the contamination audit).
     * Built as k-1 zip_with passes over shifted slices, NOT a transform
@@ -137,10 +146,13 @@ object DedupOps {
   /** `dedup_ngram_jaccard` — pairwise Jaccard over character-3-gram
     * shingles via the prefix-filtered similarity join ([[jaccardPairs]]):
     * candidates only from globally-rare shingles, confirm by
-    * `array_intersect` — no cross join, no hot-shingle blowup. */
+    * `array_intersect` — no cross join, no hot-shingle blowup. Audits a
+    * deterministic 4% [[anchorSample]] of the corpus (sf-proportional;
+    * 20 docs at sf0.01, 200 at sf0.1, 2k at sf1). */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    jaccardPairs(Tables.documents(spark, dir).filter($"doc_id" < 40), 0.5)
+    jaccardPairs(
+      Tables.documents(spark, dir).filter(anchorSample(982451653L, 4)), 0.5)
       .orderBy($"da", $"db")
   }
 
@@ -265,11 +277,12 @@ object DedupOps {
     * Jaccard confirm — has an exact DuckDB twin and the key is fully
     * hash-oracle-checked (it was rows-only while on xxhash64);
     * DedupSpec's planted-duplicate recall tests cover the xx fast path
-    * through the same pipeline. */
+    * through the same pipeline. Audits a deterministic 4%
+    * [[anchorSample]] of the corpus (sf-proportional). */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     minhashPipeline(
-      Tables.documents(spark, dir).filter($"doc_id" < 200),
+      Tables.documents(spark, dir).filter(anchorSample(479001599L, 4)),
       nHashes = 16, bandSize = 4, threshold = 0.4, portable = true)
   }
 
@@ -362,10 +375,12 @@ object DedupOps {
     * all have an exact DuckDB twin and the key is fully
     * hash-oracle-checked (rows-only while on xxhash64); DedupSpec's
     * planted-duplicate tests cover the 64-bit xx fast path (8×8-bit
-    * blocks) through the same pipeline. */
+    * blocks) through the same pipeline. Audits a deterministic 10%
+    * [[anchorSample]] of the corpus (sf-proportional). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    simhashPipeline(Tables.documents(spark, dir).filter($"doc_id" < 500),
+    simhashPipeline(
+      Tables.documents(spark, dir).filter(anchorSample(715225741L, 10)),
       maxHamming = 3, portable = true)
   }
 
@@ -682,7 +697,8 @@ object DedupOps {
     * (doc_id, text) relation — the default is the key's corpus; the
     * robustness key replays the same pipeline over the malformed CTE. */
   private[operators] def minhashOracle(source: String =
-      "SELECT doc_id, text FROM documents WHERE doc_id < 200"): String = {
+      "SELECT doc_id, text FROM documents " +
+        "WHERE (doc_id * 479001599) % 100 < 4"): String = {
     val n = 16; val bs = 4
     val lanes = (0 until n).map(j =>
       s"list_min(list_transform(ss, s -> ${PH(s"'$j:' || s")}))")
@@ -733,7 +749,7 @@ object DedupOps {
        |  SELECT doc_id, ${PH("t")} AS h FROM (
        |    SELECT doc_id, unnest(list_distinct(
        |      list_filter(string_split(text, ' '), x -> x <> ''))) AS t
-       |    FROM documents WHERE doc_id < 500)),
+       |    FROM documents WHERE (doc_id * 715225741) % 100 < 10)),
        |votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
        |sim AS (SELECT doc_id, $simexpr AS simhash FROM votes),
        |blocks AS ($blocks),
@@ -840,7 +856,8 @@ object DedupOps {
         |) GROUP BY h ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS (
-         |  SELECT doc_id, unnest($SH) AS s FROM documents WHERE doc_id < 40
+         |  SELECT doc_id, unnest($SH) AS s FROM documents
+         |  WHERE (doc_id * 982451653) % 100 < 4
          |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter

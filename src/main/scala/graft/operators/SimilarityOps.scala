@@ -453,7 +453,17 @@ object SimilarityOps {
     * frame, returning (va, vb, raw_cos) for pairs ≥ 0.35. ONE spelling
     * for both the key ([[dedupEmbedding]]) and the recall report
     * ([[dedupLshParity]]): the parity key exists to score the executed
-    * plan, so the two must be incapable of drifting apart. */
+    * plan, so the two must be incapable of drifting apart.
+    *
+    * The exact-cosine confirm deliberately carries NO broadcast hint:
+    * the embeddings frame is corpus-sized, so a hinted broadcast is a
+    * plan that cannot be built at a billion vectors — the pair list
+    * rides a shuffle hash join back to the two vector sides instead,
+    * and at local scale AQE is still free to pick a broadcast from
+    * runtime stats (an adaptive choice, not a forced one). The r19 A/B
+    * (PLANS.md "dedup_embedding confirm-shape A/B") measured the
+    * shuffle spelling as a wash at sf1; SimilaritySpec pins the plan
+    * both cartesian-free and hint-free. */
   private def dedupLshPairs(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     val bb = e.select($"vec_id", explode(bandBuckets($"embedding")).as("bb"))
@@ -461,10 +471,8 @@ object SimilarityOps {
         $"a.bb" === $"b.bb" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb")).distinct()
     cand
-      .join(broadcast(e.select($"vec_id".as("va"), $"embedding".as("ea"))),
-        "va")
-      .join(broadcast(e.select($"vec_id".as("vb"), $"embedding".as("eb"))),
-        "vb")
+      .join(e.select($"vec_id".as("va"), $"embedding".as("ea")), "va")
+      .join(e.select($"vec_id".as("vb"), $"embedding".as("eb")), "vb")
       .select($"va", $"vb", cosine($"ea", $"eb").as("raw_cos"))
       .filter($"raw_cos" >= 0.35)
   }

@@ -44,8 +44,12 @@ class PipelineSpec extends SparkSpecBase {
   }
 
   test("dedup_cluster matches a union-find reference over the edge list") {
-    // edges = the oracle-checked jaccard pairs (same subset + threshold)
-    val edges = graft.operators.DedupOps.dedupNgramJaccard(spark, sf)
+    // edges = jaccardPairs over dedup_cluster's OWN doc_id < 40 subset
+    // (dedup_ngram_jaccard moved to an sf-proportional hash-sample
+    // anchor in r20, so the key no longer shares this subset)
+    val edges = graft.operators.DedupOps.jaccardPairs(
+        graft.sources.Tables.documents(spark, sf)
+          .filter(col("doc_id") < 40), 0.5)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
     val nodes = graft.sources.Tables.documents(spark, sf)
       .filter(col("doc_id") < 40).select("doc_id")

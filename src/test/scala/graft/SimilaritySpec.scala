@@ -120,6 +120,16 @@ class SimilaritySpec extends SparkSpecBase {
     assert(!names.exists(n => n.contains("CartesianProduct") ||
         n.contains("BroadcastNestedLoopJoin")),
       s"cartesian node in dedup_embedding plan: ${names.distinct.sorted}")
+    // ...and the exact-cosine confirm carries no FORCED broadcast of the
+    // corpus-sized embeddings frame: the logical plan must be hint-free
+    // (a billion-vector corpus cannot be broadcast; AQE choosing one
+    // from runtime stats at local scale is adaptive and fine — the pin
+    // is on the hint, not on the runtime join strategy)
+    val hints = shipped.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty,
+      s"forced broadcast hint in dedup_embedding confirm: $hints")
   }
 
   test("sim_knn_query equals brute force exactly") {
