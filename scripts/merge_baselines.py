@@ -51,12 +51,15 @@ def main():
                        if k in old and merged[k] < old[k] - 1e-9)
     b["queries"] = merged
     b["total"] = round(sum(merged.values()), 3)
-    # record the merging run's scheduling floor so the bench's
-    # floor-aware baseline comparison can difference each side by its
-    # OWN floor (approximation: mins accumulate across rounds whose
-    # floors differ a little; this is the latest merge's)
+    # record the MIN of the merging runs' scheduling floors so the
+    # bench's floor-aware baseline comparison can difference each side
+    # by its own floor. Min, not latest: per-key times are per-round
+    # MINS, so most recorded values were set under the smallest floor
+    # seen — carrying a later, larger floor would subtract too much
+    # from the baseline side and one-sidedly overstate regressions.
     if s.get("floor_sec") is not None:
-        b["floor_sec"] = s["floor_sec"]
+        b["floor_sec"] = (s["floor_sec"] if b.get("floor_sec") is None
+                          else min(b["floor_sec"], s["floor_sec"]))
     if NOTE:
         b["note"] = NOTE
     elif b.pop("note", None) is not None:

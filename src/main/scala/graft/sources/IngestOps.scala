@@ -622,7 +622,10 @@ object IngestOps {
     * reads pure metadata operations afterwards. Returns the table root. */
   private[graft] def snapshotLayout(spark: SparkSession,
       dir: String): String = {
-    val out = sharedFor(spark, "events_snapshots", dir)
+    // suffix versions the WIRE format (w2 = full-URI pointers + avro
+    // key-value metadata + summary counts): a layout cached by an older
+    // build would pass the _DONE gate with the stale emission otherwise
+    val out = sharedFor(spark, "events_snapshots_w2", dir)
     // completeness includes the stats sidecars and the commit log: a
     // layout built before either existed reads as stale and is rebuilt
     // (atomically, by buildShared)
@@ -672,6 +675,35 @@ object IngestOps {
     }
   }
 
+  /** `path` as the fully-qualified URI its filesystem serves it under
+    * (e.g. `file:/...` locally, `hdfs://nn/...` on a cluster) — the
+    * form the Iceberg spec requires for every `manifest-list`,
+    * `manifest_path` and `file_path` pointer, so an id-resolving
+    * reader can open them without a table-root convention. Safe to
+    * bake at build time: [[buildShared]] builds layouts IN PLACE at
+    * their final fingerprint-keyed path (no rename), and moving an
+    * Iceberg table has always required a metadata rewrite. */
+  private def qualifiedUri(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
+  /** The snapshot table's field-id'd Iceberg schema/spec JSON — ONE
+    * source for the metadata.json body and the avro manifests' required
+    * key-value metadata, so the two surfaces cannot drift. */
+  private val SnapshotFieldsJson =
+    Seq((1, "event_id", "long"), (2, "user_id", "long"),
+      (3, "event_type", "string"), (4, "value", "double"),
+      (5, "day", "int")).map { case (id, n, t) =>
+      s"""{"id":$id,"name":"$n","required":false,"type":"$t"}"""
+    }.mkString("[", ",", "]")
+  private val SnapshotSchemaJson =
+    s"""{"type":"struct","schema-id":0,"fields":$SnapshotFieldsJson}"""
+  private val SnapshotSpecFieldsJson =
+    """[{"name":"day","transform":"identity","source-id":5,""" +
+      """"field-id":1000}]"""
+
   /** Write the Iceberg-v2-format `metadata/v{N}.metadata.json` +
     * `version-hint.text` for a 3-commit snapshot table — the TABLE
     * METADATA wire format (Iceberg spec §"Table Metadata", the file
@@ -679,47 +711,43 @@ object IngestOps {
     * required v2 field is emitted with the emulated table's real
     * state: field-id'd schema (ids match the era/footers discipline),
     * identity partition spec on `day`, the snapshot list with
-    * parentage/sequence numbers/manifest pointers, the snapshot log
-    * from the SAME commits.txt the AS-OF reads resolve against, and
-    * the refs map. `manifest-list` points at the REAL avro
-    * manifest-list files ([[writeAvroManifests]]) when provided,
-    * falling back to the engine's newline manifests. IngestSpec parses
-    * it back and proves agreement with the `snapshots`/`history`
-    * metadata tables. */
+    * parentage/sequence numbers/manifest pointers (full URIs, as the
+    * spec requires) and a summary whose added-data-files/added-records
+    * agree with the stats sidecars, the snapshot log from the SAME
+    * commits.txt the AS-OF reads resolve against, and the refs map.
+    * `manifest-list` points at the REAL avro manifest-list files
+    * ([[writeAvroManifests]]) when provided, falling back to the
+    * engine's newline manifests. IngestSpec parses it back and proves
+    * agreement with the `snapshots`/`history` metadata tables. */
   private[graft] def writeIcebergMetadataJson(spark: SparkSession,
       root: String, snaps: Seq[(Int, Long, Int)],
-      manifestLists: Map[Int, String] = Map.empty): Unit = {
+      manifestLists: Map[Int, (String, Long)] = Map.empty): Unit = {
     val uuid = java.util.UUID.nameUUIDFromBytes(
       root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val fields = Seq((1, "event_id", "long"), (2, "user_id", "long"),
-      (3, "event_type", "string"), (4, "value", "double"),
-      (5, "day", "int"))
-    val fieldsJson = fields.map { case (id, n, t) =>
-      s"""{"id":$id,"name":"$n","required":false,"type":"$t"}"""
-    }.mkString("[", ",", "]")
+    val qroot = qualifiedUri(spark, root)
     val last = snaps.last
     val snapsJson = snaps.map { case (id, ms, nFiles) =>
       val parent = if (id == snaps.head._1) ""
         else s""""parent-snapshot-id":${id - 1},"""
-      val ml = manifestLists.getOrElse(id, s"metadata/snap-$id.txt")
+      val (ml, nRows) = manifestLists.getOrElse(id,
+        (s"$qroot/metadata/snap-$id.txt", 0L))
       s"""{"snapshot-id":$id,${parent}"sequence-number":$id,""" +
         s""""timestamp-ms":$ms,""" +
         s""""manifest-list":"$ml",""" +
         s""""summary":{"operation":"append",""" +
-        s""""added-data-files":"$nFiles"},"schema-id":0}"""
+        s""""added-data-files":"$nFiles",""" +
+        s""""added-records":"$nRows"},"schema-id":0}"""
     }.mkString("[", ",", "]")
     val logJson = snaps.map { case (id, ms, _) =>
       s"""{"timestamp-ms":$ms,"snapshot-id":$id}"""
     }.mkString("[", ",", "]")
     val json =
       s"""{"format-version":2,"table-uuid":"$uuid",""" +
-        s""""location":"$root","last-sequence-number":${last._1},""" +
+        s""""location":"$qroot","last-sequence-number":${last._1},""" +
         s""""last-updated-ms":${last._2},"last-column-id":5,""" +
-        s""""current-schema-id":0,"schemas":[{"type":"struct",""" +
-        s""""schema-id":0,"fields":$fieldsJson}],""" +
+        s""""current-schema-id":0,"schemas":[$SnapshotSchemaJson],""" +
         s""""default-spec-id":0,"partition-specs":[{"spec-id":0,""" +
-        s""""fields":[{"name":"day","transform":"identity",""" +
-        s""""source-id":5,"field-id":1000}]}],"last-partition-id":1000,""" +
+        s""""fields":$SnapshotSpecFieldsJson}],"last-partition-id":1000,""" +
         s""""default-sort-order-id":0,"sort-orders":[{"order-id":0,""" +
         s""""fields":[]}],"properties":{},""" +
         s""""current-snapshot-id":${last._1},"snapshots":$snapsJson,""" +
@@ -777,10 +805,15 @@ object IngestOps {
       |{"name":"deleted_rows_count","type":"long","field-id":514}
       |]}""".stripMargin)
 
-  /** Write `records` as a real avro file at `path` (hadoop FS). */
+  /** Write `records` as a real avro file at `path` (hadoop FS), with
+    * `meta` as the file's key-value metadata — where the Iceberg spec
+    * puts a manifest's schema/partition-spec/format-version/content
+    * properties (set before create; avro freezes metadata at header
+    * write). */
   private def writeAvro(spark: SparkSession, path: String,
       schema: org.apache.avro.Schema,
-      records: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+      records: Seq[org.apache.avro.generic.GenericRecord],
+      meta: Map[String, String] = Map.empty): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val os = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .create(p, true)
@@ -788,6 +821,7 @@ object IngestOps {
       new org.apache.avro.generic.GenericDatumWriter[
         org.apache.avro.generic.GenericRecord](schema))
     try {
+      meta.foreach { case (k, v) => w.setMeta(k, v) }
       w.create(schema, os)
       records.foreach(w.append)
     } finally w.close() // closes os
@@ -801,17 +835,32 @@ object IngestOps {
     * record_count from the stats sidecar, true file length), and
     * `manifest-list-snap-N.avro` lists the manifests of snapshots 1..N
     * with sequence numbers and add counts — the cumulative view a
-    * snapshot's `manifest-list` pointer must serve. Returns the list
-    * paths keyed by snapshot so the metadata.json can point at them.
-    * All field-ids ride the avro schemas as `field-id` attributes, the
-    * Iceberg avro id mapping. The newline text manifests remain the
-    * engine's operational planning surface; these are the wire-format
-    * emission (IngestSpec reads them back and proves agreement). */
+    * snapshot's `manifest-list` pointer must serve. Every `file_path`
+    * and `manifest_path` is the full URI the spec requires, and each
+    * avro file carries the required key-value metadata (manifests:
+    * schema/schema-id/partition-spec/partition-spec-id/format-version/
+    * content; lists: format-version plus the owning snapshot ids) — the
+    * properties a HadoopCatalog reader resolves before touching rows.
+    * Returns, keyed by snapshot: the list file's full URI and the
+    * snapshot's added-record count (summed from the same sidecars), so
+    * the metadata.json summary agrees file-for-file. All field-ids ride
+    * the avro schemas as `field-id` attributes, the Iceberg avro id
+    * mapping. The newline text manifests remain the engine's
+    * operational planning surface; these are the wire-format emission
+    * (IngestSpec reads them back and proves agreement). */
   private[graft] def writeAvroManifests(spark: SparkSession, root: String,
-      snaps: Seq[(Int, Long, Int)]): Map[Int, String] = {
+      snaps: Seq[(Int, Long, Int)]): Map[Int, (String, Long)] = {
     import org.apache.avro.generic.GenericData
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qroot = qualifiedUri(spark, root)
+    val manifestMeta = Map(
+      "schema" -> SnapshotSchemaJson,
+      "schema-id" -> "0",
+      "partition-spec" -> SnapshotSpecFieldsJson,
+      "partition-spec-id" -> "0",
+      "format-version" -> "2",
+      "content" -> "data")
     val perSnap = snaps.map { case (id, _, _) =>
       val stats = readStatsManifest(spark, root, s"snap-$id.stats")
       val entries = stats.sortBy(_.rel).map { st =>
@@ -823,7 +872,7 @@ object IngestOps {
         val df = new GenericData.Record(
           ManifestEntrySchema.getField("data_file").schema())
         df.put("content", 0) // DATA
-        df.put("file_path", s"data/${st.rel}")
+        df.put("file_path", s"$qroot/data/${st.rel}")
         df.put("file_format", "PARQUET")
         val part = new GenericData.Record(ManifestEntrySchema
           .getField("data_file").schema().getField("partition").schema())
@@ -838,14 +887,15 @@ object IngestOps {
         e
       }
       val mpath = s"metadata/manifest-snap-$id.avro"
-      writeAvro(spark, s"$root/$mpath", ManifestEntrySchema, entries)
+      writeAvro(spark, s"$root/$mpath", ManifestEntrySchema, entries,
+        manifestMeta)
       (id, mpath, entries.size, stats.map(_.nRows).sum)
     }
     snaps.map { case (id, _, _) =>
       val rows = perSnap.filter(_._1 <= id).map {
         case (mid, mpath, nf, nr) =>
           val r = new GenericData.Record(ManifestListSchema)
-          r.put("manifest_path", mpath)
+          r.put("manifest_path", s"$qroot/$mpath")
           r.put("manifest_length", fs.getFileStatus(
             new org.apache.hadoop.fs.Path(s"$root/$mpath")).getLen)
           r.put("partition_spec_id", 0)
@@ -862,8 +912,15 @@ object IngestOps {
           r
       }
       val lpath = s"metadata/manifest-list-snap-$id.avro"
-      writeAvro(spark, s"$root/$lpath", ManifestListSchema, rows)
-      id -> lpath
+      val listMeta = Map(
+        "format-version" -> "2",
+        "snapshot-id" -> id.toString,
+        "sequence-number" -> id.toString,
+        "parent-snapshot-id" ->
+          (if (id == snaps.head._1) "null" else (id - 1).toString))
+      writeAvro(spark, s"$root/$lpath", ManifestListSchema, rows, listMeta)
+      val addedRows = perSnap.find(_._1 == id).map(_._4).getOrElse(0L)
+      id -> (s"$qroot/$lpath", addedRows)
     }.toMap
   }
 
@@ -1284,15 +1341,17 @@ object IngestOps {
     // not silently narrow the projection when the sidecar still binds
     // the unstamped ids (ids in neither source are genuinely absent
     // from the era — columns added later — and are skipped by
-    // contract). Footer wins per-id on disagreement.
+    // contract). Footer wins per-id on disagreement. When the footers
+    // bind every requested id the sidecar is never read; otherwise a
+    // sidecar read failure PROPAGATES — swallowing it would silently
+    // drop requested ids that are present in the era but unstamped
+    // (an absent sidecar file is not a failure: readMetaLines returns
+    // empty, and the ids-absent-from-era contract applies).
     val fromFooter = footerFieldIds(spark, s"$root/v$era")
     val sidecar =
       if (current.forall { case (id, _) => fromFooter.contains(id) })
         Map.empty[Int, String] // footers bind everything requested
-      else
-        try readSchemaEra(spark, root, era).toMap
-        catch { case _: Exception if fromFooter.nonEmpty =>
-          Map.empty[Int, String] }
+      else readSchemaEra(spark, root, era).toMap
     val phys = sidecar ++ fromFooter
     spark.read.parquet(s"$root/v$era")
       .select(current.flatMap { case (id, cur) =>

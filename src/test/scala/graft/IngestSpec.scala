@@ -710,6 +710,42 @@ class IngestSpec extends SparkSpecBase {
     }
   }
 
+  test("era reads bind by footer id even when the session enables the " +
+      "vectorized fieldId.read path (the Spark 4.1 name-shadowing " +
+      "mis-bind): a future change routing readEraById through the " +
+      "native vectorized resolution fails here") {
+    import spark.implicits._
+    // shadowing fixture: physical columns (event_id id1, a id3, c id5);
+    // the era mapping renames id3→b and id5→a, so the requested name
+    // "a" COLLIDES with a physical "a" that carries a different id —
+    // exactly the case where Spark 4.1's vectorized fieldId.read reader
+    // binds the wrong column. The engine's footer-projection path must
+    // stay immune regardless of session conf.
+    val solo = graft.sources.IngestOps.tmp("fid_vec_pin")
+    Seq((10L, 1.5, 77L), (11L, 2.5, 78L))
+      .toDF("event_id", "value", "user_id")
+      .select(graft.sources.IngestOps.withFieldId($"event_id", "event_id", 1),
+        graft.sources.IngestOps.withFieldId($"value", "a", 3),
+        graft.sources.IngestOps.withFieldId($"user_id", "c", 5))
+      .write.mode("overwrite").parquet(s"$solo/v1")
+    val keys = Seq("spark.sql.parquet.fieldId.read.enabled" -> "true",
+      "spark.sql.parquet.enableVectorizedReader" -> "true")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val bound = graft.sources.IngestOps.readEraById(spark, solo, 1,
+        Seq(1 -> "event_id", 3 -> "b", 5 -> "a"))
+        .orderBy($"event_id").collect()
+      assert(bound.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSeq == Seq((10L, 1.5, 77L), (11L, 2.5, 78L)),
+        "readEraById mis-bound under vectorized fieldId.read session " +
+          "conf — era reads must resolve via footer projection")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("Iceberg-v2 metadata.json: version-hint resolves the current " +
       "metadata file, every required v2 field is present, the schema " +
       "carries the field ids, snapshots chain with live manifest " +
@@ -734,7 +770,9 @@ class IngestSpec extends SparkSpecBase {
         "current-snapshot-id", "snapshots", "snapshot-log", "refs")) {
       assert((j \ req) != JNothing, s"required v2 field missing: $req")
     }
-    assert((j \ "location").extract[String] == root)
+    // location and every pointer below are FULL URIs (spec requirement
+    // — a reader must resolve them without a table-root convention)
+    assert((j \ "location").extract[String] == s"file:$root")
     // schema: the field-id'd struct (ids are the column identities the
     // rename/era discipline binds on)
     val fields = (j \ "schemas")(0) \ "fields"
@@ -754,8 +792,23 @@ class IngestSpec extends SparkSpecBase {
       (s \ "parent-snapshot-id").extract[Int]) == List(1, 2))
     snaps.foreach { s =>
       val ml = (s \ "manifest-list").extract[String]
-      assert(graft.sources.IngestOps.fsExists(spark, s"$root/$ml"),
+      assert(ml.startsWith("file:"), s"manifest-list not a full URI: $ml")
+      assert(graft.sources.IngestOps.fsExists(spark, ml),
         s"manifest-list $ml missing")
+    }
+    // snapshot summaries: operation + add counts agreeing with the
+    // stats sidecars (what a real reader surfaces in its UI)
+    snaps.foreach { s =>
+      val id = (s \ "snapshot-id").extract[Int]
+      assert((s \ "summary" \ "operation").extract[String] == "append")
+      val sidecar = graft.sources.IngestOps
+        .readStatsManifest(spark, root, s"snap-$id.stats")
+      assert((s \ "summary" \ "added-data-files").extract[String]
+        == sidecar.size.toString,
+        s"summary added-data-files drifted from sidecar for snap $id")
+      assert((s \ "summary" \ "added-records").extract[String]
+        == sidecar.map(_.nRows).sum.toString,
+        s"summary added-records drifted from sidecar for snap $id")
     }
     // snapshot-log == the commits.txt the AS-OF reads resolve against
     val log = (j \ "snapshot-log").children.map(e =>
@@ -788,19 +841,29 @@ class IngestSpec extends SparkSpecBase {
     val root = graft.sources.IngestOps.snapshotLayout(spark, sf)
     def readAvro(rel: String)
         : (org.apache.avro.Schema,
-           Seq[org.apache.avro.generic.GenericRecord]) = {
+           Seq[org.apache.avro.generic.GenericRecord],
+           Map[String, String]) = {
       val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
       val in = new org.apache.avro.mapred.FsInput(p,
         spark.sparkContext.hadoopConfiguration)
       val r = new org.apache.avro.file.DataFileReader(in,
         new org.apache.avro.generic.GenericDatumReader[
           org.apache.avro.generic.GenericRecord]())
-      try (r.getSchema, r.iterator().asScala.toVector)
-      finally r.close()
+      try {
+        val meta = r.getMetaKeys.asScala.filterNot(_.startsWith("avro."))
+          .map(k => k -> r.getMetaString(k)).toMap
+        (r.getSchema, r.iterator().asScala.toVector, meta)
+      } finally r.close()
     }
     // manifest list of the current snapshot: 3 manifests, ascending
-    // sequence numbers, spec field-ids on the avro schema itself
-    val (lschema, lrows) = readAvro("metadata/manifest-list-snap-3.avro")
+    // sequence numbers, spec field-ids on the avro schema itself, and
+    // the spec-required key-value metadata in the avro header
+    val (lschema, lrows, lmeta) =
+      readAvro("metadata/manifest-list-snap-3.avro")
+    assert(lmeta.get("format-version").contains("2") &&
+      lmeta.get("snapshot-id").contains("3") &&
+      lmeta.get("parent-snapshot-id").contains("2"),
+      s"manifest-list avro metadata incomplete: $lmeta")
     assert(lschema.getField("manifest_path").getObjectProp("field-id")
       == 500, "manifest_path lacks its Iceberg field-id")
     assert(lschema.getField("added_snapshot_id").getObjectProp("field-id")
@@ -809,19 +872,32 @@ class IngestSpec extends SparkSpecBase {
       == Vector(1L, 2L, 3L))
     lrows.foreach { r =>
       val mp = r.get("manifest_path").toString
-      assert(graft.sources.IngestOps.fsExists(spark, s"$root/$mp"),
+      assert(mp.startsWith("file:"), s"manifest_path not a full URI: $mp")
+      assert(graft.sources.IngestOps.fsExists(spark, mp),
         s"dangling manifest pointer $mp")
       assert(r.get("manifest_length").asInstanceOf[Long] > 0L)
     }
     // snapshot 1's manifest: entries equal the text manifest's file
     // set, and record counts equal the stats sidecar per file
-    val (eschema, erows) = readAvro("metadata/manifest-snap-1.avro")
+    val (eschema, erows, emeta) = readAvro("metadata/manifest-snap-1.avro")
+    // the manifest's avro header carries the spec-required properties a
+    // HadoopCatalog reader resolves before touching rows — schema is
+    // the field-id'd table schema, content marks a DATA manifest
+    assert(emeta.get("format-version").contains("2") &&
+      emeta.get("content").contains("data") &&
+      emeta.get("schema-id").contains("0") &&
+      emeta.get("partition-spec-id").contains("0"),
+      s"manifest avro metadata incomplete: $emeta")
+    assert(emeta("schema").contains(""""id":5,"name":"day""""),
+      "manifest avro schema property lacks the field-id'd table schema")
+    assert(emeta("partition-spec").contains(""""transform":"identity""""),
+      "manifest avro partition-spec property missing the identity spec")
     val dataFileSchema = eschema.getField("data_file").schema()
     assert(dataFileSchema.getField("file_path").getObjectProp("field-id")
       == 100)
     val txtFiles = graft.sources.IngestOps
       .readMetaLines(spark, root, "metadata/snap-1.txt")
-      .map(rel => s"data/$rel").toSet
+      .map(rel => s"file:$root/data/$rel").toSet
     val avroFiles = erows.map(e => e.get("data_file")
       .asInstanceOf[org.apache.avro.generic.GenericRecord]
       .get("file_path").toString).toSet
@@ -829,7 +905,7 @@ class IngestSpec extends SparkSpecBase {
       "avro manifest and text manifest disagree on snapshot 1's files")
     val statsRows = graft.sources.IngestOps
       .readStatsManifest(spark, root, "snap-1.stats")
-      .map(st => s"data/${st.rel}" -> st.nRows).toMap
+      .map(st => s"file:$root/data/${st.rel}" -> st.nRows).toMap
     erows.foreach { e =>
       val df = e.get("data_file")
         .asInstanceOf[org.apache.avro.generic.GenericRecord]
