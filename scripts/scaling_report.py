@@ -70,10 +70,14 @@ OVERRIDES = {
     "scan_schema_only": "metadata",
     "datafile_stats": "linear",  # the partitioned WRITE is the op
     "manifest_stats": "metadata", "manifest_rewrite": "metadata",
-    # explicit subset bounds in the op body
-    "dedup_minhash_lsh": "bounded",      # doc_id < 200
-    "dedup_ngram_jaccard": "bounded",    # doc_id < 40
-    "dedup_simhash": "bounded",          # doc_id < 500
+    # sf-proportional hash-sampled anchors since r20 (4%/4%/10% of the
+    # corpus): the audited doc set grows 10x at the sf1 step, and pair
+    # density is scale-constant on this corpus (replicas duplicate
+    # texts), so candidate/confirm work grows with sample^2 - the same
+    # output-driven superlinearity documented for dedup_embedding.
+    "dedup_minhash_lsh": "pairs_bounded",
+    "dedup_ngram_jaccard": "pairs_bounded",
+    "dedup_simhash": "pairs_bounded",
     # full corpus since r19; work ∝ band-colliding pairs. NOTE the sf1
     # generator REUSES vector payloads across replicas (gen_sf1.py), so
     # every vector is genuinely duplicated 10x and true near-dup pairs
