@@ -32,8 +32,11 @@ object DedupOps {
     * the old cap's doc count (bench cost unchanged) and the sf1 oracle
     * replay stays in seconds. Production uncaps: the executed plans
     * (PPJoin prefix filter, banded bucket join, pigeonhole block join)
-    * are the 100 TB shapes and never materialize non-candidate pairs. */
-  private def anchorSample(k: Long, pct: Int): Column =
+    * are the 100 TB shapes and never materialize non-candidate pairs.
+    * Contract: doc_id ≥ 0 (the corpus invariant) — Spark's `pmod` and
+    * DuckDB's `%` agree only on nonnegative operands; `id * k` must
+    * also fit Int64 (holds to id < ~9.4e9 for the largest k here). */
+  private[graft] def anchorSample(k: Long, pct: Int): Column =
     pmod(col("doc_id") * lit(k), lit(100L)) < pct
 
   /** Distinct character 3-gram shingles of a doc's text — the fused

@@ -312,4 +312,37 @@ class DedupSpec extends SparkSpecBase {
     // the 70-member hot block is dropped whole: no pair involves it
     assert(!got.keySet.exists(p => p._1 >= 100L || p._2 >= 100L))
   }
+  test("anchorSample law: exactly pct docs of every aligned 100-id " +
+      "block, invariant under the sf1 generator's replica offsets, and " +
+      "equal to the integer-arithmetic twin the DuckDB oracles spell") {
+    import spark.implicits._
+    for ((k, pct) <- Seq((982451653L, 4), (479001599L, 4),
+        (715225741L, 10))) {
+      // dense id blocks at several alignments, including the 10^6
+      // replica offsets gen_sf1.py applies (offset % 100 == 0, so each
+      // replica must select the same positions-in-block)
+      for (base <- Seq(0L, 100L, 1000000L, 9000000L)) {
+        val ids = spark.range(base, base + 100).toDF("doc_id")
+        val n = ids.filter(DedupOps.anchorSample(k, pct)).count()
+        assert(n == pct, s"k=$k pct=$pct base=$base selected $n")
+        // replica invariance: the SAME in-block positions are chosen
+        val pos = ids.filter(DedupOps.anchorSample(k, pct))
+          .select(($"doc_id" - base).as("p")).collect()
+          .map(_.getLong(0)).toSet
+        val pos0 = spark.range(0, 100).toDF("doc_id")
+          .filter(DedupOps.anchorSample(k, pct))
+          .collect().map(_.getLong(0)).toSet
+        assert(pos == pos0,
+          s"k=$k base=$base replica drift: $pos vs $pos0")
+      }
+      // the twin spelling the oracles use: (doc_id * k) % 100 < pct
+      // over nonnegative ids (driver-side integer arithmetic)
+      val sample = (0L until 5000L).filter(id => (id * k) % 100 < pct)
+      val got = spark.range(0, 5000).toDF("doc_id")
+        .filter(DedupOps.anchorSample(k, pct))
+        .collect().map(_.getLong(0)).toSet
+      assert(got == sample.toSet,
+        s"k=$k pct=$pct diverged from the integer-arithmetic twin")
+    }
+  }
 }
