@@ -230,23 +230,24 @@ object DedupOps {
     * scalar stats, one `array_intersect` per pair by construction.
     * Bounded: one narrow row per candidate pair.
     *
-    * The per-doc set table is EXPLICITLY broadcast: it is a
-    * localCheckpoint leaf (LogicalRDD), whose size estimate is the
-    * conf default — without the hint both probes plan as sort-merge
-    * joins that shuffle every candidate row WITH its shingle arrays
-    * attached (measured 5-8 s of the full-corpus contamination key at
-    * sf0.1; the hinted plan runs the same confirm in under a second).
-    * One narrow row per doc (id + shingle array) stays broadcastable
-    * far past these corpora (~45 MB at sf1); at true 100 TB the
-    * confirm becomes two shuffle joins co-partitioned on doc_id — the
-    * pair list is the big side there, and nothing else changes. */
+    * NO broadcast hint on the per-doc set table (same posture as
+    * [[SimilarityOps]]' embedding confirm, r20): under the
+    * sf-proportional anchors the set table GROWS with the corpus, so a
+    * hinted broadcast is a plan that cannot be built at 100× — the
+    * pair list joins back to the sets as plain joins instead. The set
+    * table is a localCheckpoint leaf (LogicalRDD) with no stats, so
+    * the STATIC plan is a shuffle join; AQE converts it to a broadcast
+    * at runtime when the actual exchanged size is small (measured: the
+    * hint-free spelling is a wash at sf0.1 AND sf1 — the r19 "5-8 s
+    * without the hint" note predated AQE seeing these leaves and the
+    * r19 contamination redesign). At true 100 TB the confirm stays two
+    * shuffle joins co-partitioned on doc_id — the pair list is the big
+    * side there, and nothing else changes. */
   private def pairStats(cand: DataFrame, sets: DataFrame): DataFrame = {
     import cand.sparkSession.implicits._
     cand
-      .join(broadcast(sets.select($"doc_id".as("da"), $"ss".as("ssa"))),
-        "da")
-      .join(broadcast(sets.select($"doc_id".as("db"), $"ss".as("ssb"))),
-        "db")
+      .join(sets.select($"doc_id".as("da"), $"ss".as("ssa")), "da")
+      .join(sets.select($"doc_id".as("db"), $"ss".as("ssb")), "db")
       .select($"da", $"db", size($"ssa").cast("long").as("na"),
         size($"ssb").cast("long").as("nb"),
         size(array_intersect($"ssa", $"ssb")).cast("long").as("inter"))

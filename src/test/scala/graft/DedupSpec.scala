@@ -96,6 +96,19 @@ class DedupSpec extends SparkSpecBase {
         s"got $nIntersect:\n$plan")
     val nJoins = "Join Inner".r.findAllIn(plan).size
     assert(nJoins == 3, s"expected 3 joins, got $nJoins:\n$plan")
+    // ...and the pair→set confirm joins carry NO forced broadcast of
+    // the per-doc set table (r20, same posture as dedup_embedding's
+    // confirm): under the sf-proportional anchors the set table grows
+    // with the corpus, so a hinted broadcast cannot be built at 100× —
+    // the logical plan must be hint-free (AQE choosing a broadcast
+    // from runtime stats is adaptive and fine)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"forced broadcast in minhash confirm: $hints")
+    // (the jaccard path's confirm is the SAME pairStats function, so
+    // this pin covers both; jaccardPairs' own output plan is cut at a
+    // LogicalRDD leaf by thresholdJaccard and would assert vacuously)
   }
 
   test("minhash_signature expression is bit-identical to the " +
