@@ -117,9 +117,30 @@ object DedupOps {
     * ever be rows-checked. 60 uniform bits lose nothing an LSH family
     * cares about; the fused XXH64 signature expression
     * (functions/MinHashSignature.scala) remains the single-engine fast
-    * path and is property-tested separately. */
-  private[operators] def portableHash(c: Column): Column =
+    * path and is property-tested separately.
+    *
+    * Executed form: the fused [[graft.functions.Md5Prefix60]] codegen
+    * expression — same value, none of the declarative chain's per-call
+    * 32-char hex-string + substring + conv-parse allocations (r21
+    * per-task-work pass, guide §1.2 step 2; DedupSpec pins
+    * value-equality against [[portableHashDeclarative]]). */
+  private[graft] def portableHash(c: Column): Column =
+    graft.functions.PortableHashFunctions.md5Prefix60(c)
+
+  /** The declarative semantics reference for [[portableHash]] — the
+    * spelling the DuckDB twins replay (not used in any query path;
+    * DedupSpec asserts value-equality incl. unicode and empty/null). */
+  private[graft] def portableHashDeclarative(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** The declarative lane spelling of the PORTABLE MinHash signature —
+    * the shape the DuckDB twin replays per lane (not used in any query
+    * path; DedupSpec asserts lane-equality with the fused
+    * [[graft.functions.PortableMinHashSignature]]). */
+  private[graft] def portableSignatureDeclarative(ss: Column,
+      nHashes: Int): Column =
+    array((0 until nHashes).map(j => array_min(transform(ss,
+      s => portableHashDeclarative(concat(lit(j), lit(":"), s))))): _*)
 
   /** `dedup_exact` — exact duplicate removal on raw text: keep min doc_id
     * per identical text, report group sizes. */
@@ -337,12 +358,17 @@ object DedupOps {
     // (functions/MinHashSignature.scala) — a map-only narrow stage, no
     // explode blowup, no k aggregate buffers, no exchange; lane j is
     // bit-identical to min(xxhash64(lit(j), s)) (DedupSpec proves it).
-    // Portable path: the same lanes from [[portableHash]] over `j:s` —
-    // still a narrow array_min/transform pass, engine-replayable.
+    // Portable path: the same lanes from [[portableHash]] over `j:s`,
+    // ALSO fused (functions/PortableHash.scala) — the k md5 calls per
+    // shingle are the portability contract and stay, but the k array
+    // traversals and per-call concat + hex-string + conv allocations
+    // of the declarative transform spelling do not (DedupSpec pins
+    // lane-equality against that spelling, kept in
+    // [[portableSignatureDeclarative]]).
     val sig =
       if (portable) sets.select($"doc_id",
-        array((0 until nHashes).map(j => array_min(transform($"ss",
-          s => portableHash(concat(lit(j), lit(":"), s))))): _*).as("sig"))
+        graft.functions.PortableHashFunctions
+          .portableMinhashSignature($"ss", nHashes).as("sig"))
       else sets.select($"doc_id",
         graft.functions.MinHashFunctions
           .minhashSignature($"ss", nHashes).as("sig"))

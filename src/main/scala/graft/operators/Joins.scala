@@ -57,11 +57,23 @@ object Joins {
       .orderBy($"c_custkey")
   }
 
-  /** Explicit broadcast of the small dimension side (`part` ≪ `lineitem`). */
+  /** Broadcast-hash join of the dimension side (`part` ≪ `lineitem`) —
+    * WITHOUT a forced hint: TPC-H `part` is sf-PROPORTIONAL
+    * (|lineitem|/30), so a hard `broadcast(part)` is a plan that cannot
+    * be built at 100× (the r20 verdict's last corpus-growing forced
+    * broadcast; same posture as the hint-free dedup confirms, e0f1a0d).
+    * At bench scale the projected dim sits far under
+    * `autoBroadcastJoinThreshold`, so the planner still picks
+    * BroadcastHashJoin on its own (plans/r21/join_broadcast_after.txt);
+    * at corpus scale it degrades to a shuffle join instead of an
+    * unbuildable 8 GB+ broadcast. The explicit select is the
+    * project-before-exchange discipline (only the join key and the
+    * group key ever cross), and JoinsSpec pins the plan hint-free. */
   def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .join(Tables.part(spark, dir).select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand")
       .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("revenue"))
       .orderBy($"p_brand")

@@ -129,10 +129,20 @@ class TwsSessionTimers extends
     val held = if (sessions.exists()) sessions.get().toSeq else Seq.empty
     val merged = merge(held, rows.map(r => (r._2, r._3)).toSeq)
     sessions.put(merged.toArray)
-    // one timer per session at its CURRENT expiry; ms floor matches the
-    // watermark's ms precision. Re-registering an unchanged expiry is
-    // an idempotent overwrite in the timer store.
-    merged.foreach(s => getHandle.registerTimer(s.endUs / 1000 + GapMs))
+    // ONE timer per key at the EARLIEST held expiry (ms floor matches
+    // the watermark's ms precision), not one per session: emission
+    // partitions the held set by RIPENESS at fire time, so a single
+    // earliest-expiry timer drives identical output — and the r21
+    // profile showed the per-session spelling fired |sessions| timers
+    // per watermark wave, each re-reading the whole ListState
+    // (O(sessions²) per key per wave; at sf0.1 that was ~19k fires ×
+    // ~95-element list reads in the no-data batch). Each fire re-arms
+    // the next earliest OPEN expiry below, so eviction chains across
+    // watermark advances; a stale timer left by a later-extended
+    // session fires harmlessly (empty ripe set) and re-arms.
+    if (merged.nonEmpty)
+      getHandle.registerTimer(
+        merged.iterator.map(s => s.endUs / 1000 + GapMs).min)
     Iterator.empty
   }
   override def handleExpiredTimer(user: Long, timers: TimerValues,
@@ -141,7 +151,13 @@ class TwsSessionTimers extends
     val wm = timers.getCurrentWatermarkInMs
     val (ripe, open) = held.partition(s => s.endUs / 1000 + GapMs <= wm)
     if (open.isEmpty) sessions.clear()
-    else sessions.put(open.toArray)
+    else {
+      sessions.put(open.toArray)
+      // re-arm at the next earliest open expiry: > wm by the partition
+      // above, so the chain survives every future watermark advance
+      getHandle.registerTimer(
+        open.iterator.map(s => s.endUs / 1000 + GapMs).min)
+    }
     ripe.sortBy(_.startUs).iterator
       .map(s => (user, s.startUs, s.n, s.sumCents))
   }
@@ -1078,7 +1094,8 @@ object StreamingOps {
     val b = spark.read.parquet(base)
     val afterDeletes =
       if (graft.sources.IngestOps.fsExists(spark, deletes))
-        b.join(broadcast(spark.read.parquet(deletes)),
+        b.join(graft.sources.LakeOps.boundedBroadcast(
+          spark.read.parquet(deletes)),
           Seq("event_id"), "left_anti")
       else b
     if (graft.sources.IngestOps.fsExists(spark, delta))
@@ -1105,13 +1122,15 @@ object StreamingOps {
     val add = if (hasAdd) spark.read.parquet(delta)
       else spark.read.parquet(base).limit(0)
     val touched = spark.read.parquet(base)
-      .join(broadcast(del), Seq("event_id"), "left_semi")
+      .join(graft.sources.LakeOps.boundedBroadcast(del),
+        Seq("event_id"), "left_semi")
       .select($"day").distinct().collect().map(_.getInt(0)).toSet
     val days = (touched ++ add.select($"day").distinct().collect()
       .map(_.getInt(0))).toSeq.sorted
     val merged = spark.read.parquet(base)
       .filter($"day".isin(days.map(Int.box): _*))
-      .join(broadcast(del), Seq("event_id"), "left_anti")
+      .join(graft.sources.LakeOps.boundedBroadcast(del),
+        Seq("event_id"), "left_anti")
       .unionByName(add)
     graft.sources.LakeOps.rewritePartitions(spark, merged, base, days)
     org.apache.spark.network.util.JavaUtils

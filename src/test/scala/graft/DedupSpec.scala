@@ -141,6 +141,58 @@ class DedupSpec extends SparkSpecBase {
     } finally spark.conf.set(key, prev)
   }
 
+  test("fused Md5Prefix60 equals the declarative conv(substring(md5)) " +
+      "spelling on unicode/edge/random strings, codegen fallback off") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false") // a codegen bug must fail, not fall back
+    try {
+      val rng = new scala.util.Random(13)
+      val alphabet = "ab :0189xyé漢🙂\t."
+      val randoms = Seq.fill(80)(Seq.fill(rng.nextInt(60))(
+        alphabet(rng.nextInt(alphabet.length))).mkString)
+      val edge = Seq("", "a", "0:x", "15:shingle", "héllo漢🙂", "x" * 200)
+      val df = (edge ++ randoms).zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+        .select($"id", $"s",
+          DedupOps.portableHash($"s").as("fused"),
+          DedupOps.portableHashDeclarative($"s").as("decl"))
+      val bad = df.filter(not($"fused" <=> $"decl")).collect()
+      assert(bad.isEmpty, s"fused != declarative on: ${bad.take(3).toSeq}")
+      // null propagates like the declarative chain
+      val nulls = Seq((1L, null.asInstanceOf[String])).toDF("id", "s")
+        .select(DedupOps.portableHash($"s")).collect()
+      assert(nulls.head.isNullAt(0))
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("fused PortableMinHashSignature lanes equal the declarative " +
+      "array_min(transform(portableHash)) spelling, codegen fallback off") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val sets = plantedDocs.filter($"text".isNotNull)
+        .select($"doc_id", DedupOps.shingles3($"text").as("ss"))
+        .filter(size($"ss") > 0)
+      val fused = sets.select($"doc_id",
+        functions.PortableHashFunctions
+          .portableMinhashSignature($"ss", 16).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val decl = sets.select($"doc_id",
+        DedupOps.portableSignatureDeclarative($"ss", 16).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(fused.keySet == decl.keySet)
+      fused.foreach { case (id, sig) =>
+        assert(sig == decl(id), s"portable signature mismatch for doc $id")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("minhash_signature mergeability law: sig(A ∪ B) is the " +
       "element-wise min of sig(A) and sig(B), over 50 random set pairs") {
     // this law is what makes the signature distributable: per-shard

@@ -270,6 +270,38 @@ class EngineSpec extends SparkSpecBase {
     assert(row.getLong(4) == bytes.map(_ & 0xff).map(_.toLong).sum)
   }
 
+  test("join_broadcast: logical plan is hint-free (no forced broadcast " +
+      "of the sf-proportional part side), dim still broadcasts at bench " +
+      "scale, result equals the hinted spelling") {
+    import spark.implicits._
+    val df = operators.Joins.joinBroadcast(spark, sf)
+    // the r20 verdict's last corpus-growing forced broadcast: part is
+    // |lineitem|/30 at every sf, so the HINT must be gone — the pin is
+    // on the hint, not on the runtime strategy (SimilaritySpec e0f1a0d
+    // discipline)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"forced broadcast hint in join_broadcast: $hints")
+    val rows = df.collect()
+    // at bench scale the projected (p_partkey, p_brand) dim sits far
+    // under autoBroadcastJoinThreshold, so the planner must still pick
+    // a broadcast-hash join on its own — the key demonstrates the
+    // strategy without forcing an unbuildable 100× plan
+    assert(planNodeNames(df.queryExecution.executedPlan)
+        .exists(_.contains("BroadcastHashJoin")),
+      "dim side no longer auto-broadcasts at bench scale")
+    // results are identical to the old forced-hint spelling
+    val hinted = graft.sources.Tables.lineitem(spark, sf)
+      .join(broadcast(graft.sources.Tables.part(spark, sf)),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"),
+        operators.dsum($"l_extendedprice").as("revenue"))
+      .orderBy($"p_brand")
+    assert(rows.sameElements(hinted.collect()))
+  }
+
   test("join_skew_salted equals the unsalted join and stays shuffle-hash") {
     import spark.implicits._
     val salted = operators.Joins.joinSkewSalted(spark, sf)

@@ -995,4 +995,47 @@ class LakeSpec extends SparkSpecBase {
       .agg(count(lit(1)), sum(operators.dec($"value"))).collect().head
     assert(after === before)
   }
+
+  test("MoR delete broadcast is size-fenced: an oversized delete set " +
+      "takes the hint-free (shuffle-capable) path, answers unchanged") {
+    import spark.implicits._
+    val L = sources.LakeOps
+    def hints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    val base = spark.range(0, 1000).select($"id".as("event_id"),
+      ($"id" % 7).as("v"))
+    val deletes = spark.range(0, 200)
+      .select(($"id" * 3).as("event_id")).localCheckpoint(true)
+    def morRead(d: org.apache.spark.sql.DataFrame) =
+      base.join(L.boundedBroadcast(d), Seq("event_id"), "left_anti")
+        .agg(count(lit(1)), sum($"v"))
+    // delta-sized delete frame: the hint applies (Iceberg's
+    // equality-delete broadcast shape)
+    val small = morRead(deletes)
+    assert(hints(small).nonEmpty,
+      "KB-sized delete frame lost its broadcast hint")
+    // an "uncompacted month of deletes": past the fence the SAME join
+    // is hint-free — at 100× AQE/planner choose from runtime size,
+    // never a forced unbuildable broadcast
+    val key = "spark.graft.mor.broadcastThreshold"
+    val big = try {
+      spark.conf.set(key, "1")
+      morRead(deletes)
+    } finally spark.conf.unset(key)
+    assert(hints(big).isEmpty,
+      "oversized delete frame still carries a forced broadcast hint")
+    // the fence changes the plan, never the answer
+    assert(small.collect().toSeq == big.collect().toSeq)
+    // and the fenced read flows through the real MoR key unchanged:
+    // delete_mor's answer is identical under a fence that forces the
+    // shuffle path for its delete file
+    val normal = L.deleteMor(spark, sf).collect().toSeq
+    val fenced = try {
+      spark.conf.set(key, "1")
+      L.deleteMor(spark, sf).collect().toSeq
+    } finally spark.conf.unset(key)
+    assert(normal == fenced, "delete_mor answer changed under the fence")
+  }
 }
