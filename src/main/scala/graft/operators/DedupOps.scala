@@ -271,7 +271,12 @@ object DedupOps {
       .join(sets.select($"doc_id".as("db"), $"ss".as("ssb")), "db")
       .select($"da", $"db", size($"ssa").cast("long").as("na"),
         size($"ssb").cast("long").as("nb"),
-        size(array_intersect($"ssa", $"ssb")).cast("long").as("inter"))
+        // fused size(array_intersect(...)): the confirm reads ONLY the
+        // cardinality, so the intersection array is never materialized
+        // (functions/IntersectionSize.scala; DedupSpec pins value
+        // equality and the one-intersect-per-pair shape on this name)
+        graft.functions.IntersectionSizeFunctions
+          .intersectionSize($"ssa", $"ssb").cast("long").as("inter"))
   }
 
   /** The shared scalar-stats cut + threshold filter behind both confirm

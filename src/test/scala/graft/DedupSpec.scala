@@ -90,9 +90,11 @@ class DedupSpec extends SparkSpecBase {
     val df = DedupOps.minhashPairStats(plantedDocs, nHashes = 16,
       bandSize = 4, portable = false)
     val plan = df.queryExecution.optimizedPlan.toString
-    val nIntersect = "array_intersect".r.findAllIn(plan).size
+    // r21: the confirm runs the fused intersection_size expression
+    // (cardinality only, no intersection array) — same one-per-pair shape
+    val nIntersect = "intersection_size".r.findAllIn(plan).size
     assert(nIntersect == 1,
-      s"expected exactly one array_intersect confirm in plan, " +
+      s"expected exactly one intersection_size confirm in plan, " +
         s"got $nIntersect:\n$plan")
     val nJoins = "Join Inner".r.findAllIn(plan).size
     assert(nJoins == 3, s"expected 3 joins, got $nJoins:\n$plan")
@@ -164,6 +166,40 @@ class DedupSpec extends SparkSpecBase {
       // null propagates like the declarative chain
       val nulls = Seq((1L, null.asInstanceOf[String])).toDF("id", "s")
         .select(DedupOps.portableHash($"s")).collect()
+      assert(nulls.head.isNullAt(0))
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("fused IntersectionSize equals size(array_intersect) on random " +
+      "arrays, duplicates, nulls, and empties — codegen fallback off") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val rng = new scala.util.Random(29)
+      val vocab = (0 until 40).map(i => s"s$i") :+ "漢🙂"
+      def arr() = Seq.fill(rng.nextInt(30))(
+        if (rng.nextInt(20) == 0) null else vocab(rng.nextInt(vocab.size)))
+      val cases = Seq.fill(120)((arr(), arr())) ++ Seq(
+        (Seq.empty[String], Seq("a")), (Seq("a"), Seq.empty[String]),
+        (Seq(null, "a", "a", null), Seq("a", null)),
+        (Seq("x", "y"), Seq("y", "x", "y")))
+      val df = cases.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("id", "a", "b")
+        .select($"id",
+          graft.functions.IntersectionSizeFunctions
+            .intersectionSize($"a", $"b").as("fused"),
+          size(array_intersect($"a", $"b")).as("decl"))
+      val bad = df.filter(not($"fused" <=> $"decl")).collect()
+      assert(bad.isEmpty, s"fused != size(array_intersect): " +
+        s"${bad.take(3).toSeq}")
+      // null array propagates
+      val nulls = Seq((1L, null.asInstanceOf[Seq[String]], Seq("a")))
+        .toDF("id", "a", "b")
+        .select(graft.functions.IntersectionSizeFunctions
+          .intersectionSize($"a", $"b")).collect()
       assert(nulls.head.isNullAt(0))
     } finally spark.conf.set(key, prev)
   }
