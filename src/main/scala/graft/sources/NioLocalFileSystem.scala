@@ -20,6 +20,53 @@ import org.apache.hadoop.fs.permission.FsPermission
   */
 class NioRawLocalFileSystem extends RawLocalFileSystem {
 
+  /** Statuses with the permission/owner/group EAGERLY populated via one
+    * java.nio `readAttributes` call. RawLocalFileSystem's own statuses
+    * (`DeprecatedRawLocalFileStatus`) load permissions LAZILY by forking
+    * `ls -ld` per file on the first `getPermission()` — and that call is
+    * NOT rare: `FileSystem.listFiles`/`listLocatedStatus` and Spark's
+    * `HadoopFSUtils.listLeafFiles` (every uncached directory scan, with
+    * locality on) each construct a `LocatedFileStatus`, whose constructor
+    * reads the permission eagerly. One fork per listed file turned every
+    * layout listing into 0.3-0.7 s of `ProcessImpl.forkAndExec` on the
+    * driver (measured: branch_read spent ~2/3 of its time there). A
+    * vanished-mid-list file degrades to the lazy status rather than
+    * failing the whole listing. */
+  private def enrich(s: org.apache.hadoop.fs.FileStatus):
+      org.apache.hadoop.fs.FileStatus =
+    try {
+      val p = Paths.get(pathToFile(s.getPath).getAbsolutePath)
+      val a = Files.readAttributes(p,
+        classOf[java.nio.file.attribute.PosixFileAttributes])
+      new org.apache.hadoop.fs.FileStatus(s.getLen, s.isDirectory,
+        1, s.getBlockSize, s.getModificationTime, s.getAccessTime,
+        fromPosix(a.permissions()), a.owner().getName, a.group().getName,
+        s.getPath)
+    } catch { case _: java.io.IOException | _: SecurityException => s }
+
+  private def fromPosix(ps: java.util.Set[PosixFilePermission]): FsPermission = {
+    import PosixFilePermission._
+    var m = 0
+    if (ps.contains(OWNER_READ)) m |= 0x100
+    if (ps.contains(OWNER_WRITE)) m |= 0x080
+    if (ps.contains(OWNER_EXECUTE)) m |= 0x040
+    if (ps.contains(GROUP_READ)) m |= 0x020
+    if (ps.contains(GROUP_WRITE)) m |= 0x010
+    if (ps.contains(GROUP_EXECUTE)) m |= 0x008
+    if (ps.contains(OTHERS_READ)) m |= 0x004
+    if (ps.contains(OTHERS_WRITE)) m |= 0x002
+    if (ps.contains(OTHERS_EXECUTE)) m |= 0x001
+    new FsPermission(m.toShort)
+  }
+
+  override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus =
+    enrich(super.getFileStatus(f))
+
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    val ss = super.listStatus(f)
+    if (ss == null) null else ss.map(enrich)
+  }
+
   private def toPosix(perm: FsPermission): JEnumSet[PosixFilePermission] = {
     import PosixFilePermission._
     val s = JEnumSet.noneOf(classOf[PosixFilePermission])

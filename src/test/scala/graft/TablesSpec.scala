@@ -106,4 +106,34 @@ class TablesSpec extends SparkSpecBase {
       .filter($"ts" =!= $"rt").count()
     assert(bad == 0, s"$bad rows lost precision in the micros round-trip")
   }
+
+  test("local FS listings carry eagerly-loaded permissions (no lazy " +
+      "DeprecatedRawLocalFileStatus => no ls-fork per listed file)") {
+    // RawLocalFileSystem's DeprecatedRawLocalFileStatus loads permission
+    // info by FORKING `ls -ld` per file on first getPermission() — and
+    // LocatedFileStatus construction (fs.listFiles, Spark's
+    // listLeafFiles with locality) calls it eagerly, so every listing
+    // paid one fork per file. NioRawLocalFileSystem.enrich must return
+    // plain FileStatus with the REAL mode pre-populated via java.nio.
+    val root = graft.sources.IngestOps.tmp("tables_fs_enrich")
+    val dir = java.nio.file.Paths.get(root)
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve("probe.txt")
+    java.nio.file.Files.write(f, "x".getBytes)
+    java.nio.file.Files.setPosixFilePermissions(f,
+      java.nio.file.attribute.PosixFilePermissions.fromString("rw-r-----"))
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = fs.listStatus(p)
+      .filter(_.getPath.getName == "probe.txt") ++
+      Seq(fs.getFileStatus(new org.apache.hadoop.fs.Path(f.toString)))
+    assert(statuses.nonEmpty)
+    statuses.foreach { s =>
+      assert(!s.getClass.getName.contains("Deprecated"),
+        s"lazy permission-forking status leaked from listing: ${s.getClass}")
+      assert(s.getPermission.toShort == Integer.parseInt("640", 8).toShort,
+        s"expected the real mode 640, got ${s.getPermission}")
+      assert(s.getOwner.nonEmpty && s.getModificationTime > 0L)
+    }
+  }
 }
