@@ -59,18 +59,35 @@ object JaccardProbe {
           val p = sh.join(freq, "s")
             .withColumn("rk", row_number().over(byRarity))
             .filter($"rk" <= $"n" - ceil(lit(threshold) * $"n" - lit(1e-9)) + 1)
-            .select($"doc_id", $"s", $"n")
+            .select($"doc_id", $"s", $"n", $"rk")
             .localCheckpoint()
           println(f"[jacprobe]   prefix_ckpt   ${(System.nanoTime() - t0) / 1e9}%.3f")
           p
         }
-        val cand = prefix.as("a").join(prefix.as("b"),
-            $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
-              $"a.n" >= lit(threshold) * $"b.n" - lit(1e-9) &&
-              $"b.n" >= lit(threshold) * $"a.n" - lit(1e-9))
-          .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
-          .localCheckpoint()
-        println(f"[jacprobe]   cand_rows     ${cand.count()}")
+        // interleaved A/B: candidate join with vs without the r21
+        // positional filter (pre-distinct row count + distinct count)
+        def candWith(positional: Boolean) = {
+          val ubound = lit(1) + least($"a.n" - $"a.rk", $"b.n" - $"b.rk")
+          val base = $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
+            $"a.n" >= lit(threshold) * $"b.n" - lit(1e-9) &&
+            $"b.n" >= lit(threshold) * $"a.n" - lit(1e-9)
+          val cond = if (positional)
+            base && (lit(1.0) + lit(threshold)) * ubound >=
+              lit(threshold) * ($"a.n" + $"b.n") - lit(1e-6)
+            else base
+          prefix.as("a").join(prefix.as("b"), cond)
+            .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        }
+        val preNo = candWith(false).count()
+        val preYes = candWith(true).count()
+        println(f"[jacprobe]   prejoin_rows  nopos=$preNo pos=$preYes")
+        val cand = {
+          val t0 = System.nanoTime()
+          val c = candWith(true).distinct().localCheckpoint()
+          val n = c.count()
+          println(f"[jacprobe]   cand_ckpt     ${(System.nanoTime() - t0) / 1e9}%.3f rows=$n")
+          c
+        }
         def confirm(inter: org.apache.spark.sql.Column) = time {
           noop(cand
             .join(sets.select($"doc_id".as("da"), $"ss".as("ssa")), "da")

@@ -41,7 +41,7 @@ object KeyProbe {
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         Option(jobs.remove(e.jobId)).foreach { case (d, t0) =>
-          done.add((d, (e.time - t0) / 1e3))
+          done.add((d, (e.time - t0) / 1e3)) // listener times are ms
         }
       }
     })
@@ -71,9 +71,12 @@ object KeyProbe {
     }
     println("== best rounds ==")
     keys.foreach { k =>
-      println(f"[keyprobe] BEST $k%-28s ${best(k)}%.3f")
-      bestJobs(k).sortBy(-_._2).take(12).foreach { case (d, ms) =>
-        println(f"[keyprobe]      ${ms}%8.1f ms  $d")
+      val js = bestJobs(k)
+      println(f"[keyprobe] BEST $k%-28s ${best(k)}%.3f  " +
+        f"jobs_sum=${js.map(_._2).sum}%.3f  driver_side=${
+          best(k) - js.map(_._2).sum}%.3f")
+      js.sortBy(-_._2).take(12).foreach { case (d, s) =>
+        println(f"[keyprobe]      ${s}%8.3f s  ${d.take(90)}")
       }
     }
     spark.stop()

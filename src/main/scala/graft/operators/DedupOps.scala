@@ -28,9 +28,13 @@ object DedupOps {
     * pairs at char-3-gram Jaccard ≥ 0.5, ~7% at MinHash 0.4, ~2% at
     * hamming ≤ 3 — measured sf0.01 vs sf0.1), so result size grows with
     * sample², and the DuckDB oracle additionally replays 16 md5 calls
-    * per shingle. Each key's pct is sized so the sf0.1 sample matches
-    * the old cap's doc count (bench cost unchanged) and the sf1 oracle
-    * replay stays in seconds. Production uncaps: the executed plans
+    * per shingle. Sizing: minhash's 4% and simhash's 10% land the sf0.1
+    * sample exactly on their old caps' doc counts (200/500 —
+    * bench-neutral); jaccard's 4% (200 docs) is a deliberate 5× widening
+    * of its old 40-doc cap, priced in the r20 baseline reset (0.63 →
+    * 1.46 s at sf0.1), so all three anchors share one pct family and
+    * the sf1 oracle replay stays in seconds. Production uncaps: the
+    * executed plans
     * (PPJoin prefix filter, banded bucket join, pigeonhole block join)
     * are the 100 TB shapes and never materialize non-candidate pairs.
     * Contract: doc_id ≥ 0 (the corpus invariant) — Spark's `pmod` and
@@ -197,6 +201,20 @@ object DedupOps {
     * generator for [[PipelineOps.dedupCluster]]. */
   private[graft] def jaccardPairs(docs: DataFrame,
       threshold: Double): DataFrame = {
+    import docs.sparkSession.implicits._
+    thresholdJaccard(jaccardPairStats(docs, threshold), threshold)
+      .select($"da", $"db", $"inter", $"na", $"nb",
+        round($"jaccard", 6).as("jaccard"))
+  }
+
+  /** The jaccard pipeline up to (da, db, na, nb, inter) — shingle sets,
+    * prefix table, candidate join (length + positional filters), one
+    * intersection per pair. Split out pre-cut (like
+    * [[minhashPairStats]]) so plan capture and specs can see the
+    * candidate-join strategy that [[thresholdJaccard]]'s lineage cut
+    * hides. */
+  private[graft] def jaccardPairStats(docs: DataFrame,
+      threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // The shingle-set subtree feeds FOUR consumers below (the prefix
@@ -225,7 +243,7 @@ object DedupOps {
     val prefix = sh.join(freq, "s")
       .withColumn("rk", row_number().over(byRarity))
       .filter($"rk" <= $"n" - ceil(lit(threshold) * $"n" - lit(1e-9)) + 1)
-      .select($"doc_id", $"s", $"n")
+      .select($"doc_id", $"s", $"n", $"rk")
       .localCheckpoint()
     // PPJoin's length filter rides the candidate join: J(a,b) ≥ t forces
     // t·max(na,nb) ≤ |a∩b| ≤ min(na,nb), so docs whose set sizes differ
@@ -237,14 +255,30 @@ object DedupOps {
     // exactly AT the threshold — err toward admitting the boundary
     // candidate (the exact confirm still decides it). Lossless by the
     // same inequality that defines the threshold.
+    //
+    // PPJoin's POSITIONAL filter rides the same join (Xiao et al.,
+    // WWW'08 §3.2): J ≥ t forces |a∩b| ≥ t·(na+nb)/(1+t), and at a
+    // shared prefix shingle with per-doc rarity ranks (ia, ib) the
+    // overlap is bounded by 1 + min(na−ia, nb−ib) — valid for the
+    // globally-rarest shared shingle, which is always join-visible
+    // (a shared shingle rarer than a both-prefix match would rank
+    // earlier in BOTH docs and so sit in both prefixes itself), and
+    // monotonically tighter for later matches, so keep-if-ANY-row-
+    // passes equals the exact first-match test. Lossless; the r21
+    // measured effect is pre-distinct candidate rows cut before the
+    // exchange (guide §2.3) and confirm pairs cut with them. Spelled
+    // fraction-free ((1+t)·ubound ≥ t·(na+nb) − ε, ubound integral) so
+    // no ceil-rounding hazard exists to guard beyond the boundary ε.
+    val ubound = lit(1) +
+      least($"a.n" - $"a.rk", $"b.n" - $"b.rk")
     val cand = prefix.as("a").join(prefix.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
           $"a.n" >= lit(threshold) * $"b.n" - lit(1e-9) &&
-          $"b.n" >= lit(threshold) * $"a.n" - lit(1e-9))
+          $"b.n" >= lit(threshold) * $"a.n" - lit(1e-9) &&
+          (lit(1.0) + lit(threshold)) * ubound >=
+            lit(threshold) * ($"a.n" + $"b.n") - lit(1e-6))
       .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
-    thresholdJaccard(pairStats(cand, sets), threshold)
-      .select($"da", $"db", $"inter", $"na", $"nb",
-        round($"jaccard", 6).as("jaccard"))
+    pairStats(cand, sets)
   }
 
   /** (da, db, na, nb, inter) for each candidate pair — the confirm's

@@ -729,14 +729,18 @@ object IngestOps {
     val snapsJson = snaps.map { case (id, ms, nFiles) =>
       val parent = if (id == snaps.head._1) ""
         else s""""parent-snapshot-id":${id - 1},"""
-      val (ml, nRows) = manifestLists.getOrElse(id,
-        (s"$qroot/metadata/snap-$id.txt", 0L))
+      // fallback (no avro manifest list): added-records is UNKNOWN here —
+      // omit the key (summary fields are optional per the spec) instead of
+      // emitting "0" beside a real non-zero added-data-files count, which
+      // made the snapshot summary internally inconsistent
+      val (ml, addedRecords) = manifestLists.get(id)
+        .map { case (p, n) => (p, s""","added-records":"$n"""") }
+        .getOrElse((s"$qroot/metadata/snap-$id.txt", ""))
       s"""{"snapshot-id":$id,${parent}"sequence-number":$id,""" +
         s""""timestamp-ms":$ms,""" +
         s""""manifest-list":"$ml",""" +
         s""""summary":{"operation":"append",""" +
-        s""""added-data-files":"$nFiles",""" +
-        s""""added-records":"$nRows"},"schema-id":0}"""
+        s""""added-data-files":"$nFiles"$addedRecords},"schema-id":0}"""
     }.mkString("[", ",", "]")
     val logJson = snaps.map { case (id, ms, _) =>
       s"""{"timestamp-ms":$ms,"snapshot-id":$id}"""

@@ -446,4 +446,21 @@ class DedupSpec extends SparkSpecBase {
         s"k=$k pct=$pct diverged from the integer-arithmetic twin")
     }
   }
+
+  test("anchorSample corpus contract holds on the live corpus: doc_id " +
+      "is nonnegative and id*k fits Int64 for every anchor multiplier") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{max, min}
+    // past these bounds Spark's non-ANSI multiply wraps silently while
+    // DuckDB raises on BIGINT overflow (and pmod vs % diverge on
+    // negatives) — the engines would drift with nothing pointing at the
+    // cause, so a contract break must fail HERE, loudly
+    val bounds = graft.sources.Tables.documents(spark, sf)
+      .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    assert(lo >= 0L, s"corpus min doc_id $lo breaks the pmod/% agreement")
+    val maxK = Seq(982451653L, 479001599L, 715225741L).max
+    assert(hi <= Long.MaxValue / maxK,
+      s"corpus max doc_id $hi overflows doc_id*$maxK in Int64")
+  }
 }
