@@ -217,25 +217,33 @@ object Aggregates {
     // t_step ∈ (t_prev, t1 + 2 days] — not within a calendar-date
     // prefix of the month (the old `dayofmonth <= 2` spelling, which
     // was a month-boundary predicate, not a per-user window).
-    val ev = Tables.events(spark, dir)
+    // ONE user-partitioned pass (r21, guide §2.4): the step times are
+    // per-user scalars — t1 = min view ts, t2 = min qualifying click ts
+    // (depends on t1), t3 = min qualifying purchase ts (depends on t2) —
+    // so three stacked unordered window aggregates over the SAME
+    // partitioning compute them with a single exchange of the events
+    // table, where the old per-step groupBy/join chain scanned events
+    // four times and shuffled seven. The per-user distinct reuses the
+    // window's partitioning (grouping keys ⊇ partition key → no new
+    // exchange); only the 4-row depth histogram shuffles after that.
+    // Answers identical (oracle unchanged): null t1/t2 disqualify later
+    // steps through the when-condition exactly as the joins dropped them.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+    val horizon = $"t1" + expr("INTERVAL 2 DAYS")
+    Tables.events(spark, dir)
       .select($"user_id", $"event_type", $"ts")
-    val v = ev.filter($"event_type" === "view")
-      .groupBy($"user_id").agg(min($"ts").as("t1"))
-    val c = ev.filter($"event_type" === "click")
-      .join(v, "user_id")
-      .filter($"ts" > $"t1" && $"ts" <= $"t1" + expr("INTERVAL 2 DAYS"))
-      .groupBy($"user_id")
-      .agg(min($"ts").as("t2"), min($"t1").as("t1"))
-    val p = ev.filter($"event_type" === "purchase")
-      .join(c, "user_id")
-      .filter($"ts" > $"t2" && $"ts" <= $"t1" + expr("INTERVAL 2 DAYS"))
-      .groupBy($"user_id").agg(min($"ts").as("t3"))
-    ev.select($"user_id").distinct()
-      .join(v, Seq("user_id"), "left")
-      .join(c.select($"user_id", $"t2"), Seq("user_id"), "left")
-      .join(p.select($"user_id", $"t3"), Seq("user_id"), "left")
-      .select(when($"t3".isNotNull, 3L).when($"t2".isNotNull, 2L)
-        .when($"t1".isNotNull, 1L).otherwise(0L).as("funnel_depth"))
+      .withColumn("t1",
+        min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("t2",
+        min(when($"event_type" === "click" &&
+          $"ts" > $"t1" && $"ts" <= horizon, $"ts")).over(w))
+      .withColumn("t3",
+        min(when($"event_type" === "purchase" &&
+          $"ts" > $"t2" && $"ts" <= horizon, $"ts")).over(w))
+      .select($"user_id",
+        when($"t3".isNotNull, 3L).when($"t2".isNotNull, 2L)
+          .when($"t1".isNotNull, 1L).otherwise(0L).as("funnel_depth"))
+      .distinct()
       .groupBy($"funnel_depth")
       .agg(count(lit(1)).as("n_users"))
       .orderBy($"funnel_depth")
