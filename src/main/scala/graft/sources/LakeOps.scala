@@ -929,11 +929,19 @@ object LakeOps {
     * (partition rewrites, manifest/ref writes, expiry deletes), not the
     * base-table build — so the base builds once per corpus lifetime
     * ([[versionedBaseLayout]]/[[cowBaseLayout]], prewarmed by Fixtures)
-    * and each call starts from a file-level copy (tens of ms) instead
-    * of re-running a multi-commit Spark write (~1 s at sf0.1). Clone
-    * mtimes are fresh and strictly predate the mutation's rewrites, so
-    * the copy-on-write mtime proofs in LakeSpec still observe exactly
-    * the mutation. */
+    * and each call starts from a file-level clone instead of re-running
+    * a multi-commit Spark write (~1 s at sf0.1). Files clone as HARD
+    * LINKS (r21, guide §6): the clone costs one dir entry per file
+    * regardless of data size — scale-INDEPENDENT where a byte copy
+    * grows with the corpus — and is safe because every mutation path
+    * writes fresh task-UUID files and deletes whole paths, never
+    * modifies bytes in place (an in-place append would corrupt the
+    * shared base; no such path exists — parquet is immutable-once-
+    * written throughout). Cross-device/unsupported-FS degrades to the
+    * byte copy. Linked files keep the BASE's mtime, which strictly
+    * predates the mutation's rewrites — the copy-on-write mtime proofs
+    * in LakeSpec observe exactly the mutation, with a wider margin
+    * than the fresh-copy clone gave them. */
   private[graft] def cloneTree(src: String, dst: String): Unit = {
     import java.nio.file._
     val s = Paths.get(src); val d = Paths.get(dst)
@@ -949,7 +957,14 @@ object LakeOps {
     try w.forEach { pp =>
       val t = d.resolve(s.relativize(pp).toString)
       if (Files.isDirectory(pp)) Files.createDirectories(t)
-      else { Files.createDirectories(t.getParent); Files.copy(pp, t) }
+      else {
+        Files.createDirectories(t.getParent)
+        try Files.createLink(t, pp)
+        catch {
+          case _: UnsupportedOperationException | _: FileSystemException =>
+            Files.copy(pp, t)
+        }
+      }
     } finally w.close()
   }
 
