@@ -43,7 +43,8 @@ object JaccardProbe {
         val sets = {
           val t0 = System.nanoTime()
           val s = docs.select($"doc_id",
-            graft.operators.DedupOps.shingles3($"text").as("ss"))
+            sort_array(graft.operators.DedupOps.shingles3($"text"))
+              .as("ss"))
             .repartition(32).localCheckpoint()
           t = (System.nanoTime() - t0) / 1e9
           println(f"[jacprobe]   sets_ckpt     ${t}%.3f")
@@ -96,13 +97,17 @@ object JaccardProbe {
               size($"ssb").cast("long").as("nb"),
               inter.cast("long").as("inter")))
         }
-        // interleaved A/B of the two confirm spellings
+        // interleaved A/B of the three confirm spellings (sets are
+        // sort_array'd at the build, so the sorted kernel applies)
         val tDecl = confirm(size(array_intersect($"ssa", $"ssb")))
         val tFused = confirm(graft.functions.IntersectionSizeFunctions
           .intersectionSize($"ssa", $"ssb"))
-        println(f"[jacprobe]   confirm_decl  ${tDecl}%.3f")
-        println(f"[jacprobe]   confirm_fused ${tFused}%.3f")
-        tFused
+        val tSorted = confirm(graft.functions.IntersectionSizeFunctions
+          .sortedIntersectionSize($"ssa", $"ssb"))
+        println(f"[jacprobe]   confirm_decl   ${tDecl}%.3f")
+        println(f"[jacprobe]   confirm_fused  ${tFused}%.3f")
+        println(f"[jacprobe]   confirm_sorted ${tSorted}%.3f")
+        tSorted
       }))
     stages.head._2() // warm codegen/layouts once
     (1 to rounds).foreach { _ =>

@@ -223,8 +223,13 @@ object DedupOps {
     // Bounded: one row per doc with its shingle array, and every caller
     // restricts docs to a candidate subset first. At full corpus scale the
     // same cut is a persist(DISK_ONLY) on the shingle table.
+    // SORTED once per doc (r21): element order is semantics-free for
+    // every consumer (explode→freq, global-window prefix ranks, set
+    // size, intersection count), and a sorted set lets the confirm run
+    // the linear merge kernel per pair instead of building a hash set —
+    // n·log n once per doc amortized over every pair the doc joins.
     val sets = spreadSmall(
-      docs.select($"doc_id", shingles3($"text").as("ss")))
+      docs.select($"doc_id", sort_array(shingles3($"text")).as("ss")))
       .localCheckpoint()
     val sh = sets.select($"doc_id", size($"ss").as("n"), explode($"ss").as("s"))
     val freq = sh.groupBy($"s").agg(count(lit(1)).as("df"))
@@ -306,11 +311,13 @@ object DedupOps {
       .select($"da", $"db", size($"ssa").cast("long").as("na"),
         size($"ssb").cast("long").as("nb"),
         // fused size(array_intersect(...)): the confirm reads ONLY the
-        // cardinality, so the intersection array is never materialized
-        // (functions/IntersectionSize.scala; DedupSpec pins value
-        // equality and the one-intersect-per-pair shape on this name)
+        // cardinality, so the intersection array is never materialized,
+        // and both callers build `sets` through sort_array, so the
+        // SORTED merge kernel applies — one linear pass per pair, no
+        // per-pair hash set (functions/IntersectionSize.scala; DedupSpec
+        // pins value equality and the one-intersect-per-pair shape)
         graft.functions.IntersectionSizeFunctions
-          .intersectionSize($"ssa", $"ssb").cast("long").as("inter"))
+          .sortedIntersectionSize($"ssa", $"ssb").cast("long").as("inter"))
   }
 
   /** The shared scalar-stats cut + threshold filter behind both confirm
@@ -389,8 +396,11 @@ object DedupOps {
     // shingle set is [NULL], its lanes all NULL, and concat_ws (which
     // SKIPS nulls) would give every null doc the same bucket, pairing
     // all hostile rows with each other.
+    // sorted once per doc for the merge-kernel confirm (see
+    // [[jaccardPairStats]]'s sets note); signature lanes are
+    // min-over-elements, so order is semantics-free here too
     val sets = spreadSmall(docs.filter($"text".isNotNull)
-      .select($"doc_id", shingles3($"text").as("ss"))
+      .select($"doc_id", sort_array(shingles3($"text")).as("ss"))
       .filter(size($"ss") > 0))
       .localCheckpoint()
     // the k-lane signature. Fast path: one fused codegen'd Expression

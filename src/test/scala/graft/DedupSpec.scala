@@ -201,6 +201,25 @@ class DedupSpec extends SparkSpecBase {
         .select(graft.functions.IntersectionSizeFunctions
           .intersectionSize($"a", $"b")).collect()
       assert(nulls.head.isNullAt(0))
+      // the SORTED merge kernel: same value on sort_array'd inputs
+      // (the contract both production call sites establish), including
+      // duplicates, nulls-first runs, and empties
+      val sorted = cases.zipWithIndex.map { case ((a, b), i) =>
+          (i.toLong, a, b) }
+        .toDF("id", "a", "b")
+        .select($"id",
+          graft.functions.IntersectionSizeFunctions
+            .sortedIntersectionSize(
+              sort_array($"a"), sort_array($"b")).as("merge"),
+          size(array_intersect($"a", $"b")).as("decl"))
+      val badSorted = sorted.filter(not($"merge" <=> $"decl")).collect()
+      assert(badSorted.isEmpty, s"sorted merge kernel != " +
+        s"size(array_intersect): ${badSorted.take(3).toSeq}")
+      val nulls2 = Seq((1L, null.asInstanceOf[Seq[String]], Seq("a")))
+        .toDF("id", "a", "b")
+        .select(graft.functions.IntersectionSizeFunctions
+          .sortedIntersectionSize($"a", $"b")).collect()
+      assert(nulls2.head.isNullAt(0))
     } finally spark.conf.set(key, prev)
   }
 
