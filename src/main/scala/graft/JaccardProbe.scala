@@ -66,7 +66,11 @@ object JaccardProbe {
           p
         }
         // interleaved A/B: candidate join with vs without the r21
-        // positional filter (pre-distinct row count + distinct count)
+        // positional filter (pre-distinct row count + distinct count).
+        // Gated behind SPARK_GRAFT_JACPROBE_AB: the counts execute the
+        // candidate join twice more per round, inflating routine probe
+        // runs that no longer study that comparison (r21 advice).
+        val abCounts = sys.env.contains("SPARK_GRAFT_JACPROBE_AB")
         def candWith(positional: Boolean) = {
           val ubound = lit(1) + least($"a.n" - $"a.rk", $"b.n" - $"b.rk")
           val base = $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
@@ -79,9 +83,51 @@ object JaccardProbe {
           prefix.as("a").join(prefix.as("b"), cond)
             .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
         }
-        val preNo = candWith(false).count()
-        val preYes = candWith(true).count()
-        println(f"[jacprobe]   prejoin_rows  nopos=$preNo pos=$preYes")
+        // r22 candidate variant: AllPairs/PPJoin INDEX prefix on the
+        // smaller-set side. For a pair with na ≤ nb the required overlap
+        // α = ceil(t/(1+t)·(na+nb)) ≥ ceil(2t/(1+t)·na), so the smaller
+        // doc only needs its first na − ceil(2t/(1+t)·na) + 1 rarest
+        // shingles in the join (vs the symmetric probe bound
+        // na − ceil(t·na) + 1) — the build side shrinks and the
+        // enumeration Σ c_idx(s)·c_probe(s) with it.
+        def candIdx(hashKey: Boolean) = {
+          val idxc = 2 * threshold / (1 + threshold)
+          val idx = prefix.filter(
+            $"rk" <= $"n" - ceil(lit(idxc) * $"n" - lit(1e-9)) + 1)
+          val keyEq = if (hashKey) xxhash64($"a.s") === xxhash64($"b.s")
+            else $"a.s" === $"b.s"
+          val ubound = lit(1) + least($"a.n" - $"a.rk", $"b.n" - $"b.rk")
+          val cond = keyEq &&
+            ($"a.n" < $"b.n" ||
+              ($"a.n" === $"b.n" && $"a.doc_id" < $"b.doc_id")) &&
+            $"a.n" >= lit(threshold) * $"b.n" - lit(1e-9) &&
+            (lit(1.0) + lit(threshold)) * ubound >=
+              lit(threshold) * ($"a.n" + $"b.n") - lit(1e-6)
+          idx.as("a").join(prefix.as("b"), cond)
+            .select(least($"a.doc_id", $"b.doc_id").as("da"),
+              greatest($"a.doc_id", $"b.doc_id").as("db"))
+        }
+        if (abCounts) {
+          val preNo = candWith(false).count()
+          val preYes = candWith(true).count()
+          val preIdx = candIdx(false).count()
+          println(f"[jacprobe]   prejoin_rows  nopos=$preNo pos=$preYes idx=$preIdx")
+        }
+        // interleaved A/B of the candidate stage spellings (join +
+        // distinct + eager checkpoint, the shipped stage shape)
+        def candStage(label: String,
+            df: => org.apache.spark.sql.DataFrame): Double = {
+          val t0 = System.nanoTime()
+          val c = df.distinct().localCheckpoint()
+          val n = c.count()
+          val t = (System.nanoTime() - t0) / 1e9
+          println(f"[jacprobe]   cand_$label%-10s ${t}%.3f rows=$n")
+          c.unpersist(false)
+          t
+        }
+        candStage("pos", candWith(true))
+        candStage("idx", candIdx(false))
+        candStage("idxhash", candIdx(true))
         val cand = {
           val t0 = System.nanoTime()
           val c = candWith(true).distinct().localCheckpoint()

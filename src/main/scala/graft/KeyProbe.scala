@@ -11,8 +11,15 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   * `scripts/run.sh graft.KeyProbe <sfDir> <rounds> <key1,key2,...>` */
 object KeyProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val rounds = if (args.length > 1) args(1).toInt else 3
+    // dev CLI contract (r21 advice): guard arity/format up front instead
+    // of an ArrayIndexOutOfBounds after the usage comment promised one
+    if (args.length < 3 || args(1).toIntOption.isEmpty) {
+      System.err.println(
+        "usage: scripts/run.sh graft.KeyProbe <sfDir> <rounds> <key1,key2,...>")
+      sys.exit(2)
+    }
+    val sfDir = args(0)
+    val rounds = args(1).toInt
     val keys = args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val spark = SparkSession.builder()
       .master("local[32]")

@@ -959,6 +959,13 @@ object IngestOps {
       rel: String, lines: Iterable[String]): Unit = {
     val p = new org.apache.hadoop.fs.Path(root, rel)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // delete-before-create: fs.create(overwrite=true) TRUNCATES the
+    // existing inode, and metadata files may be hard links into a shared
+    // immutable base (LakeOps.cloneTree) — truncating through the link
+    // would corrupt the base for every later clone. The unlink breaks
+    // the link first, turning the no-in-place-mutation convention into a
+    // structural guarantee (r21 advice).
+    if (fs.exists(p)) fs.delete(p, false)
     val os = fs.create(p, true)
     os.write(lines.toSeq.sorted.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))

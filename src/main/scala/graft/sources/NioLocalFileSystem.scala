@@ -42,7 +42,13 @@ class NioRawLocalFileSystem extends RawLocalFileSystem {
         1, s.getBlockSize, s.getModificationTime, s.getAccessTime,
         fromPosix(a.permissions()), a.owner().getName, a.group().getName,
         s.getPath)
-    } catch { case _: java.io.IOException | _: SecurityException => s }
+    } catch {
+      // UnsupportedOperationException: a non-POSIX store (the same class
+      // cloneTree's hardlink fallback anticipates) must degrade to the
+      // lazy status per file, not fail every listing (r21 advice)
+      case _: java.io.IOException | _: SecurityException
+        | _: UnsupportedOperationException => s
+    }
 
   private def fromPosix(ps: java.util.Set[PosixFilePermission]): FsPermission = {
     import PosixFilePermission._
